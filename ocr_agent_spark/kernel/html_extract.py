@@ -1,0 +1,256 @@
+"""Main-content extraction from raw HTML bytes.
+
+Boilerpipe/trafilatura-style block scoring implemented on the stdlib
+``html.parser`` (the container carries no lxml): the page is segmented
+into text blocks at block-level tag boundaries, each block gets a word
+count and a link density (chars inside <a> / total chars), and blocks
+are classified content vs boilerplate with a densitometric rule plus a
+one-step context smoothing pass (short blocks adjacent to content are
+rescued). Headings survive only when they introduce kept content;
+obvious chrome containers (<nav>, <footer>, <aside>, <header>, <form>)
+are dropped wholesale.
+
+This is the rebuild's analogue of the reference's per-image OCR payload
+(/root/reference/src/ocr_agent/deepseek_ocr2_runner.py:122-177): the
+per-row black box that turns one raw document into markdown-ish text.
+Unlike the reference it is fully deterministic, so tests assert
+byte-identical output (BASELINE.json invariant).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Tags whose entire subtree is never content.
+_IGNORED_SUBTREES = frozenset(
+    {
+        "script",
+        "style",
+        "noscript",
+        "template",
+        "svg",
+        "iframe",
+        "head",
+        "form",
+        "button",
+        "select",
+        "option",
+        "nav",
+        "footer",
+        "aside",
+        "header",
+    }
+)
+
+# Tags that open/close a text block.
+_BLOCK_TAGS = frozenset(
+    {
+        "p",
+        "div",
+        "section",
+        "article",
+        "main",
+        "body",
+        "li",
+        "td",
+        "th",
+        "tr",
+        "table",
+        "ul",
+        "ol",
+        "blockquote",
+        "pre",
+        "figure",
+        "figcaption",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "br",
+        "hr",
+    }
+)
+
+_HEADING_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+_VOID_TAGS = frozenset({"br", "hr", "img", "meta", "link", "input"})
+
+# Densitometric thresholds (Boilerpipe NumWordsRules-style).
+_MIN_CONTENT_WORDS = 10
+_MAX_CONTENT_LINK_DENSITY = 0.33
+_MIN_NEIGHBOR_WORDS = 4
+
+
+@dataclass
+class _Block:
+    tag: str
+    parts: list[str] = field(default_factory=list)
+    total_chars: int = 0
+    link_chars: int = 0
+
+    @property
+    def text(self) -> str:
+        return " ".join("".join(self.parts).split())
+
+    @property
+    def word_count(self) -> int:
+        return len(self.text.split())
+
+    @property
+    def link_density(self) -> float:
+        if self.total_chars <= 0:
+            return 0.0
+        return self.link_chars / self.total_chars
+
+    @property
+    def heading_level(self) -> int:
+        return _HEADING_LEVEL.get(self.tag, 0)
+
+
+class _BlockSegmenter(HTMLParser):
+    """Segment an HTML document into scored text blocks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self.title_parts: list[str] = []
+        self._ignore_depth = 0
+        self._anchor_depth = 0
+        self._in_title = False
+        self._current: _Block | None = None
+
+    # -- tag events ------------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag in _IGNORED_SUBTREES:
+            self._ignore_depth += 1
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag not in _VOID_TAGS:
+                self._current = _Block(tag=tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag in _IGNORED_SUBTREES:
+            if self._ignore_depth:
+                self._ignore_depth -= 1
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            if self._anchor_depth:
+                self._anchor_depth -= 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in _BLOCK_TAGS and tag in _VOID_TAGS:
+            # <br/> splits the current block.
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if self._ignore_depth or not data:
+            return
+        if self._current is None:
+            self._current = _Block(tag="_text")
+        self._current.parts.append(data)
+        n = len(data)
+        self._current.total_chars += n
+        if self._anchor_depth:
+            self._current.link_chars += n
+
+    # -- helpers ---------------------------------------------------------
+
+    def _flush(self) -> None:
+        block = self._current
+        self._current = None
+        if block is not None and block.text:
+            self.blocks.append(block)
+
+    def finish(self) -> None:
+        self._flush()
+
+
+def _classify(blocks: list[_Block]) -> list[bool]:
+    """Content/boilerplate decision per block, with context smoothing."""
+    base = [
+        b.word_count >= _MIN_CONTENT_WORDS
+        and b.link_density <= _MAX_CONTENT_LINK_DENSITY
+        and not b.heading_level
+        for b in blocks
+    ]
+    kept = list(base)
+    # Smoothing: a short low-link block sandwiched next to content is
+    # content too (Boilerpipe's neighbor rule).
+    for i, b in enumerate(blocks):
+        if kept[i] or b.heading_level:
+            continue
+        if b.word_count >= _MIN_NEIGHBOR_WORDS and b.link_density <= _MAX_CONTENT_LINK_DENSITY:
+            prev_kept = i > 0 and base[i - 1]
+            next_kept = i + 1 < len(blocks) and base[i + 1]
+            if prev_kept or next_kept:
+                kept[i] = True
+    # Headings survive iff they introduce kept content before the next
+    # heading (readability-style).
+    for i, b in enumerate(blocks):
+        if not b.heading_level:
+            continue
+        if b.link_density > _MAX_CONTENT_LINK_DENSITY:
+            continue
+        for j in range(i + 1, len(blocks)):
+            if blocks[j].heading_level:
+                break
+            if kept[j]:
+                kept[i] = True
+                break
+    return kept
+
+
+def extract_html_text(html_bytes: bytes) -> str:
+    """bytes of an HTML document → extracted main-content markdown.
+
+    Output contract (normalization per the reference's merge rule,
+    /root/reference/src/ocr_agent/markdown_merge.py:47): UTF-8 text,
+    ``\\n`` line endings, blocks joined by blank lines, exactly one
+    trailing newline. Empty page → ``""``.
+    """
+    text = html_bytes.decode("utf-8", errors="replace")
+    parser = _BlockSegmenter()
+    parser.feed(text)
+    parser.finish()
+
+    blocks = parser.blocks
+    kept = _classify(blocks)
+
+    out_lines: list[str] = []
+    title = " ".join("".join(parser.title_parts).split())
+    if title and any(kept):
+        out_lines.append(f"# {title}")
+    for block, keep in zip(blocks, kept):
+        if not keep:
+            continue
+        if block.heading_level:
+            out_lines.append(f"{'#' * (block.heading_level + 1)} {block.text}")
+        else:
+            out_lines.append(block.text)
+    if not out_lines:
+        return ""
+    return "\n\n".join(out_lines).rstrip() + "\n"

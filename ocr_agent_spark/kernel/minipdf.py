@@ -1,0 +1,295 @@
+"""Minimal PDF writer + pdfminer-style text extractor (pure stdlib).
+
+The container has no PDF library, so the engine carries its own small
+one: a writer that emits valid single-font PDFs (used by the fixture
+generator to create deterministic binary payloads) and a reader that
+reconstructs page text from content streams — tokenizes ``BT..ET`` text
+objects, tracks the text cursor through ``Td/TD/Tm/T*``, collects
+positioned strings from ``Tj/'/TJ``, then rebuilds lines top-to-bottom,
+left-to-right (the layout-reconstruction approach of pdfminer's
+LTTextLine grouping, reimplemented minimally). FlateDecode streams are
+supported via stdlib zlib.
+
+Reference analogue: pdf page-count probe + per-page render,
+/root/reference/src/ocr_agent/pdf_render.py:16-62 — there a GPU OCR
+consumes rendered pixels; here layout reconstruction yields the text
+directly and deterministically.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_PDF_MAGIC = b"%PDF"
+
+
+def is_pdf_payload(data: bytes) -> bool:
+    return data[:4] == _PDF_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+def _escape_pdf_string(text: str) -> str:
+    out = []
+    for ch in text:
+        if ch in "()\\":
+            out.append("\\" + ch)
+        elif ord(ch) < 32 or ord(ch) > 126:
+            # Keep the writer latin-1-safe; exotic chars become octal or '?'
+            code = ord(ch)
+            out.append(f"\\{code:03o}" if code < 256 else "?")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+    """Build a valid minimal PDF: one text line per list entry per page."""
+    objects: list[bytes] = []  # 1-indexed bodies, object i = objects[i-1]
+
+    n_pages = len(pages)
+    font_obj_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode("ascii")
+    )
+    for i, lines in enumerate(pages):
+        page_num = 3 + 2 * i
+        content_num = page_num + 1
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj_num} 0 R >> >> "
+                f"/Contents {content_num} 0 R >>"
+            ).encode("ascii")
+        )
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(lines):
+            if j > 0:
+                ops.append("0 -14 Td")
+            ops.append(f"({_escape_pdf_string(line)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1")
+        if compress:
+            stream = zlib.compress(stream)
+            head = f"<< /Length {len(stream)} /Filter /FlateDecode >>".encode("ascii")
+        else:
+            head = f"<< /Length {len(stream)} >>".encode("ascii")
+        objects.append(head + b"\nstream\n" + stream + b"\nendstream")
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += f"{i} 0 obj\n".encode("ascii") + body + b"\nendobj\n"
+    xref_pos = len(buf)
+    buf += f"xref\n0 {len(objects) + 1}\n".encode("ascii")
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode("ascii")
+    buf += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode("ascii")
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    if not is_pdf_payload(data):
+        raise ValueError("not a PDF payload (missing %PDF magic)")
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+
+
+def _page_object_numbers(objects: dict[int, bytes]) -> list[int]:
+    # Prefer the page tree (document order); fall back to /Type /Page scan.
+    for body in objects.values():
+        if b"/Type" in body and b"/Pages" in body:
+            kids = _KIDS_RE.search(body)
+            if kids:
+                return [int(m.group(1)) for m in _REF_RE.finditer(kids.group(1))]
+    page_re = re.compile(rb"/Type\s*/Page(?![s])")
+    return [num for num in sorted(objects) if page_re.search(objects[num])]
+
+
+def pdf_page_count(data: bytes) -> int:
+    """Page-count probe (reference: pdf_render.py:16-25)."""
+    return len(_page_object_numbers(_parse_objects(data)))
+
+
+def _decode_stream(body: bytes) -> bytes:
+    m = _STREAM_RE.search(body)
+    if m is None:
+        return b""
+    raw = m.group(1)
+    if b"/FlateDecode" in body:
+        raw = zlib.decompress(raw)
+    elif b"/Filter" in body:
+        raise ValueError("unsupported PDF stream filter")
+    return raw
+
+
+_ESCAPES = {
+    b"n": b"\n",
+    b"r": b"\r",
+    b"t": b"\t",
+    b"b": b"\b",
+    b"f": b"\f",
+    b"(": b"(",
+    b")": b")",
+    b"\\": b"\\",
+}
+
+
+def _read_pdf_string(stream: bytes, start: int) -> tuple[str, int]:
+    """Read a ( ... ) string starting at ``start`` (the open paren)."""
+    out = bytearray()
+    depth = 1
+    i = start + 1
+    n = len(stream)
+    while i < n and depth > 0:
+        c = stream[i : i + 1]
+        if c == b"\\":
+            nxt = stream[i + 1 : i + 2]
+            if nxt.isdigit():
+                octal = stream[i + 1 : i + 4]
+                k = 1
+                while k <= 3 and stream[i + k : i + k + 1].isdigit():
+                    k += 1
+                octal = stream[i + 1 : i + k]
+                out += bytes([int(octal, 8) & 0xFF])
+                i += 1 + len(octal)
+            else:
+                out += _ESCAPES.get(nxt, nxt)
+                i += 2
+            continue
+        if c == b"(":
+            depth += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                i += 1
+                break
+        out += c
+        i += 1
+    return out.decode("latin-1"), i
+
+
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+
+def _extract_positioned_strings(stream: bytes) -> list[tuple[float, float, str]]:
+    """Tokenize a content stream → list of (y, x, text) chunks."""
+    chunks: list[tuple[float, float, str]] = []
+    x = y = 0.0
+    leading = 14.0
+    stack: list[float] = []
+    i = 0
+    n = len(stream)
+    pending_strings: list[str] = []  # strings seen since last operator
+
+    def flush_text(op: bytes) -> None:
+        nonlocal x, y
+        if op in (b"Tj", b"TJ", b"'", b'"'):
+            text = "".join(pending_strings)
+            if op in (b"'", b'"'):
+                y -= leading
+            if text:
+                chunks.append((y, x, text))
+        pending_strings.clear()
+
+    while i < n:
+        c = stream[i : i + 1]
+        if c.isspace():
+            i += 1
+            continue
+        if c == b"(":
+            s, i = _read_pdf_string(stream, i)
+            pending_strings.append(s)
+            continue
+        if c == b"[" or c == b"]":
+            i += 1
+            continue
+        m = _NUM_RE.match(stream, i)
+        if m and m.start() == i:
+            stack.append(float(m.group(0)))
+            i = m.end()
+            continue
+        if c == b"/":
+            j = i + 1
+            while j < n and not stream[j : j + 1].isspace():
+                j += 1
+            i = j
+            continue
+        # operator token
+        j = i
+        while j < n and not stream[j : j + 1].isspace() and stream[j : j + 1] not in b"()[]/":
+            j += 1
+        op = stream[i:j]
+        if op in (b"Td", b"TD"):
+            if len(stack) >= 2:
+                x += stack[-2]
+                y += stack[-1]
+                if op == b"TD":
+                    leading = -stack[-1] if stack[-1] < 0 else leading
+        elif op == b"Tm":
+            if len(stack) >= 6:
+                x, y = stack[-2], stack[-1]
+        elif op == b"T*":
+            y -= leading
+        elif op == b"TL":
+            if stack:
+                leading = stack[-1]
+        elif op == b"BT":
+            x = y = 0.0
+        flush_text(op)
+        stack.clear()
+        i = j if j > i else i + 1
+    return chunks
+
+
+def extract_pdf_page_text(data: bytes, page_index: int) -> str:
+    """(pdf bytes, page index) → reconstructed page text.
+
+    Lines ordered top-to-bottom (descending y), chunks within a line
+    left-to-right (ascending x), joined with single spaces.
+    Raises ``IndexError`` on an out-of-range page (reference guard:
+    pdf_render.py:39-52) and ``ValueError`` on a non-PDF payload.
+    """
+    objects = _parse_objects(data)
+    page_nums = _page_object_numbers(objects)
+    if page_index < 0 or page_index >= len(page_nums):
+        raise IndexError(
+            f"page_index {page_index} out of range for {len(page_nums)}-page PDF"
+        )
+    body = objects[page_nums[page_index]]
+    m = _CONTENTS_RE.search(body)
+    if m is None:
+        return ""
+    stream = _decode_stream(objects.get(int(m.group(1)), b""))
+    chunks = _extract_positioned_strings(stream)
+    # Group into lines by quantized y, top-down; left-to-right within.
+    lines: dict[float, list[tuple[float, str]]] = {}
+    for cy, cx, text in chunks:
+        key = round(cy * 2) / 2
+        lines.setdefault(key, []).append((cx, text))
+    rendered = []
+    for key in sorted(lines, reverse=True):
+        rendered.append(" ".join(t for _, t in sorted(lines[key], key=lambda p: p[0])))
+    return "\n".join(rendered)

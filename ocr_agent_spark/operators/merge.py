@@ -1,0 +1,88 @@
+"""Ordered global merge: extracted rows → one markdown artifact (A6).
+
+The reference walks all completed tasks in task_id order and
+concatenates blocks into one file (markdown_merge.py:18-47). At scale a
+single global sort into one partition is the wrong plan, so the merge
+is two-phase:
+
+1. range-partition by ``order_key`` + ``sortWithinPartitions`` — a
+   distributed sort whose partition boundaries respect global order;
+2. per-partition: render every row's block (header + math-normalized
+   body, via the pure kernel) and concat into ONE row per partition
+   ``(pid, chunk)`` inside ``mapInPandas``;
+3. driver: collect the ~numPartitions chunk rows, concat in pid order,
+   prepend the document title, normalize the tail.
+
+Only step 3 touches the driver, and it moves one string per partition —
+the full text bytes stream through exactly once. Output is
+byte-identical to a sequential merge for any partition count (D1 test).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_agent_spark.kernel.merge import DOCUMENT_TITLE
+
+
+def _render_chunks(style: str):
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ocr_agent_spark.kernel.merge import MergeRow, render_row_block
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        blocks: list[str] = []
+        for batch in batches:
+            for url, kind, page_index, total_pages, text in zip(
+                batch["url"], batch["kind"], batch["page_index"],
+                batch["total_pages"], batch["text"],
+            ):
+                row = MergeRow(
+                    url=url,
+                    kind=kind,
+                    page_index=None if pd.isna(page_index) else int(page_index),
+                    total_pages=None if pd.isna(total_pages) else int(total_pages),
+                    text=text,
+                )
+                block = render_row_block(row, style)
+                if block is not None:
+                    blocks.append(block)
+        if blocks:
+            yield pd.DataFrame({"pid": [pid], "chunk": ["\n".join(blocks)]})
+
+    return render
+
+
+def merge_extracted_to_markdown(
+    extracted: DataFrame,
+    style: str = "dollar",
+    num_partitions: int | None = None,
+) -> str:
+    """Completed extracted rows → single merged markdown string."""
+    spark = extracted.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # Column pruning: the merge never needs html/doc_bytes/lineage cols.
+    slim = extracted.select(
+        "order_key", "url", "kind", "page_index", "total_pages", "text"
+    ).filter(F.col("text").isNotNull())
+
+    ordered = slim.repartitionByRange(
+        num_partitions, F.col("order_key")
+    ).sortWithinPartitions("order_key")
+
+    chunks = ordered.mapInPandas(
+        _render_chunks(style), schema="pid int, chunk string"
+    ).collect()
+    chunks.sort(key=lambda r: r["pid"])
+
+    parts = [DOCUMENT_TITLE, ""] + [r["chunk"] for r in chunks]
+    return "\n".join(parts).rstrip() + "\n"

@@ -1,0 +1,84 @@
+"""Monitoring queries over the extracted/lineage tables.
+
+These are the reference's GUI/status queries re-expressed as DataFrame
+aggregations: status histogram (queue_store.py:191-196), category
+totals (main.rs:840-844), progress + ETA model (main.rs:800-828),
+latest-failed preview (main.rs:786-790). All are partial+final hash
+aggregates — no global sorts, no collects beyond the tiny result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def status_histogram(extracted: DataFrame) -> DataFrame:
+    """SELECT status, COUNT(*) GROUP BY status ORDER BY status (A1/O6)."""
+    return (
+        extracted.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("task_count"))
+        .orderBy("status")
+    )
+
+
+def status_totals(extracted: DataFrame) -> DataFrame:
+    """Pivot of the histogram into one totals row (A2)."""
+    return extracted.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("status") == "completed", 1).otherwise(0)).alias("completed"),
+        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
+    )
+
+
+def latest_failed_error(extracted: DataFrame) -> DataFrame:
+    """Most recent failed row's error, by order_key (W3: max_by)."""
+    failed = extracted.filter(
+        (F.col("status") == "failed") & F.col("error").isNotNull()
+    )
+    return failed.agg(
+        F.max_by("error", "order_key").alias("error"),
+        F.max("order_key").alias("order_key"),
+    )
+
+
+def progress_and_eta(lineage: DataFrame, total_tasks: int) -> DataFrame:
+    """ETA model from lineage rows (main.rs:800-828 analogue).
+
+    avg_ms_per_doc = sum(wall) / sum(docs); remaining = avg × (total−done);
+    progress = done/total clamped to [0,1] (App.tsx:137-146).
+    """
+    return lineage.agg(
+        F.sum("doc_count").alias("completed"),
+        (F.sum("wall_time_ms") / F.sum("doc_count")).alias("avg_ms_per_doc"),
+    ).select(
+        "completed",
+        "avg_ms_per_doc",
+        F.least(
+            F.greatest(F.col("completed") / F.lit(max(total_tasks, 1)), F.lit(0.0)),
+            F.lit(1.0),
+        ).alias("progress"),
+        (F.col("avg_ms_per_doc") * (F.lit(total_tasks) - F.col("completed"))).alias(
+            "eta_ms"
+        ),
+    )
+
+
+def heavy_hitter_hosts(pages: DataFrame, threshold_fraction: float = 0.05) -> DataFrame:
+    """Hosts holding more than ``threshold_fraction`` of all docs.
+
+    The skew probe for host-keyed aggregations: any host returned here
+    should be salted (``host || '#' || pmod(xxhash64(url), S)``) before
+    a host-level groupBy/join at scale. Extraction itself partitions by
+    full-url hash, so it is immune to host skew by construction.
+    """
+    total = pages.count()
+    return (
+        pages.select(
+            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") > threshold_fraction * total)
+        .orderBy(F.desc("doc_count"))
+    )

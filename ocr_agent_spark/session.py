@@ -1,0 +1,50 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Single place where execution knobs live so tests, bench and jobs agree:
+AQE on (runtime re-plan + skew-join splitting), Arrow on with batches
+sized to "thousands of documents per invocation" (BASELINE north_star),
+Python worker reuse so kernel module state loads once per worker, UTC
+session timezone for deterministic timestamp round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_ARROW_BATCH_ROWS = 2048
+
+
+def build_spark(
+    app_name: str = "ocr-agent-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(cores_env) if cores_env else (os.cpu_count() or 8)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 32)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(DEFAULT_ARROW_BATCH_ROWS),
+        )
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

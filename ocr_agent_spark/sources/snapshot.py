@@ -1,0 +1,118 @@
+"""Snapshot-manifest table store: Iceberg-style commits over plain parquet.
+
+No Iceberg/Delta jars ship in this environment, so the engine carries a
+minimal snapshot layer reproducing the two Iceberg behaviors the north
+rule requires:
+
+1. **Atomic commit** — data files are written to a run-scoped directory
+   first; the commit is a single ``os.replace`` of a manifest JSON into
+   ``_snapshots/`` (rename is atomic on POSIX). Readers only ever see
+   directories listed in the latest manifest, so a job killed mid-write
+   leaves no partial state visible.
+2. **Snapshot resume** — a re-run anti-joins its task list against the
+   keys already committed (the Spark translation of the reference's
+   "fetch next pending" scheduler, queue_store.py:125-138 + the status
+   machine at :140-170: *completion is implied by presence in the
+   committed snapshot*, not by a mutable status column).
+
+Layout::
+
+    <root>/
+      data/<run_id>/part-*.parquet      # written, then committed
+      _snapshots/snap-000007.json       # {"seq":7,"runs":[...],"run_id":...}
+
+Manifests are cumulative (each lists all live run dirs), so reading =
+parse latest manifest + read its run dirs. Concurrency model: single
+writer (same as the reference's one-job-per-host gate, main.rs:1287-1292);
+optimistic multi-writer would need a CAS on the manifest name, noted in
+docstrings but out of scope for a single driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.snap_dir = os.path.join(root, "_snapshots")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    # -- manifest bookkeeping ---------------------------------------------
+
+    def _manifests(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.snap_dir)
+            if f.startswith("snap-") and f.endswith(".json")
+        )
+
+    def latest_manifest(self) -> dict | None:
+        names = self._manifests()
+        if not names:
+            return None
+        with open(os.path.join(self.snap_dir, names[-1])) as fh:
+            return json.load(fh)
+
+    def committed_run_dirs(self) -> list[str]:
+        manifest = self.latest_manifest()
+        if manifest is None:
+            return []
+        return [os.path.join(self.data_dir, r) for r in manifest["runs"]]
+
+    # -- write path ---------------------------------------------------------
+
+    def commit(self, df: DataFrame, run_id: str | None = None) -> str:
+        """Write ``df`` under a fresh run dir, then atomically publish it."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        run_dir = os.path.join(self.data_dir, run_id)
+        if os.path.exists(run_dir):
+            raise ValueError(f"run_id {run_id!r} already written")
+        df.write.mode("errorifexists").parquet(run_dir)
+
+        prev = self.latest_manifest()
+        seq = (prev["seq"] + 1) if prev else 0
+        runs = (list(prev["runs"]) if prev else []) + [run_id]
+        manifest = {
+            "seq": seq,
+            "runs": runs,
+            "run_id": run_id,
+            "committed_unix_ms": int(time.time() * 1000),
+        }
+        tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.snap_dir, f"snap-{seq:06d}.json"))
+        return run_id
+
+    # -- read path ----------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """DataFrame over all committed snapshots (None if table empty)."""
+        dirs = self.committed_run_dirs()
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def anti_join_committed(
+        self, tasks: DataFrame, keys: list[str], spark: SparkSession
+    ) -> DataFrame:
+        """Rows of ``tasks`` not yet in any committed snapshot (resume, J2).
+
+        ``keys`` must be content-derived (url, page_index) — never file
+        paths or execution-order ids — so resume is correct across
+        repartitioning. The committed side is projected to the join keys
+        only (column pruning keeps the fat ``text`` column out of the
+        shuffle/broadcast).
+        """
+        committed = self.read(spark)
+        if committed is None:
+            return tasks
+        return tasks.join(committed.select(*keys).distinct(), on=keys, how="left_anti")
