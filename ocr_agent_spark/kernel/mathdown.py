@@ -4,9 +4,13 @@ Behavioral contract (reference: markdown_merge.py:50-136, exactly):
 
 - ``\( x \)``  → ``$x$``      (content ``.strip()``-ed, DOTALL so it may span lines)
 - ``\[ x \]``  → ``$$\nx\n$$`` (content ``.strip("\n")``-ed; block rule runs first)
-- Text inside fenced code blocks (``` or ~~~, 3+ marker chars at column 0)
-  is never rewritten.
-- An *indented* fence line is plain text, not a fence.
+- Text inside fenced code blocks (``` or ~~~, 3+ marker chars after
+  optional leading whitespace) is never rewritten. (The reference's
+  "indented fences are plain text" branch at markdown_merge.py:96-102
+  is unreachable — its regex captures only whitespace as the indent, so
+  ``indent.strip() != ""`` never fires; verified by differential fuzz.
+  We reproduce the actual behavior: whitespace-indented fences ARE
+  fences.)
 - A fence closes only on a marker line whose first char matches the
   opener's char (so ```` closes ```, but ~~~ does not).
 - An unclosed fence runs to EOF (remainder untouched).
