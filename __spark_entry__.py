@@ -1,38 +1,731 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction job; ``queries()`` maps
+every SQL-expressible operator from SURVEY.md §2 (plus the training-
+data-pipeline operators: dedup tiers, text analysis, ANN) to a
+DataFrame builder; ``oracle_sql()`` holds the DuckDB-equivalent SQL.
+Queries without an oracle entry are non-SQL-expressible (extraction
+kernels, MinHash/SimHash with engine-local hashes, multimodal stubs)
+and get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# A fixed 64-dim query vector for ANN queries (alternating pattern so
+# the same literal can live in the SQL oracle).
+_QUERY_VEC = [1.0 if i % 3 == 0 else (-0.5 if i % 3 == 1 else 0.25) for i in range(64)]
+_QUERY_VEC_SQL = "[" + ", ".join(f"{v}::DOUBLE" for v in _QUERY_VEC) + "]"
+
+_STOP_EN = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
+_STOP_DE = ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"]
+_STOP_JA = ["no", "wa", "ni", "wo", "ga", "de", "to", "mo", "desu", "masu"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: main-content extraction over a deterministic synthetic
+    Common-Crawl-style pages corpus (BASELINE input_hint shape), plus a
+    corpus summary over the sf0.001 documents table."""
+    from ocr_agent_spark.fixtures import pages_dataframe
+    from ocr_agent_spark.functions.text import token_count
+    from ocr_agent_spark.operators.extract import extract_tasks
+    from ocr_agent_spark.operators.ingest import build_task_table
+
+    pages = pages_dataframe(spark, 60)
+    extracted = extract_tasks(build_task_table(pages, order_partitions=8),
+                              num_partitions=8)
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.agg(F.count(F.lit(1)).alias("corpus_docs"))
+    return (
+        extracted.select(
+            "order_key", "url", "page_index", "kind", "status",
+            token_count("text").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(corpus))
+        .orderBy("order_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _a1_status_histogram(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.col("event_type").alias("status"))
+        .agg(F.count(F.lit(1)).alias("task_count"))
+    )
+
+
+def _a2_category_totals(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long").alias("errors"),
+    )
+
+
+def _a5_eta_progress(spark, sf):
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return e.agg(
+        F.count(F.lit(1)).alias("completed"),
+        F.round(F.avg("value"), 6).alias("avg_ms"),
+    )
+
+
+def _j1_orders_customer_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+def _j2_resume_antijoin(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey")
+
+
+def _j3_semi_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_mktsegment")
+
+
+def _o2_head_of_queue(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .limit(1)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+def _o4_latest_row(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_orderkey"))
+        .limit(1)
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+def _w1_order_key(spark, sf):
+    # The scalable two-phase global sequence vs the canonical window oracle.
+    from ocr_agent_spark.operators.ingest import assign_order_key
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return assign_order_key(docs, sort_cols=("doc_id",)).select("doc_id", "order_key")
+
+
+def _w3_latest_error(spark, sf):
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "error")
+    return e.agg(
+        F.max("event_id").alias("event_id"),
+        F.max_by("props", "event_id").alias("error"),
+    )
+
+
+def _w5_collision_suffix(spark, sf):
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("nth"))
+    )
+
+
+def _w6_lag_delta(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "event_id", "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        )
+    )
+
+
+def _w7_rolling_sum(spark, sf):
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    return (
+        _t(spark, sf, "events")
+        .select("event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("roll_sum"))
+    )
+
+
+def _p_filters(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.filter(
+        (~F.col("event_type").isin("error", "view"))
+        & F.col("value").isNotNull()
+        & (F.col("value") > 50)
+        & F.col("event_id").between(100, 5000)
+    ).select("event_id", "event_type", "value")
+
+
+def _u3_page_fanout(spark, sf):
+    p = _t(spark, sf, "part").filter(F.col("p_size") > 0)
+    return p.select(
+        "p_partkey",
+        F.explode(F.sequence(F.lit(0), (F.col("p_size") - 1).cast("long"))).alias(
+            "page_index"
+        ),
+    )
+
+
+def _f6_page_header_impl(spark, sf):
+    p = _t(spark, sf, "part").filter(F.col("p_size").between(1, 5))
+    fan = p.select(
+        "p_partkey", "p_size",
+        F.explode(F.sequence(F.lit(0), F.col("p_size") - 1)).alias("page_index"),
+    )
+    return fan.select(
+        F.format_string(
+            "## part-%d (page %d/%d)",
+            F.col("p_partkey"), F.col("page_index") + 1, F.col("p_size"),
+        ).alias("header")
+    )
+
+
+def _f1_ext_classify(spark, sf):
+    p = _t(spark, sf, "part")
+    ext = F.lower(F.regexp_extract("p_type", r"(\S+)$", 1))
+    return p.select(ext.alias("ext")).groupBy("ext").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _f7_normalize(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9_]+", "").alias("normalized"),
+    )
+
+
+def _f8_sanitize(spark, sf):
+    p = _t(spark, sf, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey", F.regexp_replace("p_name", "[ /:]", "_").alias("sanitized")
+    )
+
+
+def _f9_md_extension(spark, sf):
+    d = _t(spark, sf, "documents")
+    src = F.col("source")
+    return d.select(
+        "doc_id",
+        F.when(
+            ~F.lower(src).rlike(r"\.(md|markdown)$"), F.concat(src, F.lit(".md"))
+        ).otherwise(src).alias("md_name"),
+    )
+
+
+def _f10_epoch(spark, sf):
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 1000)
+    return e.select("event_id", F.unix_timestamp("ts").alias("ts_unix"))
+
+
+def _f13_mime_map(spark, sf):
+    e = _t(spark, sf, "events")
+    mime = (
+        F.when(F.col("event_type") == "click", "action/click")
+        .when(F.col("event_type") == "view", "action/view")
+        .when(F.col("event_type") == "purchase", "txn/purchase")
+        .otherwise("other/unknown")
+    )
+    return e.select(mime.alias("mime")).groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _a6_ordered_concat(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.col("l_linenumber"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("line_concat")
+    )
+
+
+def _st6_tumbling_window(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "status", "n")
+    )
+
+
+def _set_union_nations(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("n"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("n"))
+    return c.union(s).distinct()
+
+
+def _q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def _q3_top_revenue(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _dedup_fingerprint_stats(spark, sf):
+    from ocr_agent_spark.functions.text import doc_fingerprint
+
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.countDistinct(doc_fingerprint("text")).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def _dedup_exact_groups(spark, sf):
+    from ocr_agent_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf, "documents"))
+
+
+def _ngram_jaccard_pairs(spark, sf):
+    from ocr_agent_spark.functions.dedup import ngram_jaccard_pairs
+    from ocr_agent_spark.functions.text import tokens
+
+    d = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 100) & (F.size(tokens("text")) >= 3)
+    )
+    pairs = ngram_jaccard_pairs(d, threshold=0.05)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _lang_id_counts(spark, sf):
+    from ocr_agent_spark.functions.text import lang_id
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(lang_id("text").alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _token_histogram(spark, sf):
+    from ocr_agent_spark.functions.text import token_count
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(token_count("text").alias("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _similarity_topk(spark, sf):
+    from ocr_agent_spark.functions.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf, "embeddings"), _QUERY_VEC, k=10)
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
+
+
+def _extract_synthetic_pages(spark, sf):
+    from ocr_agent_spark.fixtures import pages_dataframe
+    from ocr_agent_spark.operators.extract import extract_tasks
+    from ocr_agent_spark.operators.ingest import build_task_table
+
+    pages = pages_dataframe(spark, 120)
+    extracted = extract_tasks(build_task_table(pages, order_partitions=8),
+                              num_partitions=8)
+    return extracted.select(
+        "order_key", "url", "page_index", "kind", "status",
+        F.length("text").alias("n_chars"),
+    )
+
+
+def _merged_artifact_hash(spark, sf):
+    from ocr_agent_spark.fixtures import pages_dataframe
+    from ocr_agent_spark.operators.extract import extract_tasks
+    from ocr_agent_spark.operators.ingest import build_task_table
+    from ocr_agent_spark.operators.merge import merge_extracted_to_markdown
+
+    pages = pages_dataframe(spark, 60)
+    extracted = extract_tasks(build_task_table(pages, order_partitions=8),
+                              num_partitions=8)
+    merged = merge_extracted_to_markdown(extracted, num_partitions=8)
+    import hashlib
+
+    digest = hashlib.md5(merged.encode("utf-8")).hexdigest()
+    return spark.createDataFrame(
+        [(digest, len(merged))], "merged_md5 string, merged_bytes long"
+    )
+
+
+def _minhash_near_dups(spark, sf):
+    from ocr_agent_spark.functions.dedup import minhash_near_duplicates
+    from ocr_agent_spark.functions.text import tokens
+
+    d = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 100) & (F.size(tokens("text")) >= 3)
+    )
+    pairs = minhash_near_duplicates(d, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_signatures(spark, sf):
+    from ocr_agent_spark.functions.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf, "documents").filter(F.col("doc_id") < 200))
+
+
+def _lsh_cosine_topk(spark, sf):
+    from ocr_agent_spark.functions.similarity import lsh_cosine_topk
+
+    return lsh_cosine_topk(_t(spark, sf, "embeddings"), _QUERY_VEC, k=10)
+
+
+def _embedding_near_dups(spark, sf):
+    from ocr_agent_spark.functions.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(_t(spark, sf, "embeddings"), threshold=0.5)
+
+
+def _multimodal_features(spark, sf):
+    from ocr_agent_spark.functions.multimodal import (
+        extract_media_features,
+        fake_media_table,
+    )
+
+    media = fake_media_table(spark, n=48)
+    return extract_media_features(media, decode_backend="fake", num_partitions=8)
+
+
+def _rolling_fingerprints(spark, sf):
+    from ocr_agent_spark.functions.text import rolling_fingerprint_udf
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", rolling_fingerprint_udf()("text").alias("fingerprint"))
+
+
+def _quality_scores(spark, sf):
+    from ocr_agent_spark.functions.text import quality_score
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # aggregations / monitoring (SURVEY §2.4)
+        "a1_status_histogram": _a1_status_histogram,
+        "a2_category_totals": _a2_category_totals,
+        "a5_eta_progress": _a5_eta_progress,
+        "a6_ordered_concat": _a6_ordered_concat,
+        # joins (§2.3)
+        "j1_orders_customer_join": _j1_orders_customer_join,
+        "j2_resume_antijoin": _j2_resume_antijoin,
+        "j3_semi_join": _j3_semi_join,
+        # sorts / limits (§2.6)
+        "o2_head_of_queue": _o2_head_of_queue,
+        "o4_latest_row": _o4_latest_row,
+        # windows (§2.5)
+        "w1_order_key": _w1_order_key,
+        "w3_latest_error": _w3_latest_error,
+        "w5_collision_suffix": _w5_collision_suffix,
+        "w6_lag_delta": _w6_lag_delta,
+        "w7_rolling_sum": _w7_rolling_sum,
+        # filters / predicates (§2.2)
+        "p_filters": _p_filters,
+        # fan-out / scalar functions (§2.8, U3)
+        "u3_page_fanout": _u3_page_fanout,
+        "f6_page_header": _f6_page_header_impl,
+        "f1_ext_classify": _f1_ext_classify,
+        "f7_normalize": _f7_normalize,
+        "f8_sanitize": _f8_sanitize,
+        "f9_md_extension": _f9_md_extension,
+        "f10_epoch": _f10_epoch,
+        "f13_mime_map": _f13_mime_map,
+        # streaming-shape gap-fill (§2.9)
+        "st6_tumbling_window": _st6_tumbling_window,
+        # set ops (§2.7)
+        "set_union_nations": _set_union_nations,
+        # headline analytics
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_revenue": _q3_top_revenue,
+        # training-data pipeline: dedup / text / similarity
+        "dedup_fingerprint_stats": _dedup_fingerprint_stats,
+        "dedup_exact_groups": _dedup_exact_groups,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "lang_id_counts": _lang_id_counts,
+        "token_histogram": _token_histogram,
+        "similarity_topk": _similarity_topk,
+        # rows-only (non-SQL-expressible)
+        "extract_synthetic_pages": _extract_synthetic_pages,
+        "merged_artifact_hash": _merged_artifact_hash,
+        "minhash_near_dups": _minhash_near_dups,
+        "simhash_signatures": _simhash_signatures,
+        "lsh_cosine_topk": _lsh_cosine_topk,
+        "embedding_near_dups": _embedding_near_dups,
+        "multimodal_features": _multimodal_features,
+        "rolling_fingerprints": _rolling_fingerprints,
+        "quality_scores": _quality_scores,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    jacc_shingles = """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE doc_id < 100
+        ),
+        elig AS (SELECT * FROM toks WHERE len(t) >= 3),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM elig, unnest(generate_series(1, len(t) - 2)) AS g(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.05
     """
-    return {}
+    lang_votes = f"""
+        WITH v AS (
+            SELECT
+              len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  x -> list_contains({_sql_list(_STOP_EN)}, x))) AS ven,
+              len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  x -> list_contains({_sql_list(_STOP_DE)}, x))) AS vde,
+              len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  x -> list_contains({_sql_list(_STOP_JA)}, x))) AS vja
+            FROM documents
+        )
+        SELECT CASE
+                 WHEN greatest(ven, vde, vja) = 0 THEN 'und'
+                 WHEN vde = greatest(ven, vde, vja) THEN 'de'
+                 WHEN ven = greatest(ven, vde, vja) THEN 'en'
+                 ELSE 'ja'
+               END AS predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v GROUP BY 1
+    """
+    return {
+        "a1_status_histogram": (
+            "SELECT event_type AS status, CAST(COUNT(*) AS BIGINT) AS task_count "
+            "FROM events GROUP BY event_type"
+        ),
+        "a2_category_totals": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS total, "
+            "CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases, "
+            "CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS errors "
+            "FROM events"
+        ),
+        "a5_eta_progress": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS completed, "
+            "ROUND(AVG(value), 6) AS avg_ms FROM events WHERE event_type='purchase'"
+        ),
+        "a6_ordered_concat": (
+            "SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' "
+            "ORDER BY l_linenumber) AS line_concat "
+            "FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey"
+        ),
+        "j1_orders_customer_join": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS order_count, "
+            "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "j2_resume_antijoin": (
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "j3_semi_join": (
+            "SELECT c_custkey, c_mktsegment FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "o2_head_of_queue": (
+            "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders "
+            "ORDER BY o_orderkey LIMIT 1"
+        ),
+        "o4_latest_row": (
+            "SELECT o_orderkey, o_orderstatus FROM orders "
+            "ORDER BY o_orderkey DESC LIMIT 1"
+        ),
+        "w1_order_key": (
+            "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS order_key "
+            "FROM documents"
+        ),
+        "w3_latest_error": (
+            "SELECT MAX(event_id) AS event_id, arg_max(props, event_id) AS error "
+            "FROM events WHERE event_type='error'"
+        ),
+        "w5_collision_suffix": (
+            "SELECT doc_id, lang, CAST(ROW_NUMBER() OVER "
+            "(PARTITION BY lang ORDER BY doc_id) AS INT) AS nth FROM documents"
+        ),
+        "w6_lag_delta": (
+            "SELECT event_id, user_id, ROUND(value - LAG(value) OVER "
+            "(PARTITION BY user_id ORDER BY event_id), 6) AS delta FROM events"
+        ),
+        "w7_rolling_sum": (
+            "SELECT event_id, user_id, ROUND(SUM(value) OVER "
+            "(PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_sum FROM events"
+        ),
+        "p_filters": (
+            "SELECT event_id, event_type, value FROM events "
+            "WHERE event_type NOT IN ('error','view') AND value IS NOT NULL "
+            "AND value > 50 AND event_id BETWEEN 100 AND 5000"
+        ),
+        "u3_page_fanout": (
+            "SELECT p_partkey, i AS page_index FROM part, "
+            "unnest(generate_series(0, p_size - 1)) AS t(i) WHERE p_size > 0"
+        ),
+        "f6_page_header": (
+            "SELECT printf('## part-%d (page %d/%d)', p_partkey, i + 1, p_size) AS header "
+            "FROM part, unnest(generate_series(0, p_size - 1)) AS t(i) "
+            "WHERE p_size BETWEEN 1 AND 5"
+        ),
+        "f1_ext_classify": (
+            "SELECT lower(regexp_extract(p_type, '(\\S+)$', 1)) AS ext, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1"
+        ),
+        "f7_normalize": (
+            "SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9_]+', '', 'g') "
+            "AS normalized FROM documents WHERE doc_id < 50"
+        ),
+        "f8_sanitize": (
+            "SELECT p_partkey, regexp_replace(p_name, '[ /:]', '_', 'g') "
+            "AS sanitized FROM part WHERE p_partkey < 500"
+        ),
+        "f9_md_extension": (
+            "SELECT doc_id, CASE WHEN NOT regexp_matches(lower(source), "
+            "'\\.(md|markdown)$') THEN source || '.md' ELSE source END AS md_name "
+            "FROM documents"
+        ),
+        "f10_epoch": (
+            "SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix "
+            "FROM events WHERE event_id < 1000"
+        ),
+        "f13_mime_map": (
+            "SELECT CASE WHEN event_type='click' THEN 'action/click' "
+            "WHEN event_type='view' THEN 'action/view' "
+            "WHEN event_type='purchase' THEN 'txn/purchase' "
+            "ELSE 'other/unknown' END AS mime, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1"
+        ),
+        "st6_tumbling_window": (
+            "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, "
+            "event_type AS status, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "set_union_nations": (
+            "SELECT DISTINCT n FROM (SELECT c_nationkey AS n FROM customer "
+            "UNION ALL SELECT s_nationkey AS n FROM supplier)"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(AVG(l_quantity), 6) AS avg_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= DATE '2001-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q3_top_revenue": (
+            "SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) "
+            "AS revenue FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "dedup_fingerprint_stats": (
+            "SELECT CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), "
+            "'\\s+', ' ', 'g'))) AS BIGINT) AS n_unique, "
+            "CAST(COUNT(*) AS BIGINT) AS n_total FROM documents"
+        ),
+        "dedup_exact_groups": (
+            "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+            "AS fingerprint, MIN(doc_id) AS keeper_id, "
+            "CAST(COUNT(*) AS BIGINT) AS dup_count "
+            "FROM documents GROUP BY 1 HAVING COUNT(*) > 1"
+        ),
+        "ngram_jaccard_pairs": jacc_shingles,
+        "lang_id_counts": lang_votes,
+        "token_histogram": (
+            "SELECT CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1"
+        ),
+        "similarity_topk": (
+            f"SELECT vec_id AS neighbor_id, "
+            f"ROUND(list_cosine_similarity(embedding::DOUBLE[], {_QUERY_VEC_SQL}), 6) "
+            f"AS cosine FROM embeddings ORDER BY cosine DESC, neighbor_id LIMIT 10"
+        ),
+    }

@@ -1,0 +1,152 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "extraction_docs_per_sec": ...}
+
+Headline set:
+  extract      — the flagship: synthetic pages corpus (scaled to sf) →
+                 task build → vectorized extraction → count
+  merge        — ordered two-phase merge of the extracted output
+  q1/q3        — TPC-H-style aggregation + 3-way join over sf tables
+  dedup_minhash— MinHash+LSH near-dup over documents
+  ann_topk     — brute-force cosine top-k over embeddings
+  text_stats   — lang-id + token + quality aggregation over documents
+
+The synthetic pages corpus is materialized once per (sf, n) under
+_build/ and reused (deterministic, so safe to cache).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# ~2000 docs per 0.01 sf → 20k docs at sf0.1 (HTML ~3 KB each + PDFs).
+DOCS_PER_SF = 200_000
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_pages_corpus(sf: float) -> str:
+    from ocr_agent_spark.fixtures import write_pages_parquet
+
+    n = max(int(sf * DOCS_PER_SF), 500)
+    path = os.path.join(REPO, "_build", f"pages_n{n}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_pages_parquet(path, n)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = _sf_from_dir(sf_dir)
+
+    import sys
+
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from ocr_agent_spark.functions.dedup import minhash_near_duplicates
+    from ocr_agent_spark.functions.similarity import cosine_topk
+    from ocr_agent_spark.functions.text import lang_id, quality_score, token_count
+    from ocr_agent_spark.operators.extract import extract_tasks
+    from ocr_agent_spark.operators.ingest import build_task_table
+    from ocr_agent_spark.operators.merge import merge_extracted_to_markdown
+    from ocr_agent_spark.session import build_spark
+
+    import __spark_entry__ as entrymod
+
+    pages_path = ensure_pages_corpus(sf)
+
+    spark = build_spark(
+        app_name="ocr-agent-spark-bench", cores=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # -- flagship extraction -------------------------------------------------
+    pages = spark.read.parquet(pages_path)
+
+    def run_extract():
+        tasks = build_task_table(pages)
+        extracted = extract_tasks(tasks)
+        # Materialize extraction output for the merge step.
+        out = os.path.join(REPO, "_build", "bench_extracted")
+        extracted.write.mode("overwrite").parquet(out)
+        return out
+
+    out_path = timed("extract", run_extract)
+    extracted = spark.read.parquet(out_path)
+    n_extracted = extracted.count()
+    extra["extraction_docs_per_sec"] = round(n_extracted / timings["extract"], 2)
+    extra["extraction_docs"] = n_extracted
+
+    timed("merge", lambda: len(merge_extracted_to_markdown(extracted)))
+
+    # -- analytics over driver testdata --------------------------------------
+    qs = entrymod.queries()
+    timed("q1_pricing_summary", lambda: qs["q1_pricing_summary"](spark, sf_dir).collect())
+    timed("q3_top_revenue", lambda: qs["q3_top_revenue"](spark, sf_dir).collect())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "dedup_minhash",
+        lambda: minhash_near_duplicates(docs, threshold=0.5).count(),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [1.0 if i % 3 == 0 else (-0.5 if i % 3 == 1 else 0.25) for i in range(64)]
+    timed("ann_topk", lambda: cosine_topk(emb, qvec, k=10).collect())
+    timed(
+        "text_stats",
+        lambda: docs.select(
+            lang_id("text").alias("lang_pred"),
+            token_count("text").alias("n_tok"),
+            quality_score("text").alias("q"),
+        )
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)), F.avg("n_tok"), F.avg("q"))
+        .collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,273 @@
+"""Deduplication operators for web-scale corpora.
+
+Four tiers, cheapest first; all declarative DataFrame plans (shuffle
+pattern documented per function):
+
+- exact:        1 shuffle on the md5 fingerprint (map-side combine).
+- ngram-jaccard: shingle explode → self-join on shingle → pair agg.
+                 Exact but O(pairs-sharing-a-shingle); for candidate
+                 *verification*, not all-pairs at 100 TB.
+- minhash-LSH:  shingle → k min-hashes → band buckets → candidates only
+                 join within buckets. The scale path: cost is linear in
+                 docs + bucket collisions, never all-pairs.
+- simhash:      per-token hash bit-vote → 64-bit signature; near-dup if
+                 small Hamming distance. One aggregation, no join for
+                 signature; banding for candidate pairs.
+
+Hash portability: exact/jaccard use md5 (oracle-parity with DuckDB);
+minhash/simhash use xxhash64 (JVM-side, fastest) and are verified in
+tests against the exact jaccard instead of a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_agent_spark.functions.text import doc_fingerprint
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs, keeper = min id.
+
+    One hash-partition shuffle on the fingerprint; partial aggregation
+    runs map-side. Returns (fingerprint, keeper_id, dup_count) for
+    groups with >1 member.
+    """
+    return (
+        docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one row per normalized-content group (min id wins).
+
+    Window over the fingerprint partition — same single shuffle as the
+    groupBy formulation but keeps all original columns.
+    """
+    w = Window.partitionBy(doc_fingerprint(text_col)).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _shingles(text_col: str, n: int) -> F.Column:
+    """Word n-gram shingles of the normalized text (distinct)."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(count - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(count <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def shingle_table(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded table — input to jaccard and minhash."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Plan: explode → self-equi-join on shingle (hash join, AQE may pick
+    broadcast for the distinct-shingle side) → pair-count aggregate →
+    jaccard = |∩| / (|A|+|B|−|∩|). The (a<b) predicate halves the pair
+    space. At 100 TB this runs per-LSH-bucket, not globally.
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n_shingles", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n_shingles", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 32) -> DataFrame:
+    """k min-hash values per doc: min over shingles of xxhash64(shingle, seed).
+
+    All JVM-side: explode + k aggregations computed in ONE groupBy pass
+    (no per-hash shuffle). Output: (doc_id, minhash: array<long>[k]).
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """LSH banding: docs agreeing on any full band are candidate pairs.
+
+    rows-per-band r = num_hashes/bands; collision prob ≈ 1-(1-s^r)^b.
+    Plan: signatures → explode band slices → hash band → self-join per
+    (band_idx, band_hash) bucket — the all-pairs join never happens.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("minhash"), b * r + 1, r),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            num_hashes: int = 32, bands: int = 8,
+                            threshold: float = 0.8) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates → exact-verify.
+
+    The verification jaccard runs only on LSH candidates (semi-join
+    pushdown onto the shingle table), so total cost stays near-linear.
+    """
+    candidates = minhash_lsh_candidates(docs, id_col, text_col, n,
+                                        num_hashes, bands)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .union(candidates.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = docs.join(cand_ids, docs[id_col] == cand_ids["doc_id"], "left_semi")
+    verified = ngram_jaccard_pairs(pruned, id_col, text_col, n, threshold)
+    return verified.join(candidates, ["id_a", "id_b"], "left_semi")
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc, fully JVM-side.
+
+    Per token: xxhash64 → per bit position, vote +1/−1; signature bit i
+    = sign of vote sum. Implemented as explode(tokens) → one groupBy
+    with 64 conditional sums → bit reassembly via aggregate().
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dups by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation by 4-band banding of the 64-bit signature
+    (pigeonhole: distance ≤3 ⇒ at least one 16-bit band equal), then
+    exact popcount verification on candidates only.
+    """
+    sig = simhash_signatures(docs, id_col, text_col)
+    banded = sig.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("simhash"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

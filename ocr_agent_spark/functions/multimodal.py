@@ -1,0 +1,142 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns + a typed metadata struct —
+the same pattern as the ``html:binary`` payload column: bytes never
+leave the JVM except through Arrow batches into pandas UDFs. The
+container ships no media libraries, so the *decode* step is stubbed:
+
+- ``decode_backend="none"``  → NotImplementedError per row, surfaced as
+  failure rows (status/error), never a job abort — D2 semantics.
+- ``decode_backend="fake"``  → deterministic fake decoder keyed on the
+  payload bytes (stable hashes → stable "pixels"), so the Spark-side
+  plumbing — schema, partitioning, UDF signature, Arrow batch shape,
+  failure rows — is fully real and testable.
+
+Real backends (PIL/ffmpeg) slot in behind the same interface: each
+``_fake_*`` function documents the real call it stands in for.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, status string, error string, "
+    "feature array<float>, out_width int, out_height int, n_frames int"
+)
+
+
+def _stable_floats(data: bytes, n: int, salt: str) -> list[float]:
+    """Deterministic pseudo-features from payload bytes (the fake)."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < n:
+        h = hashlib.sha256(salt.encode() + data[:4096] + counter.to_bytes(4, "big")).digest()
+        out.extend(b / 255.0 for b in h)
+        counter += 1
+    return out[:n]
+
+
+def _fake_image_decode(data: bytes, target: tuple[int, int]) -> dict:
+    """Stands in for: PIL.Image.open(io.BytesIO(data)).resize(target)."""
+    feats = _stable_floats(data, 16, f"img:{target[0]}x{target[1]}")
+    return {"feature": feats, "out_width": target[0], "out_height": target[1], "n_frames": 1}
+
+
+def _fake_audio_features(data: bytes) -> dict:
+    """Stands in for: torchaudio/librosa mel-spectrogram summary."""
+    return {"feature": _stable_floats(data, 16, "audio"), "out_width": None,
+            "out_height": None, "n_frames": 1}
+
+
+def _fake_video_frame_sample(data: bytes, every_ms: int) -> dict:
+    """Stands in for: ffmpeg -i ... fps sampling → per-frame features."""
+    n_frames = 1 + (len(data) % 8)
+    return {"feature": _stable_floats(data, 16, f"vid:{every_ms}"),
+            "out_width": None, "out_height": None, "n_frames": n_frames}
+
+
+def extract_media_features(media: DataFrame, decode_backend: str = "fake",
+                           resize_to: tuple[int, int] = (64, 64),
+                           frame_every_ms: int = 1000,
+                           num_partitions: int | None = None) -> DataFrame:
+    """media table → per-item feature rows via mapInPandas.
+
+    Partitioning: hash of media_id (payloads are size-skewed, ids are
+    not). The binary column is column-pruned away after this stage —
+    downstream consumers only see the 16-float feature.
+    """
+    spark = media.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {"media_id": [], "kind": [], "status": [], "error": [],
+                    "feature": [], "out_width": [], "out_height": [], "n_frames": []}
+            for media_id, kind, payload in zip(
+                batch["media_id"], batch["kind"], batch["payload"]
+            ):
+                rows["media_id"].append(media_id)
+                rows["kind"].append(kind)
+                try:
+                    if decode_backend == "none":
+                        raise NotImplementedError(
+                            f"no {kind} decode backend in this environment"
+                        )
+                    data = bytes(payload)
+                    if kind == "image":
+                        res = _fake_image_decode(data, resize_to)
+                    elif kind == "audio":
+                        res = _fake_audio_features(data)
+                    elif kind == "video":
+                        res = _fake_video_frame_sample(data, frame_every_ms)
+                    else:
+                        raise ValueError(f"unknown media kind: {kind!r}")
+                    rows["status"].append("completed")
+                    rows["error"].append(None)
+                    rows["feature"].append(res["feature"])
+                    rows["out_width"].append(res["out_width"])
+                    rows["out_height"].append(res["out_height"])
+                    rows["n_frames"].append(res["n_frames"])
+                except Exception as exc:
+                    rows["status"].append("failed")
+                    rows["error"].append(repr(exc))
+                    rows["feature"].append(None)
+                    rows["out_width"].append(None)
+                    rows["out_height"].append(None)
+                    rows["n_frames"].append(None)
+            yield pd.DataFrame(rows)
+
+    partitioned = media.repartition(num_partitions, F.col("media_id"))
+    return partitioned.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
+    """Deterministic media fixture rows (payload = seeded bytes)."""
+    import random
+
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        rng = random.Random(f"{seed}:media:{i}")
+        kind = kinds[i % 3]
+        payload = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))
+        rows.append(
+            (i, kind, payload, f"{kind}/fake",
+             rng.randint(100, 4000) if kind == "image" else None,
+             rng.randint(100, 3000) if kind == "image" else None,
+             rng.randint(1000, 600000) if kind != "image" else None)
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,143 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths over ``embeddings(vec_id bigint, embedding array<float>, ...)``:
+
+- ``cosine_topk``      — brute-force exact baseline: one JVM-side
+                          higher-order-function expression per row
+                          (zip_with dot product), TakeOrderedAndProject
+                          for the top-k. O(N) per query, no Python.
+- ``lsh_cosine_topk``  — scale path: random-hyperplane LSH. Signatures
+                          are seeded deterministic projections computed
+                          once (linear scan), queries probe only their
+                          bucket (+ multiprobe neighbors at Hamming
+                          distance 1). Candidate set ≪ N, then exact
+                          re-rank.
+
+Norms/dots use double accumulation regardless of input float width so
+results are stable across engines (oracle: DuckDB list_cosine_similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The query is a broadcast literal array; the scan is one stage with
+    the score expression inside codegen, finished by a global top-k
+    (TakeOrderedAndProject — no full sort). Score rounded to 6 dp so
+    float accumulation noise never flips cross-engine comparisons.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state)."""
+    import random
+
+    planes = []
+    for p in range(n_planes):
+        rng = random.Random(f"{seed}:{p}")
+        planes.append([rng.uniform(-1.0, 1.0) for _ in range(dim)])
+    return planes
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bit signature as an int (JVM-side)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        sig = sig + F.when(
+            _dot(vec_col, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """ANN top-k: probe the query's LSH bucket (+Hamming-1 neighbors),
+    exact re-rank inside the candidate set.
+
+    At 100 TB the signature column is precomputed & partitioned-by, so a
+    query touches ~N/2^b rows × (1+b) buckets instead of N.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    # Query signature computed driver-side (tiny, pure python).
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    qsig = sum(
+        (1 << i) for i, pl in enumerate(planes) if dot(query_vec, pl) >= 0
+    )
+    probe_sigs = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
+
+    signed = embeddings.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
+    candidates = signed.filter(F.col("_sig").isin(probe_sigs))
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
+                              id_col: str = "vec_id", vec_col: str = "embedding",
+                              n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucketing + exact verify.
+
+    Self-join happens only within identical signatures (the classic
+    near-dup shuffle pattern: one hash partition per bucket).
+    """
+    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = _hyperplanes(dim_row["d"], n_planes, seed)
+    signed = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    pairs = (
+        signed.alias("a")
+        .join(signed.alias("b"), "sig")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

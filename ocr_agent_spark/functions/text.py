@@ -1,0 +1,175 @@
+"""Text-analysis column builders for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side ``pyspark.sql.functions`` (stay
+inside WholeStageCodegen); the only Python here is the rolling-hash
+fingerprint variant, which is an Arrow-batched pandas UDF. Each builder
+returns a Column so it composes into any plan with full Catalyst
+pushdown/pruning.
+
+Oracle parity: every function in this module is designed to have an
+exactly-equivalent ANSI-SQL form (DuckDB) — e.g. fingerprints use md5
+(identical across engines) rather than engine-local hash functions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic. Deliberately small + frozen: the heuristic must
+# be reproducible in plain SQL for the oracle.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "ja": ["no", "wa", "ni", "wo", "ga", "de", "to", "mo", "desu", "masu"],
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    ).cast("int")
+
+
+def bpe_ish_token_count(col: str | Column = "text") -> Column:
+    """Sub-word-ish token count: split on word/number/punct boundaries
+    (a BPE-flavored regex proxy; ~chars/4 is the other common proxy)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    return F.size(pieces).cast("int")
+
+
+def char_count(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("int")
+
+
+def alpha_ratio(col: str | Column = "text") -> Column:
+    """Fraction of characters that are ASCII letters (quality signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        alpha / F.length(c)
+    ).cast("double")
+
+
+def punct_ratio(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]-]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        punct / F.length(c)
+    ).cast("double")
+
+
+def stopword_ratio(col: str | Column = "text", lang: str = "en") -> Column:
+    """Fraction of tokens that are (lang) stopwords."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits / F.size(toks)
+    ).cast("double")
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Composite quality in [0,1]: length band + alpha ratio + stopword
+    presence − punctuation excess. A C4/Gopher-rule-flavored scalar."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_ok = F.when(
+        (token_count(c) >= 10) & (token_count(c) <= 100000), F.lit(0.4)
+    ).otherwise(F.lit(0.0))
+    alpha_part = F.least(alpha_ratio(c), F.lit(0.8)) * F.lit(0.5)
+    stop_part = F.when(stopword_ratio(c, "en") > 0.01, F.lit(0.1)).otherwise(F.lit(0.0))
+    return F.round(length_ok + alpha_part + stop_part, 6).cast("double")
+
+
+def lang_id(col: str | Column = "text") -> Column:
+    """Stopword-vote language ID over the frozen inventories.
+
+    Ties break by fixed language order (de < en < ja alphabetical via
+    greatest-chain below); zero votes → 'und'.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+
+    def vote(words: list[str]) -> Column:
+        # NB: the F.filter lambda must be single-arg — a second param
+        # (even defaulted) makes Spark pass the element index into it.
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    votes = {lang: vote(words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*votes.values())
+    result = F.lit("und")
+    # Reverse-alphabetical chain so earlier (alphabetical) langs win ties.
+    for lang in sorted(votes, reverse=True):
+        result = F.when(votes[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best == 0, F.lit("und")).otherwise(result)
+
+
+def doc_fingerprint(col: str | Column = "text") -> Column:
+    """Exact content fingerprint: md5 of whitespace-normalized lowercase.
+
+    md5 (not xxhash64/hash) so DuckDB produces the identical value —
+    engine-portable oracle parity by construction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_fingerprint_udf():
+    """Karp–Rabin rolling-hash fingerprint (Series→Series pandas UDF).
+
+    The non-SQL variant: 64-bit polynomial rolling hash over the
+    normalized text, window 64 chars, fingerprint = min window hash
+    (winnowing-style). Python, but Arrow-batched.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    MOD = (1 << 61) - 1
+    BASE = 257
+    WINDOW = 64
+
+    def fingerprint(s: str | None) -> int | None:
+        if s is None:
+            return None
+        t = " ".join(s.lower().split())
+        if not t:
+            return 0
+        data = t.encode("utf-8")
+        if len(data) <= WINDOW:
+            h = 0
+            for b in data:
+                h = (h * BASE + b) % MOD
+            return h
+        h = 0
+        for b in data[:WINDOW]:
+            h = (h * BASE + b) % MOD
+        top = pow(BASE, WINDOW - 1, MOD)
+        best = h
+        for i in range(WINDOW, len(data)):
+            h = ((h - data[i - WINDOW] * top) * BASE + data[i]) % MOD
+            if h < best:
+                best = h
+        return best
+
+    @pandas_udf(LongType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(fingerprint)
+
+    return _udf

@@ -1,0 +1,89 @@
+"""Streaming ingestion: the watch-folder analogue (SURVEY §2.9).
+
+The reference polls an inbox every second and claims ready bundles with
+filesystem markers (/root/reference/gui/src-tauri/src/watch_folder.rs:
+135-241). Structured Streaming replaces every part of that machinery:
+
+- poll loop (ST1)        → micro-batch trigger; ``Trigger.AvailableNow``
+                            drains the backlog then stops (batch-friendly)
+- ``.ready`` marker (ST2) → the file source only sees fully-written
+                            files (atomic rename is the writer contract)
+- ``.processing`` lock (ST3) → checkpointed source offsets: a file is
+                            consumed exactly once across restarts
+- ``.processed``/``.failed`` markers (ST4) → status/error columns in the
+                            output rows (failure rows, never aborts)
+
+The transformation is the SAME vectorized extraction as the batch path
+(one code path, two drivers) — mapInPandas works unchanged on a
+streaming DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from ocr_agent_spark.fixtures import PAGES_ARROW_SCHEMA_DDL
+from ocr_agent_spark.operators.extract import _extract_batches, EXTRACTED_SCHEMA
+from pyspark.sql import functions as F
+
+
+def run_streaming_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Drain all unprocessed page files from ``input_dir`` → extracted
+    parquet under ``output_dir``; returns rows written this drain.
+
+    Exactly-once per input file via the checkpoint; re-running after new
+    files arrive processes only the new files (the streaming twin of the
+    batch snapshot resume).
+
+    Note: the streaming path assigns no global ``order_key`` (a global
+    sort is meaningless on an unbounded source). Order remains data —
+    (url, page_index) — and the merge job sorts when the artifact is
+    built, exactly like the batch path.
+    """
+    reader = (
+        spark.readStream.schema(PAGES_ARROW_SCHEMA_DDL)
+        .format("parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    pages = reader.load(input_dir)
+
+    tasks = pages.select(
+        F.lit(-1).cast("long").alias("order_key"),
+        F.when(
+            F.substring(F.col("html"), 1, 4).cast("string") == "%PDF",
+            F.lit("pdf_page"),
+        ).otherwise(F.lit("html")).alias("kind"),
+        "url",
+        F.lit(0).alias("page_index"),
+        F.lit(None).cast("int").alias("total_pages"),
+        F.col("warc_ts").alias("created_ts"),
+        "html",
+    )
+    # NB: streaming PDF fan-out needs the page count inside the batch —
+    # mapInPandas handles page 0 here; multi-page payloads take the
+    # batch path. (The reference's watcher also only ever ingests whole
+    # bundles; page fan-out happens in the enqueue job, cli.py:179-185.)
+    extracted = tasks.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+    query = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    if not os.path.exists(output_dir):
+        return 0
+    return spark.read.parquet(output_dir).count()

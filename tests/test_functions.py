@@ -1,0 +1,190 @@
+"""Function library: text analysis, dedup tiers, ANN, multimodal plumbing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_agent_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),                                   # exact dup of 0
+        (2, base.replace("today", "tomorrow"), "en"),      # near dup of 0
+        (3, "völlig anderer text der die deutschen stopwörter und das und ist nicht ein mit", "de"),
+        (4, "completely different content about spark partitions and shuffle behavior in the cluster", "en"),
+        (5, "THE  QUICK   brown fox jumps over the lazy dog near the river bank today", "en"),  # normalized dup of 0
+        (6, "", "en"),
+        (7, None, "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").persist()
+
+
+# -- text analysis ---------------------------------------------------------
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", text.token_count("text").alias("n")).collect()}
+    assert got[0] == 14
+    assert got[6] == 0
+    assert got[7] is None
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["l"] for r in docs.select("doc_id", text.lang_id("text").alias("l")).collect()}
+    assert got[0] == "en"
+    assert got[3] == "de"
+    assert got[6] == "und"
+
+
+def test_quality_score_range(spark, docs):
+    rows = docs.filter(F.col("text").isNotNull()).select(text.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_fingerprint_normalization(spark, docs):
+    got = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", text.doc_fingerprint("text").alias("fp")).collect()}
+    assert got[0] == got[1] == got[5]  # case/whitespace-insensitive
+    assert got[0] != got[2]
+
+
+def test_rolling_fingerprint_udf(spark, docs):
+    udf = text.rolling_fingerprint_udf()
+    got = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", udf("text").alias("fp")).collect()}
+    assert got[0] == got[1] == got[5]
+    assert got[7] is None
+
+
+# -- dedup -----------------------------------------------------------------
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper_id"] == 0
+    assert groups[0]["dup_count"] == 3  # docs 0, 1, 5
+
+
+def test_dedup_exact_keeps_one(spark, docs):
+    kept = dedup.dedup_exact(docs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 in ids and 1 not in ids and 5 not in ids
+    assert {2, 3, 4} <= ids
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs.filter(F.col("doc_id").isin(0, 2, 4)),
+                                      threshold=0.5).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 2)}
+    assert all(0.5 <= p["jaccard"] < 1.0 for p in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
+    """MinHash+LSH near-dups must equal brute-force jaccard pairs at the
+    same threshold on this corpus (self-verification oracle)."""
+    d = docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    exact = {
+        (p["id_a"], p["id_b"])
+        for p in dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    lsh = {
+        (p["id_a"], p["id_b"])
+        for p in dedup.minhash_near_duplicates(d, threshold=0.5).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_near_duplicates(spark, docs):
+    sigs = dedup.simhash_signatures(docs.filter(F.col("doc_id").isin(0, 1, 4))).collect()
+    by_id = {r["doc_id"]: r["simhash"] for r in sigs}
+    assert by_id[0] == by_id[1]  # identical text → identical signature
+    pairs = dedup.simhash_near_duplicates(
+        docs.filter(F.col("doc_id").isin(0, 1, 4)), max_hamming=3
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 1)}
+
+
+# -- similarity ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import random
+
+    rows = []
+    for i in range(200):
+        rng = random.Random(f"emb:{i}")
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(16)], i % 3))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).persist()
+
+
+def test_cosine_topk_matches_python_bruteforce(spark, embeddings):
+    import math
+    import random
+
+    rng = random.Random("emb:0")
+    query = [rng.uniform(-1, 1) for _ in range(16)]
+
+    rows = embeddings.collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    expected = sorted(
+        ((round(cos(r["embedding"], query), 6), r["vec_id"]) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = similarity.cosine_topk(embeddings, query, k=5).collect()
+    assert [(r["cosine"], r["neighbor_id"]) for r in got] == [
+        (pytest.approx(c, abs=2e-6), i) for c, i in expected
+    ]
+    assert got[0]["neighbor_id"] == 0  # the query IS vector 0
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    import random
+
+    rng = random.Random("emb:7")
+    query = [rng.uniform(-1, 1) for _ in range(16)]
+    exact = [r["neighbor_id"] for r in similarity.cosine_topk(embeddings, query, k=5).collect()]
+    approx = [r["neighbor_id"] for r in similarity.lsh_cosine_topk(embeddings, query, k=5).collect()]
+    # multiprobe LSH must at least find the identical vector + decent recall
+    assert 7 in approx
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_embedding_near_duplicates(spark, embeddings):
+    # Plant an exact duplicate pair.
+    dup = embeddings.limit(1).withColumn("vec_id", F.lit(999).cast("long"))
+    with_dup = embeddings.unionByName(dup)
+    pairs = similarity.embedding_near_duplicates(with_dup, threshold=0.999).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 999)}
+
+
+# -- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.fake_media_table(spark, n=30)
+    feats = multimodal.extract_media_features(media, decode_backend="fake")
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(r["status"] == "completed" for r in rows)
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # determinism: same payload → same features
+    again = {r["media_id"]: r["feature"] for r in
+             multimodal.extract_media_features(media, decode_backend="fake").collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+
+
+def test_multimodal_stub_backend_fails_as_rows(spark):
+    media = multimodal.fake_media_table(spark, n=6)
+    rows = multimodal.extract_media_features(media, decode_backend="none").collect()
+    assert len(rows) == 6
+    assert all(r["status"] == "failed" for r in rows)
+    assert all("NotImplementedError" in r["error"] for r in rows)

@@ -1,0 +1,64 @@
+"""Streaming ingestion: exactly-once drain + checkpoint resume (ST1-ST4)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_agent_spark.fixtures import generate_pages
+from ocr_agent_spark.streaming import run_streaming_extraction
+
+
+def _write_batch(path: str, records) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us", tz="UTC")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pydict(
+        {
+            "url": [r.url for r in records],
+            "warc_ts": [r.warc_ts for r in records],
+            "html": [r.html for r in records],
+            "text": [r.text for r in records],
+            "lang": [r.lang for r in records],
+        },
+        schema=schema,
+    )
+    pq.write_table(table, path)
+
+
+def test_streaming_drain_and_resume(spark, tmp_path):
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    records = [r for r in generate_pages(40) if r.html[:4] != b"%PDF"]
+
+    _write_batch(f"{inbox}/batch-0.parquet", records[:25])
+    n1 = run_streaming_extraction(spark, inbox, out, ckpt)
+    assert n1 == 25
+
+    # second drain with no new files: nothing reprocessed
+    n2 = run_streaming_extraction(spark, inbox, out, ckpt)
+    assert n2 == 25
+
+    # new file arrives → only it is processed (checkpoint resume, ST3)
+    _write_batch(f"{inbox}/batch-1.parquet", records[25:])
+    n3 = run_streaming_extraction(spark, inbox, out, ckpt)
+    assert n3 == len(records)
+
+    ext = spark.read.parquet(out)
+    assert ext.count() == ext.select("url").distinct().count()  # exactly-once
+    assert ext.filter("status = 'completed'").count() == len(records)
+
+    # streamed extraction text == batch kernel text (one code path)
+    from ocr_agent_spark.kernel import extract_html_text
+
+    got = {r["url"]: r["text"] for r in ext.collect()}
+    for rec in records:
+        assert got[rec.url] == extract_html_text(rec.html)
