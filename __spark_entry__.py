@@ -55,7 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     pages = pages_dataframe(spark, 60)
     extracted = extract_tasks(build_task_table(pages, order_partitions=8),
-                              num_partitions=8)
+                              repartition=False)
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
     corpus = docs.agg(F.count(F.lit(1)).alias("corpus_docs"))
     return (
@@ -392,7 +392,7 @@ def _extract_synthetic_pages(spark, sf):
 
     pages = pages_dataframe(spark, 120)
     extracted = extract_tasks(build_task_table(pages, order_partitions=8),
-                              num_partitions=8)
+                              repartition=False)
     return extracted.select(
         "order_key", "url", "page_index", "kind", "status",
         F.length("text").alias("n_chars"),
@@ -407,7 +407,7 @@ def _merged_artifact_hash(spark, sf):
 
     pages = pages_dataframe(spark, 60)
     extracted = extract_tasks(build_task_table(pages, order_partitions=8),
-                              num_partitions=8)
+                              repartition=False)
     merged = merge_extracted_to_markdown(extracted, num_partitions=8)
     import hashlib
 

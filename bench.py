@@ -92,7 +92,7 @@ def main() -> None:
 
     def run_extract():
         tasks = build_task_table(pages)
-        extracted = extract_tasks(tasks)
+        extracted = extract_tasks(tasks, repartition=False)
         # Materialize extraction output for the merge step.
         out = os.path.join(REPO, "_build", "bench_extracted")
         extracted.write.mode("overwrite").parquet(out)

@@ -148,8 +148,16 @@ PAGES_ARROW_SCHEMA_DDL = (
 
 
 def write_pages_parquet(path: str, n: int, seed: int = 42,
-                        pdf_fraction: float = 0.07, rows_per_file: int = 20000) -> None:
-    """Materialize the corpus as parquet via pyarrow (no Spark needed)."""
+                        pdf_fraction: float = 0.07, rows_per_file: int = 5000,
+                        row_group_rows: int = 512) -> None:
+    """Materialize the corpus as parquet via pyarrow (no Spark needed).
+
+    Files and row groups are kept small (5k rows/file, 512 rows/group ≈
+    2 MB) so the Spark scan actually splits: one huge row group makes
+    the whole source read a single task regardless of cluster size. At
+    real scale the same rule holds in reverse — row groups sized so
+    `spark.sql.files.maxPartitionBytes` yields ≥ 2-3 tasks per core.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
     import os
@@ -179,7 +187,11 @@ def write_pages_parquet(path: str, n: int, seed: int = 42,
             },
             schema=schema,
         )
-        pq.write_table(table, os.path.join(path, f"part-{file_idx:05d}.parquet"))
+        pq.write_table(
+            table,
+            os.path.join(path, f"part-{file_idx:05d}.parquet"),
+            row_group_size=row_group_rows,
+        )
         file_idx += 1
 
 

@@ -94,15 +94,25 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def extract_tasks(tasks: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """tasks → extracted (one completed-or-failed row per task)."""
-    spark = tasks.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    partitioned = tasks.repartition(
-        num_partitions, F.xxhash64(F.col("url"), F.col("page_index"))
-    )
-    return partitioned.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+def extract_tasks(tasks: DataFrame, num_partitions: int | None = None,
+                  repartition: bool = True) -> DataFrame:
+    """tasks → extracted (one completed-or-failed row per task).
+
+    Pass ``repartition=False`` when the input is already hash-
+    partitioned by (url, page_index) — e.g. straight out of
+    ``build_task_table``'s key-attach join or the resume anti-join —
+    to avoid re-shuffling the fat payload column.
+    """
+    if repartition:
+        spark = tasks.sparkSession
+        if num_partitions is None:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        tasks = tasks.repartition(
+            num_partitions, F.xxhash64(F.col("url"), F.col("page_index"))
+        )
+    return tasks.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
 
 
 def lineage_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:

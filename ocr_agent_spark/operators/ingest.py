@@ -15,13 +15,20 @@ enqueue. Here it is one declarative plan:
   partition order, so output is byte-identical under any parallelism
   (design rule D1).
 
-Scale note on ``assign_order_key``: a naive
-``row_number().over(Window.orderBy(...))`` collapses the whole table
-into ONE partition. We instead range-partition by the sort key, take
-per-partition ``row_number()``, and add per-partition offsets computed
-from a tiny count-per-partition aggregate (two-phase global sequence —
-the standard scalable pattern). The only driver-side data is one count
-per partition.
+Scale notes:
+
+- ``assign_order_key``: a naive ``row_number().over(Window.orderBy())``
+  collapses the whole table into ONE partition. We instead
+  range-partition by the sort key, enumerate per-partition inside
+  ``mapInPandas`` (vectorized arange — no second shuffle, unlike a
+  window over the partition id), and add per-partition offsets from a
+  tiny count aggregate (two-phase global sequence). Only one count per
+  partition ever reaches a broadcast.
+- ``build_task_table`` never shuffles the fat ``html`` payload for key
+  assignment: keys are computed on a slim (url, page_index) projection
+  and attached with ONE hash join — whose output partitioning
+  (hash(url, page_index)) is exactly what the extraction stage needs,
+  so the payload is shuffled once end-to-end.
 """
 
 from __future__ import annotations
@@ -69,76 +76,102 @@ def build_task_table(pages: DataFrame, order_partitions: int | None = None) -> D
     HTML rows get page_index=0 / total_pages NULL; malformed PDFs get
     page_index=0 / total_pages=-1 and flow through as failure rows (D2),
     mirroring the reference's keep-failed-rows contract (cli.py:239-243).
+
+    Assumes (url, page_index) is unique in the input snapshot — the
+    same invariant the resume anti-join keys on. De-duplicate upstream
+    (e.g. latest ``warc_ts`` wins) if a crawl carries url revisits.
     """
-    classified = classify_pages(pages)
-
-    html_tasks = (
-        classified.filter(F.col("kind") == KIND_HTML)
-        .select(
-            F.lit(KIND_HTML).alias("kind"),
-            "url",
-            F.lit(0).alias("page_index"),
-            F.lit(None).cast("int").alias("total_pages"),
-            F.col("warc_ts").alias("created_ts"),
-            "html",
-        )
+    # Single-scan plan: no filter/union branches (each branch would
+    # re-scan the source per pass). The page probe runs on every row —
+    # it rejects non-PDF payloads on the 4-byte magic, so the HTML
+    # majority costs one memcmp — and the fan-out is one explode:
+    # html → 1 row, good pdf → total_pages rows, bad pdf → 1 failure
+    # row (total_pages<=0, D2).
+    probed = classify_pages(pages).withColumn(
+        "_probe", _pdf_page_count_udf(F.col("html"))
+    )
+    n_rows = (
+        F.when(F.col("kind") == KIND_HTML, F.lit(1))
+        .when(F.col("_probe") <= 0, F.lit(1))
+        .otherwise(F.col("_probe"))
+    )
+    tasks_raw = probed.select(
+        F.when(F.col("kind") == KIND_HTML, F.lit(KIND_HTML))
+        .otherwise(F.lit(KIND_PDF_PAGE))
+        .alias("kind"),
+        "url",
+        F.explode(F.sequence(F.lit(0), n_rows - F.lit(1))).alias("page_index"),
+        F.when(F.col("kind") == KIND_HTML, F.lit(None).cast("int"))
+        .otherwise(F.col("_probe"))
+        .alias("total_pages"),
+        F.col("warc_ts").alias("created_ts"),
+        "html",
     )
 
-    pdf_probed = (
-        classified.filter(F.col("kind") == KIND_PDF)
-        .withColumn("total_pages", _pdf_page_count_udf(F.col("html")))
-    )
-    pdf_page_tasks = (
-        pdf_probed.filter(F.col("total_pages") > 0)
-        .select(
-            F.lit(KIND_PDF_PAGE).alias("kind"),
-            "url",
-            F.explode(
-                F.sequence(F.lit(0), F.col("total_pages") - F.lit(1))
-            ).alias("page_index"),
-            "total_pages",
-            F.col("warc_ts").alias("created_ts"),
-            "html",
-        )
-    )
-    pdf_bad_tasks = (
-        pdf_probed.filter(F.col("total_pages") <= 0)
-        .select(
-            F.lit(KIND_PDF_PAGE).alias("kind"),
-            "url",
-            F.lit(0).alias("page_index"),
-            "total_pages",
-            F.col("warc_ts").alias("created_ts"),
-            "html",
-        )
-    )
-
-    tasks = html_tasks.unionByName(pdf_page_tasks).unionByName(pdf_bad_tasks)
-    return assign_order_key(tasks, order_partitions=order_partitions)
+    # Key assignment on a slim projection: the fat html column never
+    # enters the order-key shuffles. The slim keys are persisted so the
+    # range-partitioner's sampling pass and the numbering pass don't
+    # each re-run the scan+probe lineage. The attach join
+    # hash-partitions by (url, page_index) — the extraction stage's
+    # partitioning — so the payload is shuffled exactly once end-to-end.
+    slim = tasks_raw.select("url", "page_index").persist()
+    keyed = assign_order_key(slim, order_partitions=order_partitions)
+    return tasks_raw.join(keyed, ["url", "page_index"])
 
 
 def assign_order_key(
-    tasks: DataFrame,
+    df: DataFrame,
     sort_cols: tuple[str, ...] = ("url", "page_index"),
     order_partitions: int | None = None,
 ) -> DataFrame:
     """Two-phase scalable global sequence over ``sort_cols``.
 
-    Phase 1: range-partition on the sort key; per-partition row_number
-    (window partitioned by ``spark_partition_id`` — no global collapse).
-    Phase 2: per-partition counts (tiny) → cumulative offsets joined
-    back via broadcast. order_key = offset + local row_number.
+    Phase 1: range-partition + sort on the key, then enumerate rows per
+    physical partition inside ``mapInPandas`` (vectorized ``arange``) —
+    unlike a window over ``spark_partition_id`` this adds NO second
+    shuffle, because enumeration happens on the already-range-
+    partitioned stream.
+    Phase 2: one count per partition (tiny) → cumulative offsets →
+    broadcast join. order_key = offset + local index.
+
+    The numbered intermediate is persisted so the offsets pass does not
+    recompute the input lineage (it may contain a pandas UDF).
     """
-    spark = tasks.sparkSession
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import IntegerType as _Int
+    from pyspark.sql.types import LongType as _Long
+    from pyspark.sql.types import StructField, StructType
+
+    spark = df.sparkSession
     if order_partitions is None:
         order_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    ranged = (
-        tasks.repartitionByRange(order_partitions, *[F.col(c) for c in sort_cols])
-        .withColumn("_pid", F.spark_partition_id())
+    ranged = df.repartitionByRange(
+        order_partitions, *[F.col(c) for c in sort_cols]
+    ).sortWithinPartitions(*[F.col(c) for c in sort_cols])
+
+    # Copy: StructType.add mutates in place, and ranged.schema is the
+    # DataFrame's own schema object.
+    out_schema = StructType(
+        list(ranged.schema.fields)
+        + [StructField("_pid", _Int()), StructField("_local_rn", _Long())]
     )
-    local_win = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in sort_cols])
-    numbered = ranged.withColumn("_local_rn", F.row_number().over(local_win))
+
+    def enumerate_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        seen = 0
+        for batch in batches:
+            batch = batch.copy()
+            batch["_pid"] = pid
+            batch["_local_rn"] = range(seen + 1, seen + 1 + len(batch))
+            seen += len(batch)
+            yield batch
+
+    numbered = ranged.mapInPandas(enumerate_partition, schema=out_schema).persist()
 
     # Tiny aggregate: one row per partition → cumulative offsets.
     offsets_win = Window.orderBy("_pid").rowsBetween(

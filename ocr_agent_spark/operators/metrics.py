@@ -64,6 +64,32 @@ def progress_and_eta(lineage: DataFrame, total_tasks: int) -> DataFrame:
     )
 
 
+def salted_host_counts(pages: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Host-level doc counts via two-stage salted aggregation.
+
+    The skew-safe form of ``groupBy(host).count()``: stage 1 groups by
+    (host, salt) so a heavy host's rows spread over ``salt_buckets``
+    reducers; stage 2 sums the per-salt partials (tiny). Identical
+    result to the direct groupBy — the point is that no single reducer
+    ever receives a whole heavy host. Spark's partial aggregation makes
+    the plain count mostly map-side anyway; the pattern matters for
+    high-cardinality aggregates (collect_list / distinct) on skewed
+    keys, and this function is the template.
+    """
+    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+    salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).alias("_salt")
+    partial = (
+        pages.select(host, salt)
+        .groupBy("host", "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return (
+        partial.groupBy("host")
+        .agg(F.sum("_partial").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("host"))
+    )
+
+
 def heavy_hitter_hosts(pages: DataFrame, threshold_fraction: float = 0.05) -> DataFrame:
     """Hosts holding more than ``threshold_fraction`` of all docs.
 

@@ -73,7 +73,11 @@ def run_extraction_job(
         if n_pending == 0:
             return RunResult(run_id, total, 0, total)
 
-        extracted = extract_tasks(pending, num_partitions=num_partitions)
+        # pending comes out of the anti-join hash-partitioned by the
+        # resume keys — exactly the extraction partitioning; skip the
+        # redundant payload re-shuffle.
+        extracted = extract_tasks(pending, num_partitions=num_partitions,
+                                  repartition=False)
         # One pass: snapshot-commit the extraction output, then derive
         # lineage from the committed files (re-read, not recompute — the
         # expensive kernel runs exactly once).

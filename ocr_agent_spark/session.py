@@ -42,6 +42,14 @@ def build_spark(
         )
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Scan-split sizing: small enough that this sandbox's ~20 MB
+        # fixture files split into ≥2-3 tasks per core. At 100 TB with
+        # ~1 GB files raise toward the 128 MB default — the invariant
+        # is tasks-per-core, not the byte value.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -181,6 +181,21 @@ def test_heavy_hitter_detection(spark, corpus):
     assert "host0.example" in hosts  # the planted skew
 
 
+def test_salted_host_counts_equals_direct(spark, corpus):
+    from ocr_agent_spark.operators.metrics import salted_host_counts
+
+    salted = {r["host"]: r["doc_count"] for r in salted_host_counts(corpus).collect()}
+    direct = {
+        r["host"]: r["cnt"]
+        for r in corpus.groupBy(
+            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert salted == direct
+
+
 def test_extraction_plan_is_vectorized(spark, corpus):
     """BASELINE 'no per-row Python': plan shows only Arrow-vectorized
     Python operators (MapInPandas / ArrowEvalPython), never BatchEvalPython."""
