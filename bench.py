@@ -63,8 +63,7 @@ def main() -> None:
     from ocr_agent_spark.functions.dedup import minhash_near_duplicates
     from ocr_agent_spark.functions.similarity import cosine_topk
     from ocr_agent_spark.functions.text import lang_id, quality_score, token_count
-    from ocr_agent_spark.operators.extract import extract_tasks
-    from ocr_agent_spark.operators.ingest import build_task_table
+    from ocr_agent_spark.operators.extract import extract_pages_fused
     from ocr_agent_spark.operators.merge import merge_extracted_to_markdown
     from ocr_agent_spark.session import build_spark
 
@@ -91,9 +90,8 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
 
     def run_extract():
-        tasks = build_task_table(pages)
-        extracted = extract_tasks(tasks, repartition=False)
-        # Materialize extraction output for the merge step.
+        # The fused hot path: one payload pass, zero payload shuffles.
+        extracted = extract_pages_fused(pages)
         out = os.path.join(REPO, "_build", "bench_extracted")
         extracted.write.mode("overwrite").parquet(out)
         return out

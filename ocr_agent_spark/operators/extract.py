@@ -94,6 +94,111 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused probe+fan-out+extract over raw pages (runs on executors).
+
+    One Arrow trip: the raw payload enters Python exactly once; page
+    counting, pdf page fan-out (1→N row emission) and extraction all
+    happen inside the same batch. Emits the same row shape as the
+    staged path minus order_key (attached afterward on slim columns).
+    """
+    from pyspark import TaskContext
+
+    from ocr_agent_spark.kernel.html_extract import extract_html_text
+    from ocr_agent_spark.kernel.minipdf import (
+        extract_pdf_page_text,
+        is_pdf_payload,
+        pdf_page_count,
+    )
+
+    ctx = TaskContext.get()
+    partition_id = ctx.partitionId() if ctx is not None else -1
+    t0 = time.monotonic()
+
+    for batch in batches:
+        out = {
+            "kind": [], "url": [], "page_index": [], "total_pages": [],
+            "created_ts": [], "text": [], "status": [], "error": [],
+            "doc_bytes": [],
+        }
+
+        def emit(kind, url, page_index, total_pages, created_ts, text,
+                 status, error, nbytes):
+            out["kind"].append(kind)
+            out["url"].append(url)
+            out["page_index"].append(page_index)
+            out["total_pages"].append(total_pages)
+            out["created_ts"].append(created_ts)
+            out["text"].append(text)
+            out["status"].append(status)
+            out["error"].append(error)
+            out["doc_bytes"].append(nbytes)
+
+        for url, created_ts, payload in zip(
+            batch["url"], batch["warc_ts"], batch["html"]
+        ):
+            data = bytes(payload)
+            n = len(data)
+            if not is_pdf_payload(data):
+                try:
+                    emit("html", url, 0, None, created_ts,
+                         extract_html_text(data), STATUS_COMPLETED, None, n)
+                except Exception as exc:
+                    emit("html", url, 0, None, created_ts,
+                         None, STATUS_FAILED, repr(exc), n)
+                continue
+            try:
+                total = pdf_page_count(data)
+            except Exception as exc:
+                emit("pdf_page", url, 0, -1, created_ts,
+                     None, STATUS_FAILED, repr(exc), n)
+                continue
+            if total <= 0:
+                emit("pdf_page", url, 0, total, created_ts, None,
+                     STATUS_FAILED, "IndexError('page_index 0 out of range "
+                     f"for {total}-page PDF')", n)
+                continue
+            for p in range(total):
+                try:
+                    text = extract_pdf_page_text(data, p)
+                    text = text.rstrip() + "\n" if text.strip() else ""
+                    emit("pdf_page", url, p, total, created_ts, text,
+                         STATUS_COMPLETED, None, n)
+                except Exception as exc:
+                    emit("pdf_page", url, p, total, created_ts, None,
+                         STATUS_FAILED, repr(exc), n)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        df = pd.DataFrame(out)
+        df["partition_id"] = partition_id
+        df["part_wall_ms"] = wall_ms
+        yield df
+
+
+FUSED_SCHEMA = (
+    "kind string, url string, page_index int, total_pages int, "
+    "created_ts timestamp, text string, status string, error string, "
+    "doc_bytes long, partition_id int, part_wall_ms long"
+)
+
+
+def extract_pages_fused(pages: DataFrame) -> DataFrame:
+    """Raw pages → extracted rows in ONE payload pass (the hot path).
+
+    The staged path (build_task_table → extract_tasks) mirrors the
+    reference's enqueue/run phases and materializes the queue table
+    with its dense ``order_key``; this fused path is what a 100 TB
+    production run uses: the binary column is scanned once, crosses
+    into Python once, and is never shuffled or joined. No order_key
+    column — enqueue order IS the natural key (url, page_index)
+    (design rule D1: order is data); the dense sequence is derivable
+    any time via ``assign_order_key`` on the committed (payload-free)
+    output.
+    """
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        _extract_pages_fused_batches, schema=FUSED_SCHEMA
+    )
+
+
 def extract_tasks(tasks: DataFrame, num_partitions: int | None = None,
                   repartition: bool = True) -> DataFrame:
     """tasks → extracted (one completed-or-failed row per task).

@@ -68,7 +68,11 @@ def classify_pages(pages: DataFrame) -> DataFrame:
     )
 
 
-def build_task_table(pages: DataFrame, order_partitions: int | None = None) -> DataFrame:
+BROADCAST_KEY_LIMIT = 5_000_000
+
+
+def build_task_table(pages: DataFrame, order_partitions: int | None = None,
+                     broadcast_key_limit: int = BROADCAST_KEY_LIMIT) -> DataFrame:
     """pages → tasks: one row per HTML doc, one row per PDF page.
 
     Output schema: ``order_key bigint, kind string, url string,
@@ -111,11 +115,23 @@ def build_task_table(pages: DataFrame, order_partitions: int | None = None) -> D
     # Key assignment on a slim projection: the fat html column never
     # enters the order-key shuffles. The slim keys are persisted so the
     # range-partitioner's sampling pass and the numbering pass don't
-    # each re-run the scan+probe lineage. The attach join
-    # hash-partitions by (url, page_index) — the extraction stage's
-    # partitioning — so the payload is shuffled exactly once end-to-end.
+    # each re-run the scan+probe lineage.
     slim = tasks_raw.select("url", "page_index").persist()
+    n_keys = slim.count()
     keyed = assign_order_key(slim, order_partitions=order_partitions)
+
+    # Attach strategy by key cardinality:
+    # - small key set (≲ broadcast_key_limit rows ≈ a few hundred MB):
+    #   BROADCAST the keyed table — the fat payload is then shuffled
+    #   ZERO times end-to-end; extraction consumes scan partitions
+    #   directly (map-side only). Shuffling ~4 KB payloads is the
+    #   single most expensive byte-movement in the job, and on a real
+    #   cluster it is also the network bottleneck.
+    # - huge key set (10^12-doc scale): shuffle hash join on
+    #   (url, page_index); the join's partitioning then doubles as the
+    #   extraction partitioning, so the payload still moves only once.
+    if n_keys <= broadcast_key_limit:
+        return tasks_raw.join(F.broadcast(keyed), ["url", "page_index"])
     return tasks_raw.join(keyed, ["url", "page_index"])
 
 

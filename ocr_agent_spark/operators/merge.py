@@ -64,20 +64,27 @@ def merge_extracted_to_markdown(
     extracted: DataFrame,
     style: str = "dollar",
     num_partitions: int | None = None,
+    order_cols: tuple[str, ...] = ("url", "page_index"),
 ) -> str:
-    """Completed extracted rows → single merged markdown string."""
+    """Completed extracted rows → single merged markdown string.
+
+    Sorts by the natural enqueue order (url, page_index) — identical to
+    the staged path's dense ``order_key`` ordering, but available on
+    fused-path output that carries no key column.
+    """
     spark = extracted.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # Column pruning: the merge never needs html/doc_bytes/lineage cols.
-    slim = extracted.select(
-        "order_key", "url", "kind", "page_index", "total_pages", "text"
-    ).filter(F.col("text").isNotNull())
+    needed = dict.fromkeys(
+        [*order_cols, "url", "kind", "page_index", "total_pages", "text"]
+    )
+    slim = extracted.select(*needed).filter(F.col("text").isNotNull())
 
     ordered = slim.repartitionByRange(
-        num_partitions, F.col("order_key")
-    ).sortWithinPartitions("order_key")
+        num_partitions, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
 
     chunks = ordered.mapInPandas(
         _render_chunks(style), schema="pid int, chunk string"

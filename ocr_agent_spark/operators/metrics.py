@@ -32,14 +32,20 @@ def status_totals(extracted: DataFrame) -> DataFrame:
 
 
 def latest_failed_error(extracted: DataFrame) -> DataFrame:
-    """Most recent failed row's error, by order_key (W3: max_by)."""
+    """Last failed row's error, by enqueue order (W3: max_by).
+
+    Enqueue order is the natural key (url, page_index); max_by over the
+    key struct gives the ORDER BY ... DESC LIMIT 1 of the reference
+    (main.rs:786-790) as a single aggregation, no sort."""
     failed = extracted.filter(
         (F.col("status") == "failed") & F.col("error").isNotNull()
     )
+    key = F.struct(F.col("url"), F.col("page_index"))
     return failed.agg(
-        F.max_by("error", "order_key").alias("error"),
-        F.max("order_key").alias("order_key"),
-    )
+        F.max_by("error", key).alias("error"),
+        F.max(key).alias("last_key"),
+    ).select("error", F.col("last_key.url").alias("url"),
+             F.col("last_key.page_index").alias("page_index"))
 
 
 def progress_and_eta(lineage: DataFrame, total_tasks: int) -> DataFrame:

@@ -1,16 +1,25 @@
-"""End-to-end extraction job: pages → tasks → extract → commit → merge.
+"""End-to-end extraction job: pages → extract (fused) → commit → merge.
 
 The Spark translation of ``cli.py enqueue`` + ``cli.py run`` (SURVEY
-§3.1–3.2) as one resumable batch job:
+§3.1–3.2) as one resumable batch job. The hot path is the FUSED
+extractor: the binary payload is scanned once, crosses the JVM→Python
+boundary once, and is never shuffled or joined —
 
-    pages parquet ─ classify/fan-out/order_key ─ anti-join committed
-        ─ mapInPandas extraction ─ commit snapshot (+ lineage) ─ merge
+    pages parquet ─ anti-join committed urls ─ mapInPandas
+        (probe + pdf fan-out + extract, one pass) ─ commit snapshot
+        (+ per-partition lineage) ─ ordered merge
 
 Resume contract: re-running with the same ``output_root`` processes
-only tasks whose (url, page_index) is absent from the last committed
-snapshot — the reference's pending-queue semantics (queue_store.py:
-125-138) without mutable status rows. Zero-pending is a no-op commit.
-Empty input raises (exit-code-2 guard, cli.py:187-192 / A3).
+only pages whose url is absent from the last committed snapshot — url
+granularity is exact because commits are atomic (a PDF's pages are
+never partially committed). Zero-pending is a no-op. Empty input
+raises (exit-code-2 guard, cli.py:187-192 / A3).
+
+Order contract (D1): enqueue order is the natural key
+(url, page_index); the merge sorts by it. The dense ``order_key`` of
+the reference's task table lives in the staged path
+(``build_task_table``) and is derivable from committed output via
+``attach_order_key`` — order is data, never execution order.
 """
 
 from __future__ import annotations
@@ -20,13 +29,14 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ocr_agent_spark.operators.extract import extract_tasks, lineage_from_extracted
-from ocr_agent_spark.operators.ingest import build_task_table
+from ocr_agent_spark.operators.extract import extract_pages_fused, lineage_from_extracted
+from ocr_agent_spark.operators.ingest import BROADCAST_KEY_LIMIT, assign_order_key
 from ocr_agent_spark.operators.merge import merge_extracted_to_markdown
 from ocr_agent_spark.sources.snapshot import SnapshotStore
 
-RESUME_KEYS = ["url", "page_index"]
+RESUME_KEYS = ["url"]
 
 
 class EmptyInputError(ValueError):
@@ -36,9 +46,9 @@ class EmptyInputError(ValueError):
 @dataclass
 class RunResult:
     run_id: str
-    tasks_total: int
-    tasks_processed: int
-    tasks_skipped_committed: int
+    pages_total: int
+    pages_processed: int
+    pages_skipped_committed: int
 
 
 def extraction_store(output_root: str) -> SnapshotStore:
@@ -59,40 +69,44 @@ def run_extraction_job(
     run_id = run_id or uuid.uuid4().hex[:12]
     store = extraction_store(output_root)
 
-    tasks = build_task_table(pages, order_partitions=num_partitions)
-    # The task table is consumed twice (count + extraction) and its
-    # lineage includes a pandas UDF + two shuffles — cache it.
-    tasks = tasks.persist()
-    try:
-        total = tasks.count()
-        if total == 0:
-            raise EmptyInputError("no supported input rows to enqueue")
+    total = pages.count()
+    if total == 0:
+        raise EmptyInputError("no supported input rows to enqueue")
 
-        pending = store.anti_join_committed(tasks, RESUME_KEYS, spark)
-        n_pending = pending.count()
-        if n_pending == 0:
-            return RunResult(run_id, total, 0, total)
+    pending = store.anti_join_committed(pages, RESUME_KEYS, spark)
+    n_pending = pending.count()
+    if n_pending == 0:
+        return RunResult(run_id, total, 0, total)
 
-        # pending comes out of the anti-join hash-partitioned by the
-        # resume keys — exactly the extraction partitioning; skip the
-        # redundant payload re-shuffle.
-        extracted = extract_tasks(pending, num_partitions=num_partitions,
-                                  repartition=False)
-        # One pass: snapshot-commit the extraction output, then derive
-        # lineage from the committed files (re-read, not recompute — the
-        # expensive kernel runs exactly once).
-        store.commit(extracted, run_id=run_id)
-        committed = spark.read.parquet(os.path.join(store.data_dir, run_id))
-        lineage_store(output_root).commit(
-            lineage_from_extracted(committed, run_id), run_id=run_id
-        )
-        return RunResult(run_id, total, n_pending, total - n_pending)
-    finally:
-        tasks.unpersist()
+    extracted = extract_pages_fused(pending)
+    # Snapshot-commit the extraction output, then derive lineage from
+    # the committed files (re-read, not recompute — the expensive
+    # kernel runs exactly once).
+    store.commit(extracted, run_id=run_id)
+    committed = spark.read.parquet(os.path.join(store.data_dir, run_id))
+    lineage_store(output_root).commit(
+        lineage_from_extracted(committed, run_id), run_id=run_id
+    )
+    return RunResult(run_id, total, n_pending, total - n_pending)
 
 
 def read_extracted(spark: SparkSession, output_root: str) -> DataFrame | None:
     return extraction_store(output_root).read(spark)
+
+
+def attach_order_key(extracted: DataFrame) -> DataFrame:
+    """Dense 1..N order_key over committed output (payload-free).
+
+    Derivable data: the key follows (url, page_index) exactly as the
+    staged queue table's AUTOINCREMENT analogue. Broadcast-attached
+    when small; slim shuffle join otherwise.
+    """
+    slim = extracted.select("url", "page_index").persist()
+    n = slim.count()
+    keyed = assign_order_key(slim)
+    if n <= BROADCAST_KEY_LIMIT:
+        keyed = F.broadcast(keyed)
+    return extracted.join(keyed, ["url", "page_index"])
 
 
 def read_lineage(spark: SparkSession, output_root: str) -> DataFrame | None:

@@ -67,18 +67,32 @@ def test_golden_byte_equality(spark, completed_root):
     assert mismatches == []
 
 
-def test_order_key_contract(spark, completed_root):
-    # order_key is a dense 1..N sequence following (url, page_index).
-    rows = (
-        read_extracted(spark, completed_root)
-        .select("order_key", "url", "page_index")
-        .collect()
-    )
+def _assert_dense_order(rows):
     by_key = sorted(rows, key=lambda r: r["order_key"])
     assert [r["order_key"] for r in by_key] == list(range(1, len(rows) + 1))
     assert [(r["url"], r["page_index"]) for r in by_key] == sorted(
         (r["url"], r["page_index"]) for r in rows
     )
+
+
+def test_order_key_contract_staged(spark, corpus):
+    # Staged queue path: order_key is a dense 1..N sequence following
+    # (url, page_index) — the AUTOINCREMENT task_id analogue (W1/D1).
+    from ocr_agent_spark.operators.ingest import build_task_table
+
+    rows = build_task_table(corpus).select("order_key", "url", "page_index").collect()
+    _assert_dense_order(rows)
+
+
+def test_order_key_derivable_from_committed(spark, completed_root):
+    from ocr_agent_spark.pipeline import attach_order_key
+
+    rows = (
+        attach_order_key(read_extracted(spark, completed_root))
+        .select("order_key", "url", "page_index")
+        .collect()
+    )
+    _assert_dense_order(rows)
 
 
 def test_status_histogram_all_completed(spark, completed_root):
@@ -116,7 +130,7 @@ def test_merge_equals_sequential_reference_shape(spark, completed_root):
 
     rows = (
         read_extracted(spark, completed_root)
-        .orderBy("order_key")
+        .orderBy("url", "page_index")
         .select("url", "kind", "page_index", "total_pages", "text")
         .collect()
     )
@@ -131,13 +145,13 @@ def test_resume_processes_only_remainder(spark, corpus, tmp_path):
     root = str(tmp_path / "resume")
     first = run_extraction_job(spark, corpus.limit(30), root, run_id="first")
     second = run_extraction_job(spark, corpus, root, run_id="second")
-    assert second.tasks_skipped_committed == first.tasks_processed
-    assert second.tasks_processed == second.tasks_total - first.tasks_processed
+    assert second.pages_skipped_committed == first.pages_processed
+    assert second.pages_processed == second.pages_total - first.pages_processed
     ext = read_extracted(spark, root)
     assert ext.count() == ext.select("url", "page_index").distinct().count()
     # third run: nothing pending, no new snapshot data
     third = run_extraction_job(spark, corpus, root, run_id="third")
-    assert third.tasks_processed == 0
+    assert third.pages_processed == 0
 
 
 def test_failed_rows_retained_and_skipped_in_merge(spark, tmp_path):
@@ -205,3 +219,31 @@ def test_extraction_plan_is_vectorized(spark, corpus):
     plan = extract_tasks(build_task_table(corpus))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
+
+
+def test_fused_plan_single_pass_no_shuffle(spark, corpus):
+    """The fused hot path: one MapInPandas, no exchange of the payload
+    (no Exchange at all below the extractor), no row-wise Python."""
+    from ocr_agent_spark.operators.extract import extract_pages_fused
+
+    plan = extract_pages_fused(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan  # payload never shuffles
+
+
+def test_fused_equals_staged(spark, corpus):
+    """Fused single-pass output == staged queue-path output, row for row."""
+    from ocr_agent_spark.operators.extract import extract_pages_fused, extract_tasks
+    from ocr_agent_spark.operators.ingest import build_task_table
+
+    fused = {
+        (r["url"], r["page_index"]): (r["kind"], r["total_pages"], r["text"], r["status"])
+        for r in extract_pages_fused(corpus).collect()
+    }
+    staged = {
+        (r["url"], r["page_index"]): (r["kind"], r["total_pages"], r["text"], r["status"])
+        for r in extract_tasks(build_task_table(corpus), repartition=False).collect()
+    }
+    # staged html rows carry total_pages NULL; fused ditto — comparable.
+    assert fused == staged

@@ -22,10 +22,9 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def worker(cores: int, n_docs: int) -> None:
+def worker(cores: int, n_docs: int, reps: int = 3) -> None:
     sys.path.insert(0, REPO)
-    from ocr_agent_spark.operators.extract import extract_tasks
-    from ocr_agent_spark.operators.ingest import build_task_table
+    from ocr_agent_spark.operators.extract import extract_pages_fused
     from ocr_agent_spark.session import build_spark
 
     import bench
@@ -40,14 +39,44 @@ def worker(cores: int, n_docs: int) -> None:
     pages = spark.read.parquet(pages_path)
 
     # Warm-up pass (JIT, Python workers, file listing) — not measured.
-    extract_tasks(build_task_table(pages), repartition=False).count()
+    extract_pages_fused(pages).count()
 
-    t0 = time.monotonic()
-    n = extract_tasks(build_task_table(pages), repartition=False).count()
-    wall = time.monotonic() - t0
+    # Median of `reps` — the sandbox is a shared host with noisy
+    # neighbors; single-shot walls vary ±2-3x.
+    walls = []
+    n = 0
+    for _ in range(reps):
+        t0 = time.monotonic()
+        n = extract_pages_fused(pages).count()
+        walls.append(time.monotonic() - t0)
+    walls.sort()
+    wall = walls[len(walls) // 2]
     print(json.dumps({"cores": cores, "docs": n, "sec": round(wall, 3),
+                      "all_secs": [round(w, 3) for w in walls],
                       "docs_per_sec": round(n / wall, 2)}))
     spark.stop()
+
+
+def _burn(seconds: float) -> int:
+    t0 = time.monotonic()
+    x = 0
+    while time.monotonic() - t0 < seconds:
+        x += 1
+    return x
+
+
+def cpu_control(cores: int, seconds: float = 2.0) -> float:
+    """Raw-CPU control: aggregate Python iteration throughput with
+    ``cores`` busy workers. Quantifies how much parallel speedup the
+    (shared, noisy) host actually offers at this level, independent of
+    Spark — the ceiling any job can reach."""
+    import multiprocessing as mp
+
+    with mp.Pool(cores) as pool:
+        t0 = time.monotonic()
+        total = sum(pool.map(_burn, [seconds] * cores))
+        wall = time.monotonic() - t0
+    return total / wall
 
 
 def main() -> None:
@@ -56,8 +85,9 @@ def main() -> None:
         return
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    core_levels = (2, 8, 32)
     results = {}
-    for cores in (8, 32):
+    for cores in core_levels:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
              str(cores), str(n_docs)],
@@ -67,16 +97,22 @@ def main() -> None:
         results[cores] = json.loads(line)
         print(line)
 
-    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
-    eff = t32 / (4 * t8)
-    print(json.dumps({
-        "metric": "scaling_efficiency_8_to_32_cores",
-        "throughput_local8_docs_per_sec": t8,
-        "throughput_local32_docs_per_sec": t32,
-        "efficiency": round(eff, 3),
-        "target": 0.8,
-        "docs": n_docs,
-    }))
+    controls = {c: cpu_control(c) for c in core_levels}
+    for lo, hi in ((2, 8), (8, 32)):
+        t_lo = results[lo]["docs_per_sec"]
+        t_hi = results[hi]["docs_per_sec"]
+        eff = t_hi / (4 * t_lo)
+        ctrl_eff = controls[hi] / (4 * controls[lo])
+        print(json.dumps({
+            "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
+            f"throughput_local{lo}_docs_per_sec": t_lo,
+            f"throughput_local{hi}_docs_per_sec": t_hi,
+            "efficiency": round(eff, 3),
+            "host_cpu_control_efficiency": round(ctrl_eff, 3),
+            "efficiency_vs_host_ceiling": round(eff / ctrl_eff, 3) if ctrl_eff else None,
+            "target": 0.8,
+            "docs": n_docs,
+        }))
 
 
 if __name__ == "__main__":
