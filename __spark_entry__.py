@@ -299,6 +299,20 @@ def _set_union_nations(spark, sf):
     return c.union(s).distinct()
 
 
+def _set_intersect_nations(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("n"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("n"))
+    return c.intersect(s)
+
+
+def _rollup_orders(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q1_pricing_summary(spark, sf):
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -470,6 +484,20 @@ def _quality_scores(spark, sf):
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
+def _math_rewrite(spark, sf):
+    # U4: the fence-aware stateful rewrite — not expressible in SQL
+    # regex, hence rows-only. Wrap doc text in LaTeX delimiters so the
+    # transform has real work on every row.
+    from ocr_agent_spark.functions.text import math_rewrite_udf
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    wrapped = F.concat(
+        F.lit("intro \\( x+"), F.col("doc_id").cast("string"),
+        F.lit(" \\)\n```\n\\( keep \\)\n```\n"), F.col("text"),
+    )
+    return d.select("doc_id", math_rewrite_udf()(wrapped).alias("rewritten"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # aggregations / monitoring (SURVEY §2.4)
@@ -503,8 +531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f13_mime_map": _f13_mime_map,
         # streaming-shape gap-fill (§2.9)
         "st6_tumbling_window": _st6_tumbling_window,
-        # set ops (§2.7)
+        # set ops (§2.7) + grouping-set gap-fill
         "set_union_nations": _set_union_nations,
+        "set_intersect_nations": _set_intersect_nations,
+        "rollup_orders": _rollup_orders,
         # headline analytics
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue": _q3_top_revenue,
@@ -525,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "rolling_fingerprints": _rolling_fingerprints,
         "quality_scores": _quality_scores,
+        "math_rewrite": _math_rewrite,
     }
 
 
@@ -687,6 +718,14 @@ def oracle_sql() -> dict[str, str]:
         "set_union_nations": (
             "SELECT DISTINCT n FROM (SELECT c_nationkey AS n FROM customer "
             "UNION ALL SELECT s_nationkey AS n FROM supplier)"
+        ),
+        "set_intersect_nations": (
+            "SELECT c_nationkey AS n FROM customer "
+            "INTERSECT SELECT s_nationkey AS n FROM supplier"
+        ),
+        "rollup_orders": (
+            "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -131,6 +131,25 @@ def doc_fingerprint(col: str | Column = "text") -> Column:
     return F.md5(normalized)
 
 
+def math_rewrite_udf(style: str = "dollar"):
+    """Fence-aware LaTeX-math delimiter rewrite as a Series→Series
+    pandas UDF (U4) — the canonical stateful per-document text
+    transform that native SQL regex cannot express. One Python call per
+    Arrow batch; the pure kernel maps across the Series."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from ocr_agent_spark.kernel.mathdown import convert_math_delimiters
+
+    @pandas_udf(StringType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: None if t is None else convert_math_delimiters(t, style)
+        )
+
+    return _udf
+
+
 def rolling_fingerprint_udf():
     """Karp–Rabin rolling-hash fingerprint (Series→Series pandas UDF).
 

@@ -92,6 +92,31 @@ class SnapshotStore:
         os.replace(tmp, os.path.join(self.snap_dir, f"snap-{seq:06d}.json"))
         return run_id
 
+    def reset(self) -> None:
+        """Destructive reset (S12): drop all snapshots and data.
+
+        Path-safety guard mirrors the reference's
+        ``_delete_output_paths_safely`` (cli.py:356-371): refuses to
+        remove anything unless the directory layout is exactly the one
+        this store created (data/ + _snapshots/ with snap-*.json)."""
+        import shutil
+
+        entries = set(os.listdir(self.root))
+        if not entries <= {"data", "_snapshots"}:
+            raise ValueError(
+                f"refusing reset: unexpected entries in {self.root!r}: "
+                f"{sorted(entries - {'data', '_snapshots'})}"
+            )
+        for name in os.listdir(self.snap_dir):
+            if not (name.startswith("snap-") or name.startswith(".tmp-")):
+                raise ValueError(
+                    f"refusing reset: foreign file in _snapshots: {name!r}"
+                )
+        shutil.rmtree(self.data_dir)
+        shutil.rmtree(self.snap_dir)
+        os.makedirs(self.data_dir)
+        os.makedirs(self.snap_dir)
+
     # -- read path ----------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame | None:
