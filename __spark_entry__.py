@@ -284,6 +284,14 @@ def _a6_ordered_concat(spark, sf):
     )
 
 
+def _a_percentiles(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy(F.col("event_type").alias("status")).agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+    )
+
+
 def _st6_tumbling_window(spark, sf):
     e = _t(spark, sf, "events")
     return (
@@ -505,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_category_totals": _a2_category_totals,
         "a5_eta_progress": _a5_eta_progress,
         "a6_ordered_concat": _a6_ordered_concat,
+        "a_percentiles": _a_percentiles,
         # joins (§2.3)
         "j1_orders_customer_join": _j1_orders_customer_join,
         "j2_resume_antijoin": _j2_resume_antijoin,
@@ -624,6 +633,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' "
             "ORDER BY l_linenumber) AS line_concat "
             "FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey"
+        ),
+        "a_percentiles": (
+            "SELECT event_type AS status, "
+            "ROUND(quantile_cont(value, 0.5), 6) AS p50, "
+            "ROUND(quantile_cont(value, 0.9), 6) AS p90 "
+            "FROM events GROUP BY event_type"
         ),
         "j1_orders_customer_join": (
             "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS order_count, "

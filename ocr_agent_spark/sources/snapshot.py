@@ -119,12 +119,34 @@ class SnapshotStore:
 
     # -- read path ----------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """DataFrame over all committed snapshots (None if table empty)."""
-        dirs = self.committed_run_dirs()
+    def read(self, spark: SparkSession, as_of_seq: int | None = None) -> DataFrame | None:
+        """DataFrame over committed snapshots (None if table empty).
+
+        ``as_of_seq`` gives Iceberg-style time travel: read the table
+        exactly as it was at snapshot ``seq`` (each manifest is
+        cumulative, so this is just 'parse manifest N instead of the
+        latest')."""
+        if as_of_seq is None:
+            dirs = self.committed_run_dirs()
+        else:
+            name = f"snap-{as_of_seq:06d}.json"
+            path = os.path.join(self.snap_dir, name)
+            if not os.path.exists(path):
+                raise ValueError(f"no snapshot with seq={as_of_seq}")
+            with open(path) as fh:
+                manifest = json.load(fh)
+            dirs = [os.path.join(self.data_dir, r) for r in manifest["runs"]]
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
+
+    def snapshots(self) -> list[dict]:
+        """Snapshot history (the GUI job-state listing analogue)."""
+        out = []
+        for name in self._manifests():
+            with open(os.path.join(self.snap_dir, name)) as fh:
+                out.append(json.load(fh))
+        return out
 
     def anti_join_committed(
         self, tasks: DataFrame, keys: list[str], spark: SparkSession

@@ -1,0 +1,81 @@
+"""Plan-property assertions: pushdown, pruning, shuffle counts, Arrow-only Python."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_agent_spark.plans.inspect import (
+    count_exchanges,
+    pushed_filters,
+    python_eval_operators,
+    read_schema_columns,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    from ocr_agent_spark.fixtures import write_pages_parquet
+
+    path = str(tmp_path_factory.mktemp("pages_plan"))
+    write_pages_parquet(path, 50)
+    return path
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    q = orders.filter(F.col("o_orderkey") < 100).select("o_orderkey")
+    pushed = pushed_filters(q)
+    assert any("o_orderkey" in f for f in pushed), pushed
+
+
+def test_column_pruning_excludes_binary_payload(spark, pages_path):
+    """Metrics-style queries over the pages table must never read the
+    fat html column (SURVEY §4: schema design keeps html:binary out of
+    metrics scans)."""
+    pages = spark.read.parquet(pages_path)
+    q = pages.groupBy("lang").count()
+    for scan_cols in read_schema_columns(q):
+        assert "html" not in scan_cols, scan_cols
+
+
+def test_fused_extraction_plan_properties(spark, pages_path):
+    from ocr_agent_spark.operators.extract import extract_pages_fused
+
+    pages = spark.read.parquet(pages_path)
+    ext = extract_pages_fused(pages)
+    assert count_exchanges(ext) == 0          # payload never shuffles
+    ops = python_eval_operators(ext)
+    assert ops and all(op != "BatchEvalPython" for op in ops)
+
+
+def test_merge_plan_prunes_text_only(spark, pages_path):
+    """The merge reads only slim columns + text from extracted parquet —
+    never doc_bytes/lineage columns."""
+    from ocr_agent_spark.operators.extract import extract_pages_fused
+
+    pages = spark.read.parquet(pages_path)
+    out = str(pages_path) + "_extracted"
+    if not os.path.exists(out):
+        extract_pages_fused(pages).write.parquet(out)
+    ext = spark.read.parquet(out)
+    slim = ext.select("url", "page_index", "kind", "total_pages", "text").filter(
+        F.col("text").isNotNull()
+    )
+    for scan_cols in read_schema_columns(slim):
+        assert "doc_bytes" not in scan_cols
+        assert "part_wall_ms" not in scan_cols
+
+
+def test_broadcast_join_in_staged_key_attach(spark, pages_path):
+    """Small key set → the staged path's key-attach join must be a
+    broadcast hash join (no payload shuffle)."""
+    from ocr_agent_spark.operators.ingest import build_task_table
+    from ocr_agent_spark.plans.inspect import executed_plan_str
+
+    pages = spark.read.parquet(pages_path)
+    tasks = build_task_table(pages)
+    plan = executed_plan_str(tasks)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
