@@ -468,6 +468,14 @@ def _embedding_near_dups(spark, sf):
     return embedding_near_duplicates(_t(spark, sf, "embeddings"), threshold=0.5)
 
 
+def _embedding_near_dups_exact(spark, sf):
+    from ocr_agent_spark.functions.similarity import embedding_near_duplicates_exact
+
+    return embedding_near_duplicates_exact(
+        _t(spark, sf, "embeddings"), threshold=0.5
+    )
+
+
 def _multimodal_features(spark, sf):
     from ocr_agent_spark.functions.multimodal import (
         extract_media_features,
@@ -561,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _simhash_signatures,
         "lsh_cosine_topk": _lsh_cosine_topk,
         "embedding_near_dups": _embedding_near_dups,
+        "embedding_near_dups_exact": _embedding_near_dups_exact,
         "multimodal_features": _multimodal_features,
         "rolling_fingerprints": _rolling_fingerprints,
         "quality_scores": _quality_scores,
@@ -781,5 +790,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id AS neighbor_id, "
             f"ROUND(list_cosine_similarity(embedding::DOUBLE[], {_QUERY_VEC_SQL}), 6) "
             f"AS cosine FROM embeddings ORDER BY cosine DESC, neighbor_id LIMIT 10"
+        ),
+        "embedding_near_dups_exact": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]) >= 0.5"
         ),
     }

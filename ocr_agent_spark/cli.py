@@ -1,0 +1,172 @@
+"""CLI with the reference's command surface, Spark-backed.
+
+Mirrors ``python -m ocr_agent.cli {enqueue,run,status,reset}``
+(/root/reference/src/ocr_agent/cli.py:37-120) so a reference user can
+switch 1:1:
+
+- ``enqueue <pages.parquet ...>`` — register input pages into the job
+  root (the enqueue phase; exit code 2 when nothing was enqueued,
+  cli.py:32,187-192)
+- ``run``    — resumable extraction + ordered merge (the run phase)
+- ``status`` — status histogram + progress/ETA (queue_store.py:191-196,
+  main.rs:800-828)
+- ``reset``  — guarded destructive reset (cli.py:310-371)
+
+Usage: ``python -m ocr_agent_spark <cmd> --job-root DIR ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+EXIT_CODE_NOTHING_ENQUEUED = 2
+
+
+def _spark(cores: int | None):
+    from ocr_agent_spark.session import build_spark
+
+    spark = build_spark(
+        app_name="ocr-agent-spark-cli", cores=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _inputs_manifest(job_root: str) -> str:
+    return os.path.join(job_root, "inputs.json")
+
+
+def cmd_enqueue(args) -> int:
+    paths = [os.path.abspath(p) for p in args.inputs]
+    missing = [p for p in paths if not os.path.exists(p)]
+    for p in missing:
+        print(f"missing input: {p}", file=sys.stderr)
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        print("nothing enqueued", file=sys.stderr)
+        return EXIT_CODE_NOTHING_ENQUEUED
+
+    spark = _spark(args.cores)
+    pages = spark.read.parquet(*paths)
+    n = pages.count()
+    if n == 0:
+        print("nothing enqueued", file=sys.stderr)
+        return EXIT_CODE_NOTHING_ENQUEUED
+    os.makedirs(args.job_root, exist_ok=True)
+    with open(_inputs_manifest(args.job_root), "w") as fh:
+        json.dump({"paths": sorted(set(paths))}, fh)
+    print(f"enqueued {n} pages from {len(paths)} input(s)")
+    return 0
+
+
+def cmd_run(args) -> int:
+    from ocr_agent_spark.pipeline import (
+        EmptyInputError,
+        merge_job,
+        run_extraction_job,
+    )
+
+    manifest = _inputs_manifest(args.job_root)
+    if not os.path.exists(manifest):
+        print("nothing enqueued (run `enqueue` first)", file=sys.stderr)
+        return EXIT_CODE_NOTHING_ENQUEUED
+    with open(manifest) as fh:
+        paths = json.load(fh)["paths"]
+
+    spark = _spark(args.cores)
+    pages = spark.read.parquet(*paths)
+    try:
+        result = run_extraction_job(spark, pages, args.job_root)
+    except EmptyInputError:
+        print("nothing to process", file=sys.stderr)
+        return EXIT_CODE_NOTHING_ENQUEUED
+    merged_path = os.path.join(args.job_root, "output.md")
+    merge_job(spark, args.job_root, style=args.math_delimiter_style,
+              merged_path=merged_path)
+    print(
+        f"processed={result.pages_processed} "
+        f"skipped={result.pages_skipped_committed} merged={merged_path}"
+    )
+    return 0
+
+
+def cmd_status(args) -> int:
+    from ocr_agent_spark.operators.metrics import (
+        progress_and_eta,
+        status_histogram,
+    )
+    from ocr_agent_spark.pipeline import read_extracted, read_lineage
+
+    spark = _spark(args.cores)
+    extracted = read_extracted(spark, args.job_root)
+    if extracted is None:
+        print("status: empty (nothing committed)")
+        return 0
+    for row in status_histogram(extracted).collect():
+        print(f"{row['status']}: {row['task_count']}")
+    lineage = read_lineage(spark, args.job_root)
+    if lineage is not None:
+        total = extracted.count()
+        eta = progress_and_eta(lineage, total).collect()[0]
+        print(
+            f"progress: {eta['progress']:.2%}  "
+            f"avg_ms_per_doc: {eta['avg_ms_per_doc']:.2f}"
+        )
+    return 0
+
+
+def cmd_reset(args) -> int:
+    from ocr_agent_spark.pipeline import extraction_store, lineage_store
+
+    if not args.yes:
+        print("refusing reset without --yes", file=sys.stderr)
+        return 1
+    for store_fn in (extraction_store, lineage_store):
+        store = store_fn(args.job_root)
+        store.reset()
+    merged = os.path.join(args.job_root, "output.md")
+    if os.path.exists(merged):
+        os.remove(merged)
+    print("reset complete")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="ocr_agent_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--job-root", required=True)
+        p.add_argument("--cores", type=int, default=None)
+
+    p_enq = sub.add_parser("enqueue", help="Register input pages parquet")
+    p_enq.add_argument("inputs", nargs="+")
+    common(p_enq)
+
+    p_run = sub.add_parser("run", help="Extract pending pages and merge")
+    p_run.add_argument("--math-delimiter-style", default="dollar",
+                       choices=["dollar", "latex"])
+    common(p_run)
+
+    p_status = sub.add_parser("status", help="Show status counts + ETA")
+    common(p_status)
+
+    p_reset = sub.add_parser("reset", help="Delete all committed outputs")
+    p_reset.add_argument("--yes", action="store_true")
+    common(p_reset)
+
+    args = parser.parse_args(argv)
+    return {
+        "enqueue": cmd_enqueue,
+        "run": cmd_run,
+        "status": cmd_status,
+        "reset": cmd_reset,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

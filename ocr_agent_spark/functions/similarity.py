@@ -113,6 +113,27 @@ def lsh_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def embedding_near_duplicates_exact(embeddings: DataFrame, threshold: float = 0.95,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine near-dups (the verification baseline).
+
+    O(N²) — only for oracles/tests and for verifying the LSH variant's
+    recall; the scale path is ``embedding_near_duplicates``.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    raw = cosine_similarity(F.col("va"), F.col("vb"))
+    # Filter on the RAW cosine, round only for output — keeps the
+    # predicate semantics identical to a SQL oracle that also filters
+    # unrounded.
+    return (
+        pairs.filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("cosine"))
+    )
+
+
 def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                               id_col: str = "vec_id", vec_col: str = "embedding",
                               n_planes: int = 8, seed: int = 42) -> DataFrame:

@@ -1,0 +1,49 @@
+"""CLI parity: enqueue → run → status → resume → reset lifecycle.
+
+Drives ocr_agent_spark.cli.main in-process (same SparkSession via
+getOrCreate) following the reference's command surface (cli.py:37-120).
+"""
+
+import os
+
+from ocr_agent_spark.cli import EXIT_CODE_NOTHING_ENQUEUED, main
+from ocr_agent_spark.fixtures import write_pages_parquet
+
+
+def test_cli_lifecycle(spark, tmp_path, capsys):
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, 30)
+    job_root = str(tmp_path / "job")
+
+    assert main(["enqueue", pages, "--job-root", job_root]) == 0
+    assert "enqueued 30 pages" in capsys.readouterr().out
+
+    assert main(["run", "--job-root", job_root]) == 0
+    out = capsys.readouterr().out
+    assert "processed=30 skipped=0" in out
+    assert os.path.exists(os.path.join(job_root, "output.md"))
+
+    assert main(["status", "--job-root", job_root]) == 0
+    out = capsys.readouterr().out
+    assert "completed:" in out and "progress: 100.00%" in out
+
+    # resume: second run processes nothing
+    assert main(["run", "--job-root", job_root]) == 0
+    assert "processed=0 skipped=30" in capsys.readouterr().out
+
+    # reset requires confirmation, then empties the store
+    assert main(["reset", "--job-root", job_root]) == 1
+    assert main(["reset", "--job-root", job_root, "--yes"]) == 0
+    capsys.readouterr()
+    assert main(["status", "--job-root", job_root]) == 0
+    assert "empty" in capsys.readouterr().out
+
+
+def test_cli_empty_input_exit_code(spark, tmp_path):
+    missing = str(tmp_path / "nope")
+    job_root = str(tmp_path / "job2")
+    assert (
+        main(["enqueue", missing, "--job-root", job_root])
+        == EXIT_CODE_NOTHING_ENQUEUED
+    )
+    assert main(["run", "--job-root", job_root]) == EXIT_CODE_NOTHING_ENQUEUED
