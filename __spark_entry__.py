@@ -398,6 +398,27 @@ def _token_histogram(spark, sf):
     )
 
 
+def _bpe_token_histogram(spark, sf):
+    from ocr_agent_spark.functions.text import bpe_ish_token_count
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(bpe_ish_token_count("text").alias("n_bpe_tokens"))
+        .groupBy("n_bpe_tokens")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _approx_distinct_users(spark, sf):
+    # approx_count_distinct is engine-specific (HLL++ here) → rows-only;
+    # the test suite bounds it against the exact count instead.
+    e = _t(spark, sf, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def _similarity_topk(spark, sf):
     from ocr_agent_spark.functions.similarity import cosine_topk
 
@@ -561,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "lang_id_counts": _lang_id_counts,
         "token_histogram": _token_histogram,
+        "bpe_token_histogram": _bpe_token_histogram,
+        "approx_distinct_users": _approx_distinct_users,
         "similarity_topk": _similarity_topk,
         # rows-only (non-SQL-expressible)
         "extract_synthetic_pages": _extract_synthetic_pages,
@@ -784,6 +807,11 @@ def oracle_sql() -> dict[str, str]:
         "token_histogram": (
             "SELECT CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1"
+        ),
+        "bpe_token_histogram": (
+            "SELECT CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1"
         ),
         "similarity_topk": (
