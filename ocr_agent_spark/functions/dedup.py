@@ -195,8 +195,12 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     The verification jaccard runs only on LSH candidates (semi-join
     pushdown onto the shingle table), so total cost stays near-linear.
     """
+    # Persist the candidate pairs: they feed three consumers (id
+    # pruning, the final semi-join, and implicitly the verify scope) —
+    # without it the whole signature+banding pipeline re-executes per
+    # consumer. Candidates are pairs of ids only: tiny at any scale.
     candidates = minhash_lsh_candidates(docs, id_col, text_col, n,
-                                        num_hashes, bands)
+                                        num_hashes, bands).persist()
     cand_ids = (
         candidates.select(F.col("id_a").alias("doc_id"))
         .union(candidates.select(F.col("id_b").alias("doc_id")))
