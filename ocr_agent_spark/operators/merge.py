@@ -60,18 +60,12 @@ def _render_chunks(style: str):
     return render
 
 
-def merge_extracted_to_markdown(
+def _ordered_chunks(
     extracted: DataFrame,
-    style: str = "dollar",
-    num_partitions: int | None = None,
-    order_cols: tuple[str, ...] = ("url", "page_index"),
-) -> str:
-    """Completed extracted rows → single merged markdown string.
-
-    Sorts by the natural enqueue order (url, page_index) — identical to
-    the staged path's dense ``order_key`` ordering, but available on
-    fused-path output that carries no key column.
-    """
+    style: str,
+    num_partitions: int | None,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
     spark = extracted.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -86,10 +80,72 @@ def merge_extracted_to_markdown(
         num_partitions, *[F.col(c) for c in order_cols]
     ).sortWithinPartitions(*order_cols)
 
-    chunks = ordered.mapInPandas(
-        _render_chunks(style), schema="pid int, chunk string"
-    ).collect()
-    chunks.sort(key=lambda r: r["pid"])
+    return ordered.mapInPandas(_render_chunks(style), schema="pid int, chunk string")
 
+
+def merge_extracted_to_markdown(
+    extracted: DataFrame,
+    style: str = "dollar",
+    num_partitions: int | None = None,
+    order_cols: tuple[str, ...] = ("url", "page_index"),
+) -> str:
+    """Completed extracted rows → single merged markdown string.
+
+    Sorts by the natural enqueue order (url, page_index) — identical to
+    the staged path's dense ``order_key`` ordering, but available on
+    fused-path output that carries no key column. Collects the whole
+    artifact into driver memory; for artifacts beyond memory use
+    ``merge_extracted_to_file``.
+    """
+    chunks = _ordered_chunks(extracted, style, num_partitions, order_cols).collect()
+    chunks.sort(key=lambda r: r["pid"])
     parts = [DOCUMENT_TITLE, ""] + [r["chunk"] for r in chunks]
     return "\n".join(parts).rstrip() + "\n"
+
+
+def merge_extracted_to_file(
+    extracted: DataFrame,
+    path: str,
+    style: str = "dollar",
+    num_partitions: int | None = None,
+    order_cols: tuple[str, ...] = ("url", "page_index"),
+) -> int:
+    """Stream the merged artifact to ``path`` with bounded driver memory.
+
+    ``toLocalIterator`` pulls one range partition's chunk at a time —
+    the driver never holds more than one partition of text (vs
+    ``collect`` holding the full artifact). Output is byte-identical to
+    ``merge_extracted_to_markdown``. Returns bytes written.
+
+    Trailing-newline contract: the final chunk must end ``...rstrip() +
+    '\\n'`` exactly like the in-memory join (markdown_merge.py:47), so
+    the last chunk is held back and trimmed before the final write.
+    """
+    import os
+
+    chunk_df = _ordered_chunks(extracted, style, num_partitions, order_cols)
+    # Partition ids ascend with range order; toLocalIterator preserves
+    # partition order for a sorted-by-pid plan. Sort explicitly anyway.
+    it = chunk_df.orderBy("pid").toLocalIterator()
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    written = 0
+    with open(path, "w", encoding="utf-8", newline="") as fh:
+        prev: str | None = None
+        header = DOCUMENT_TITLE + "\n"
+        fh.write(header)
+        written += len(header.encode("utf-8"))
+        for row in it:
+            if prev is not None:
+                piece = "\n" + prev
+                fh.write(piece)
+                written += len(piece.encode("utf-8"))
+            prev = row["chunk"]
+        if prev is not None:
+            # Matches the in-memory '"\n".join(...).rstrip() + "\n"':
+            # every chunk contains non-whitespace ('---'), so the global
+            # rstrip only ever trims within the final chunk.
+            tail = ("\n" + prev).rstrip() + "\n"
+            fh.write(tail)
+            written += len(tail.encode("utf-8"))
+    return written

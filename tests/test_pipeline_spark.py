@@ -124,6 +124,20 @@ def test_merge_parallelism_invariance(spark, completed_root):
     assert outs[1].endswith("\n") and not outs[1].endswith("\n\n")
 
 
+def test_merge_to_file_byte_identical(spark, completed_root, tmp_path):
+    """The bounded-memory streaming merge == the in-memory merge."""
+    from ocr_agent_spark.operators.merge import merge_extracted_to_file
+
+    ext = read_extracted(spark, completed_root)
+    in_memory = merge_extracted_to_markdown(ext)
+    path = str(tmp_path / "merged.md")
+    n = merge_extracted_to_file(ext, path)
+    with open(path, encoding="utf-8", newline="") as fh:
+        streamed = fh.read()
+    assert streamed == in_memory
+    assert n == len(in_memory.encode("utf-8"))
+
+
 def test_merge_equals_sequential_reference_shape(spark, completed_root):
     """Distributed merge == pure sequential merge over the same rows."""
     from ocr_agent_spark.kernel.merge import MergeRow, render_merged_markdown
