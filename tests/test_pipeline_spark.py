@@ -204,6 +204,23 @@ def test_empty_input_guard(spark, corpus, tmp_path):
         run_extraction_job(spark, corpus.limit(0), str(tmp_path / "empty"))
 
 
+def test_partition_balance_under_host_skew(spark, corpus, tmp_path):
+    """The corpus plants ~35% of docs on one host; extraction partitions
+    must stay balanced anyway (nothing keys by host). Evidence straight
+    from the lineage table: no partition holds more than 3x the mean."""
+    from ocr_agent_spark.operators.extract import extract_pages_fused
+
+    ext = extract_pages_fused(corpus.repartition(8))
+    counts = [
+        r["doc_count"]
+        for r in ext.groupBy("partition_id")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .collect()
+    ]
+    assert len(counts) >= 4
+    assert max(counts) <= 3 * (sum(counts) / len(counts))
+
+
 def test_heavy_hitter_detection(spark, corpus):
     hosts = [r["host"] for r in heavy_hitter_hosts(corpus).collect()]
     assert "host0.example" in hosts  # the planted skew
