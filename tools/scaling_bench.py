@@ -85,7 +85,13 @@ def main() -> None:
         return
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    core_levels = (2, 8, 32)
+    # Every Spark task here runs a JVM thread AND a Python worker, so
+    # local[N] keeps ~2N threads busy. On this 32-core box local[32]
+    # oversubscribes (64 threads) — local[16] measurably beats it. The
+    # N→4N pairs are chosen so both levels stay under the physical core
+    # count: (4,16) uncontended, (8,32) with the upper level contended
+    # (reported with the host-ceiling control for context).
+    core_levels = (4, 8, 16, 32)
     results = {}
     for cores in core_levels:
         out = subprocess.run(
@@ -98,7 +104,7 @@ def main() -> None:
         print(line)
 
     controls = {c: cpu_control(c) for c in core_levels}
-    for lo, hi in ((2, 8), (8, 32)):
+    for lo, hi in ((4, 16), (8, 32)):
         t_lo = results[lo]["docs_per_sec"]
         t_hi = results[hi]["docs_per_sec"]
         eff = t_hi / (4 * t_lo)
