@@ -419,6 +419,25 @@ def _approx_distinct_users(spark, sf):
     )
 
 
+def _asof_join_purchases(spark, sf):
+    # As-of join (union+window encoding, functions/asof.py) vs DuckDB's
+    # native ASOF LEFT JOIN: for each click, the user's most recent
+    # purchase value at-or-before the click.
+    from ocr_agent_spark.functions.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, purchases, ["user_id"], "ts", ["value"])
+    return joined.select(
+        "event_id", F.round("value_asof", 6).alias("purchase_value")
+    )
+
+
 def _similarity_topk(spark, sf):
     from ocr_agent_spark.functions.similarity import cosine_topk
 
@@ -573,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_nations": _set_union_nations,
         "set_intersect_nations": _set_intersect_nations,
         "rollup_orders": _rollup_orders,
+        # custom operators the reference lacks (gap-fill, brief-named)
+        "asof_join_purchases": _asof_join_purchases,
         # headline analytics
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue": _q3_top_revenue,
@@ -773,6 +794,14 @@ def oracle_sql() -> dict[str, str]:
         "rollup_orders": (
             "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+        ),
+        "asof_join_purchases": (
+            "SELECT c.event_id, ROUND(p.value, 6) AS purchase_value "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "      WHERE event_type='click') c "
+            "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events "
+            "      WHERE event_type='purchase') p "
+            "ON c.user_id = p.user_id AND p.ts <= c.ts"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
