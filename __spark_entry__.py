@@ -321,6 +321,44 @@ def _rollup_orders(spark, sf):
     )
 
 
+def _cube_events(spark, sf):
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 3000)
+    return (
+        e.select("event_type", (F.col("user_id") % 10).alias("user_bucket"))
+        .cube("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _set_except_nations(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("n"))
+    s = _t(spark, sf, "supplier").filter(F.col("s_suppkey") < 50).select(
+        F.col("s_nationkey").alias("n")
+    )
+    return c.exceptAll(s).groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _monthly_revenue(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.unix_timestamp("month").alias("month_unix"), "n_orders", "revenue"
+        )
+    )
+
+
+def _dedup_keep_first(spark, sf):
+    from ocr_agent_spark.functions.dedup import dedup_exact
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return dedup_exact(d).select("doc_id")
+
+
 def _q1_pricing_summary(spark, sf):
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -591,7 +629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set ops (§2.7) + grouping-set gap-fill
         "set_union_nations": _set_union_nations,
         "set_intersect_nations": _set_intersect_nations,
+        "set_except_nations": _set_except_nations,
         "rollup_orders": _rollup_orders,
+        "cube_events": _cube_events,
+        "monthly_revenue": _monthly_revenue,
+        "dedup_keep_first": _dedup_keep_first,
         # custom operators the reference lacks (gap-fill, brief-named)
         "asof_join_purchases": _asof_join_purchases,
         # headline analytics
@@ -794,6 +836,30 @@ def oracle_sql() -> dict[str, str]:
         "rollup_orders": (
             "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+        ),
+        "cube_events": (
+            "SELECT event_type, user_id % 10 AS user_bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE event_id < 3000 "
+            "GROUP BY CUBE(event_type, user_bucket)"
+        ),
+        "set_except_nations": (
+            "SELECT n, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+            "SELECT c_nationkey AS n FROM customer "
+            "EXCEPT ALL "
+            "SELECT s_nationkey AS n FROM supplier WHERE s_suppkey < 50"
+            ") GROUP BY n"
+        ),
+        "monthly_revenue": (
+            "SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) "
+            "AS month_unix, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS revenue "
+            "FROM orders GROUP BY 1"
+        ),
+        "dedup_keep_first": (
+            "SELECT doc_id FROM documents "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY "
+            "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+            "ORDER BY doc_id) = 1"
         ),
         "asof_join_purchases": (
             "SELECT c.event_id, ROUND(p.value, 6) AS purchase_value "
