@@ -540,6 +540,13 @@ def _lsh_cosine_topk(spark, sf):
     return lsh_cosine_topk(_t(spark, sf, "embeddings"), _QUERY_VEC, k=10)
 
 
+def _ivf_cosine_topk(spark, sf):
+    from ocr_agent_spark.functions.similarity import ivf_cosine_topk
+
+    return ivf_cosine_topk(_t(spark, sf, "embeddings"), _QUERY_VEC, k=10,
+                           n_clusters=16, n_probe=4)
+
+
 def _embedding_near_dups(spark, sf):
     from ocr_agent_spark.functions.similarity import embedding_near_duplicates
 
@@ -654,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _minhash_near_dups,
         "simhash_signatures": _simhash_signatures,
         "lsh_cosine_topk": _lsh_cosine_topk,
+        "ivf_cosine_topk": _ivf_cosine_topk,
         "embedding_near_dups": _embedding_near_dups,
         "embedding_near_dups_exact": _embedding_near_dups_exact,
         "multimodal_features": _multimodal_features,

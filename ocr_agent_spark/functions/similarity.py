@@ -113,6 +113,89 @@ def lsh_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def _kmeans_centroids(vectors: list[list[float]], n_clusters: int,
+                      iters: int = 5, seed: int = 42) -> list[list[float]]:
+    """Deterministic Lloyd k-means on a driver-side sample (pure python).
+
+    The coarse quantizer for IVF. Sample sizes are a few thousand
+    vectors — driver-side is the right place; the expensive part
+    (assigning the full table) stays distributed.
+    """
+    import random
+
+    rng = random.Random(f"ivf:{seed}")
+    dim = len(vectors[0])
+    centroids = [list(vectors[i]) for i in
+                 sorted(rng.sample(range(len(vectors)), min(n_clusters, len(vectors))))]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in centroids]
+        counts = [0] * len(centroids)
+        for v in vectors:
+            j = min(range(len(centroids)), key=lambda i: d2(v, centroids[i]))
+            counts[j] += 1
+            for d in range(dim):
+                sums[j][d] += v[d]
+        for j in range(len(centroids)):
+            if counts[j]:
+                centroids[j] = [s / counts[j] for s in sums[j]]
+    return centroids
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Add ``_cluster``: index of the nearest centroid (JVM-side).
+
+    |centroids| independent dot-product expressions collected into ONE
+    array column, argmax via array_position(scores, array_max(scores)).
+    NB: an iterative ``best = when(score > best, ...)`` chain embeds
+    ``best`` twice per step — an exponentially-sized expression tree
+    that hangs analysis/codegen at 16 centroids. Flat array + argmax
+    keeps the tree linear.
+    """
+    scores = F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(v) for v in c]))
+            for c in centroids
+        ]
+    )
+    cluster = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return embeddings.withColumn("_cluster", cluster)
+
+
+def ivf_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_clusters: int = 16, n_probe: int = 4,
+                    sample_size: int = 2048, seed: int = 42) -> DataFrame:
+    """IVF ANN: coarse k-means quantizer → probe the query's n_probe
+    nearest clusters → exact re-rank inside the probed subset.
+
+    At scale the ``_cluster`` column is precomputed and the table is
+    partitioned/bucketed by it, so a query scans ~n_probe/n_clusters of
+    the data. Here the index is built inline (sample → driver k-means →
+    broadcast centroids as literals).
+    """
+    sample = [
+        list(r[vec_col])
+        for r in embeddings.select(vec_col).orderBy(id_col).limit(sample_size).collect()
+    ]
+    centroids = _kmeans_centroids(sample, n_clusters, seed=seed)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    probe = sorted(
+        range(len(centroids)), key=lambda i: -dot(query_vec, centroids[i])
+    )[:n_probe]
+
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    candidates = assigned.filter(F.col("_cluster").isin(probe)).drop("_cluster")
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_duplicates_exact(embeddings: DataFrame, threshold: float = 0.95,
                                     id_col: str = "vec_id",
                                     vec_col: str = "embedding") -> DataFrame:

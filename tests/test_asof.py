@@ -38,6 +38,39 @@ def test_asof_join_semantics(spark):
     assert out == {1: None, 2: 100.0, 3: 300.0, 4: 300.0, 5: 555.0, 6: None}
 
 
+def test_asof_join_matches_bruteforce_on_random_data(spark):
+    """Randomized cross-check vs a per-row python brute force."""
+    import random
+
+    rng = random.Random("asof:1")
+    left_rows = [
+        (i, rng.randrange(5), _ts(rng.randrange(0, 500)))
+        for i in range(120)
+    ]
+    right_rows = [
+        (rng.randrange(5), _ts(rng.randrange(0, 500)), float(i))
+        for i in range(80)
+    ]
+    # de-dup right (key, ts) so the expected value is unique
+    seen = {}
+    for k, t, v in right_rows:
+        seen[(k, t)] = v
+    right_rows = [(k, t, v) for (k, t), v in seen.items()]
+
+    left = spark.createDataFrame(left_rows, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "user_id long, ts timestamp, value double")
+
+    got = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(left, right, ["user_id"], "ts", ["value"]).collect()
+    }
+
+    for event_id, key, lts in left_rows:
+        prior = [(t, v) for (k, t, v) in right_rows if k == key and t <= lts]
+        expected = max(prior)[1] if prior else None
+        assert got[event_id] == expected, (event_id, key, lts)
+
+
 def test_asof_join_keeps_all_left_rows_and_columns(spark):
     left = spark.createDataFrame(
         [(1, 10, _ts(5), "extra")],

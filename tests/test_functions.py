@@ -158,6 +158,30 @@ def test_lsh_topk_recall(spark, embeddings):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_ivf_topk_recall(spark, embeddings):
+    import random
+
+    rng = random.Random("emb:3")
+    query = [rng.uniform(-1, 1) for _ in range(16)]
+    exact = [r["neighbor_id"] for r in similarity.cosine_topk(embeddings, query, k=5).collect()]
+    approx = [
+        r["neighbor_id"]
+        for r in similarity.ivf_cosine_topk(
+            embeddings, query, k=5, n_clusters=8, n_probe=3
+        ).collect()
+    ]
+    assert 3 in approx  # the identical vector is found
+    assert len(set(exact) & set(approx)) >= 3  # decent recall at 3/8 probes
+    # determinism: same call → same result
+    again = [
+        r["neighbor_id"]
+        for r in similarity.ivf_cosine_topk(
+            embeddings, query, k=5, n_clusters=8, n_probe=3
+        ).collect()
+    ]
+    assert approx == again
+
+
 def test_embedding_near_duplicates(spark, embeddings):
     # Plant an exact duplicate pair.
     dup = embeddings.limit(1).withColumn("vec_id", F.lit(999).cast("long"))
