@@ -193,6 +193,12 @@ def extract_pages_fused(pages: DataFrame) -> DataFrame:
     (design rule D1: order is data); the dense sequence is derivable
     any time via ``assign_order_key`` on the committed (payload-free)
     output.
+
+    Skew note: a PDF's pages are all emitted by the scan partition that
+    holds the PDF (fan-out happens in-batch). Typical web corpora
+    (pages ≤ tens) are fine; a corpus of 10k-page PDFs should instead
+    take the staged path, whose explode + shuffle spreads pages across
+    the cluster before the per-page extraction.
     """
     return pages.select("url", "warc_ts", "html").mapInPandas(
         _extract_pages_fused_batches, schema=FUSED_SCHEMA
