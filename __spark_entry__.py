@@ -517,6 +517,19 @@ def _merged_artifact_hash(spark, sf):
     )
 
 
+def _near_dedup_keep(spark, sf):
+    # Full fuzzy-dedup keep-policy: LSH pairs → connected components →
+    # one representative per cluster. Iterative (driver convergence
+    # loop) → rows-only.
+    from ocr_agent_spark.functions.dedup import dedup_near
+    from ocr_agent_spark.functions.text import tokens
+
+    d = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 200) & (F.size(tokens("text")) >= 3)
+    ).select("doc_id", "text")
+    return dedup_near(d, threshold=0.5).select("doc_id")
+
+
 def _minhash_near_dups(spark, sf):
     from ocr_agent_spark.functions.dedup import minhash_near_duplicates
     from ocr_agent_spark.functions.text import tokens
@@ -659,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_synthetic_pages": _extract_synthetic_pages,
         "merged_artifact_hash": _merged_artifact_hash,
         "minhash_near_dups": _minhash_near_dups,
+        "near_dedup_keep": _near_dedup_keep,
         "simhash_signatures": _simhash_signatures,
         "lsh_cosine_topk": _lsh_cosine_topk,
         "ivf_cosine_topk": _ivf_cosine_topk,

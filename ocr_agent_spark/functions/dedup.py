@@ -211,6 +211,85 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
 
 
+def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Components of the (id_a, id_b) pair graph via label propagation.
+
+    The iterative min-label algorithm (GraphX-free connected
+    components): every vertex starts labeled with itself; each round
+    every vertex takes the min label over itself and its neighbors;
+    stop when a round changes nothing. Rounds = graph diameter —
+    near-dup clusters are shallow (stars/cliques), so 2-3 rounds in
+    practice. Each round is one join + one aggregation; intermediate
+    labels are persisted and replaced round-over-round, so lineage does
+    not grow unboundedly.
+
+    Returns (doc_id, component) where component = min doc_id reachable.
+    Genuinely non-SQL-expressible (driver-side convergence loop) —
+    exactly the class the driver records rows-only checks for.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               n: int = 3, num_hashes: int = 32, bands: int = 8,
+               threshold: float = 0.8) -> DataFrame:
+    """Remove near-duplicates: MinHash+LSH pairs → connected components
+    → keep the min-id document per component (plus all untouched docs).
+
+    The full fuzzy-dedup keep-policy of a training-data pipeline: two
+    docs that never share an LSH band stay independent; clusters formed
+    by transitive near-duplication collapse to one representative.
+    """
+    pairs = minhash_near_duplicates(docs, id_col, text_col, n, num_hashes,
+                                    bands, threshold)
+    components = connected_components(pairs)
+    losers = components.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(
+        losers, docs[id_col] == losers["doc_id"], "left_anti"
+    )
+
+
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc, fully JVM-side.

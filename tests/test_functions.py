@@ -106,6 +106,30 @@ def test_simhash_near_duplicates(spark, docs):
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 1)}
 
 
+def test_connected_components_chain_and_star(spark):
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3) + star 10-(11,12) + isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comps = {r["doc_id"]: r["component"]
+             for r in dedup.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_near_collapses_transitive_cluster(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        (0, base),
+        (1, base + " lambda"),          # near-dup of 0
+        (2, base + " lambda mu"),       # near-dup of 1 (transitively of 0)
+        (3, "totally different words about spark shuffles and parquet row groups here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup.dedup_near(docs, threshold=0.6).collect()}
+    assert kept == {0, 3}
+
+
 # -- similarity ------------------------------------------------------------
 
 
