@@ -18,4 +18,6 @@ Layout:
 - ``streaming/``  Structured Streaming ingestion (inbox-watcher analogue)
 """
 
-__version__ = "0.1.0"
+from ocr_agent_spark.cache import persist_tracked, release_caches  # noqa: F401
+
+__version__ = "0.2.0"

@@ -57,8 +57,16 @@ def cmd_enqueue(args) -> int:
         print("nothing enqueued", file=sys.stderr)
         return EXIT_CODE_NOTHING_ENQUEUED
     os.makedirs(args.job_root, exist_ok=True)
-    with open(_inputs_manifest(args.job_root), "w") as fh:
-        json.dump({"paths": sorted(set(paths))}, fh)
+    # Append semantics (the reference queue accumulates across enqueue
+    # calls): merge the new paths into any existing manifest instead of
+    # replacing the earlier batch.
+    manifest = _inputs_manifest(args.job_root)
+    existing: list[str] = []
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            existing = json.load(fh).get("paths", [])
+    with open(manifest, "w") as fh:
+        json.dump({"paths": sorted(set(existing) | set(paths))}, fh)
     print(f"enqueued {n} pages from {len(paths)} input(s)")
     return 0
 

@@ -199,8 +199,11 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     # pruning, the final semi-join, and implicitly the verify scope) —
     # without it the whole signature+banding pipeline re-executes per
     # consumer. Candidates are pairs of ids only: tiny at any scale.
-    candidates = minhash_lsh_candidates(docs, id_col, text_col, n,
-                                        num_hashes, bands).persist()
+    from ocr_agent_spark.cache import persist_tracked
+
+    candidates = persist_tracked(
+        minhash_lsh_candidates(docs, id_col, text_col, n, num_hashes, bands)
+    )
     cand_ids = (
         candidates.select(F.col("id_a").alias("doc_id"))
         .union(candidates.select(F.col("id_b").alias("doc_id")))
@@ -211,7 +214,8 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
 
 
-def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iterations: int = 20,
+                         strict: bool = True) -> DataFrame:
     """Components of the (id_a, id_b) pair graph via label propagation.
 
     The iterative min-label algorithm (GraphX-free connected
@@ -223,31 +227,38 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
     labels are persisted and replaced round-over-round, so lineage does
     not grow unboundedly.
 
+    If the loop exhausts ``max_iterations`` before converging (a chain
+    longer than the budget), the labels are WRONG for the unconverged
+    vertices — with ``strict`` (default) this raises rather than let a
+    dedup keep/drop the wrong documents silently; ``strict=False``
+    downgrades to a warning for exploratory runs.
+
     Returns (doc_id, component) where component = min doc_id reachable.
     Genuinely non-SQL-expressible (driver-side convergence loop) —
     exactly the class the driver records rows-only checks for.
     """
-    edges = (
+    from ocr_agent_spark.cache import persist_tracked
+
+    edges = persist_tracked(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
     )
-    labels = (
+    labels = persist_tracked(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
     )
     labels.count()
 
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
-        new_labels = (
+        new_labels = persist_tracked(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
@@ -255,7 +266,6 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -268,6 +278,17 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — raise "
+            "max_iterations (components deeper than the budget exist)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels
 
 

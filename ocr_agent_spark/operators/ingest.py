@@ -115,8 +115,11 @@ def build_task_table(pages: DataFrame, order_partitions: int | None = None,
     # Key assignment on a slim projection: the fat html column never
     # enters the order-key shuffles. The slim keys are persisted so the
     # range-partitioner's sampling pass and the numbering pass don't
-    # each re-run the scan+probe lineage.
-    slim = tasks_raw.select("url", "page_index").persist()
+    # each re-run the scan+probe lineage. (Tracked: callers release via
+    # ocr_agent_spark.release_caches() after their terminal action.)
+    from ocr_agent_spark.cache import persist_tracked
+
+    slim = persist_tracked(tasks_raw.select("url", "page_index"))
     n_keys = slim.count()
     keyed = assign_order_key(slim, order_partitions=order_partitions)
 
@@ -187,7 +190,9 @@ def assign_order_key(
             seen += len(batch)
             yield batch
 
-    numbered = ranged.mapInPandas(enumerate_partition, schema=out_schema).persist()
+    from ocr_agent_spark.cache import persist_tracked
+
+    numbered = persist_tracked(ranged.mapInPandas(enumerate_partition, schema=out_schema))
 
     # Tiny aggregate: one row per partition → cumulative offsets.
     offsets_win = Window.orderBy("_pid").rowsBetween(

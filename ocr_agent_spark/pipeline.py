@@ -31,6 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ocr_agent_spark.cache import release_caches
 from ocr_agent_spark.operators.extract import extract_pages_fused, lineage_from_extracted
 from ocr_agent_spark.operators.ingest import BROADCAST_KEY_LIMIT, assign_order_key
 from ocr_agent_spark.operators.merge import merge_extracted_to_markdown
@@ -87,6 +88,7 @@ def run_extraction_job(
     lineage_store(output_root).commit(
         lineage_from_extracted(committed, run_id), run_id=run_id
     )
+    release_caches()  # all actions done — drop operator-level caches
     return RunResult(run_id, total, n_pending, total - n_pending)
 
 
@@ -101,7 +103,9 @@ def attach_order_key(extracted: DataFrame) -> DataFrame:
     staged queue table's AUTOINCREMENT analogue. Broadcast-attached
     when small; slim shuffle join otherwise.
     """
-    slim = extracted.select("url", "page_index").persist()
+    from ocr_agent_spark.cache import persist_tracked
+
+    slim = persist_tracked(extracted.select("url", "page_index"))
     n = slim.count()
     keyed = assign_order_key(slim)
     if n <= BROADCAST_KEY_LIMIT:
