@@ -397,19 +397,44 @@ def _dedup_fingerprint_stats(spark, sf):
     )
 
 
+def _docs_with_planted_exact_dups(spark, sf):
+    """documents ∪ byte-identical copies of doc_id<20 (ids +1,000,000).
+
+    The sf corpora carry no natural duplicates, so an un-planted dedup
+    query returns 0 rows — indistinguishable from a broken operator in
+    the driver artifact. The plant is derived from existing rows, so the
+    oracle SQL reproduces it with a UNION ALL, keeping full hash parity.
+    """
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(planted)
+
+
+def _docs_with_planted_near_dups(spark, sf):
+    """doc_id<100 slice ∪ near-dup copies of doc_id<10 (' qq zz' appended)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+    )
+    return d.unionByName(planted)
+
+
 def _dedup_exact_groups(spark, sf):
     from ocr_agent_spark.functions.dedup import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf, "documents"))
+    return exact_duplicates(_docs_with_planted_exact_dups(spark, sf))
 
 
 def _ngram_jaccard_pairs(spark, sf):
     from ocr_agent_spark.functions.dedup import ngram_jaccard_pairs
     from ocr_agent_spark.functions.text import tokens
 
-    d = _t(spark, sf, "documents").filter(
-        (F.col("doc_id") < 100) & (F.size(tokens("text")) >= 3)
-    )
+    d = _docs_with_planted_near_dups(spark, sf).filter(F.size(tokens("text")) >= 3)
     pairs = ngram_jaccard_pairs(d, threshold=0.05)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -531,12 +556,13 @@ def _near_dedup_keep(spark, sf):
 
 
 def _minhash_near_dups(spark, sf):
+    # Planted near-dups (see _docs_with_planted_near_dups) keep this
+    # non-vacuous: a regression to 0 pairs is now detectable in the
+    # driver artifact (CORRECTNESS_r01 recorded spark_rows: 0).
     from ocr_agent_spark.functions.dedup import minhash_near_duplicates
     from ocr_agent_spark.functions.text import tokens
 
-    d = _t(spark, sf, "documents").filter(
-        (F.col("doc_id") < 100) & (F.size(tokens("text")) >= 3)
-    )
+    d = _docs_with_planted_near_dups(spark, sf).filter(F.size(tokens("text")) >= 3)
     pairs = minhash_near_duplicates(d, threshold=0.3)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -560,17 +586,41 @@ def _ivf_cosine_topk(spark, sf):
                            n_clusters=16, n_probe=4)
 
 
+def _embeddings_with_planted_dups(spark, sf):
+    """embeddings ∪ scaled copies of vec_id<20 (ids +100,000, vectors ×2).
+
+    Scaling preserves direction, so each (i, i+100000) pair has cosine
+    exactly 1.0 — the sf corpora have no natural pairs above 0.9, so
+    without the plant both near-dup queries return 0 rows (vacuous).
+    Derived from existing rows → the oracle reproduces it in SQL.
+    """
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return emb.unionByName(planted)
+
+
 def _embedding_near_dups(spark, sf):
+    # Banded LSH → exact verify. Planted pairs are exact-direction
+    # copies → identical signatures in every band → guaranteed
+    # candidates, so this matches the exact oracle at threshold 0.9
+    # (no natural pairs exist between 0.9 and 1.0 in the sf corpora).
     from ocr_agent_spark.functions.similarity import embedding_near_duplicates
 
-    return embedding_near_duplicates(_t(spark, sf, "embeddings"), threshold=0.5)
+    return embedding_near_duplicates(
+        _embeddings_with_planted_dups(spark, sf), threshold=0.9
+    )
 
 
 def _embedding_near_dups_exact(spark, sf):
     from ocr_agent_spark.functions.similarity import embedding_near_duplicates_exact
 
     return embedding_near_duplicates_exact(
-        _t(spark, sf, "embeddings"), threshold=0.5
+        _embeddings_with_planted_dups(spark, sf), threshold=0.9
     )
 
 
@@ -685,12 +735,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_EMB_NEAR_DUP_ORACLE = """
+    WITH emb AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+        FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                 b.embedding::DOUBLE[]), 6) AS cosine
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+          b.embedding::DOUBLE[]) >= 0.9
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    jacc_shingles = """
-        WITH toks AS (
+    planted_near = """
+            SELECT doc_id, text FROM documents WHERE doc_id < 100
+            UNION ALL
+            SELECT doc_id + 1000000, text || ' qq zz'
+            FROM documents WHERE doc_id < 10
+    """
+    jacc_shingles = f"""
+        WITH base AS ({planted_near}),
+        toks AS (
             SELECT doc_id,
                    regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-            FROM documents WHERE doc_id < 100
+            FROM base
         ),
         elig AS (SELECT * FROM toks WHERE len(t) >= 3),
         sh AS (
@@ -914,10 +988,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_total FROM documents"
         ),
         "dedup_exact_groups": (
+            "WITH base AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20) "
             "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
             "AS fingerprint, MIN(doc_id) AS keeper_id, "
             "CAST(COUNT(*) AS BIGINT) AS dup_count "
-            "FROM documents GROUP BY 1 HAVING COUNT(*) > 1"
+            "FROM base GROUP BY 1 HAVING COUNT(*) > 1"
         ),
         "ngram_jaccard_pairs": jacc_shingles,
         "lang_id_counts": lang_votes,
@@ -936,12 +1012,27 @@ def oracle_sql() -> dict[str, str]:
             f"ROUND(list_cosine_similarity(embedding::DOUBLE[], {_QUERY_VEC_SQL}), 6) "
             f"AS cosine FROM embeddings ORDER BY cosine DESC, neighbor_id LIMIT 10"
         ),
-        "embedding_near_dups_exact": (
-            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            "ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
-            "b.embedding::DOUBLE[]), 6) AS cosine "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
-            "b.embedding::DOUBLE[]) >= 0.5"
+        "embedding_near_dups_exact": _EMB_NEAR_DUP_ORACLE,
+        # The LSH variant matches the same oracle here BY CONSTRUCTION:
+        # planted pairs are exact-direction copies (identical signatures
+        # in every band → guaranteed candidates) and no natural pair in
+        # the sf corpora falls in [0.9, 1); the verify stage is exact.
+        "embedding_near_dups": _EMB_NEAR_DUP_ORACLE,
+        "quality_scores": (
+            "WITH q AS (SELECT doc_id, text, "
+            "  CASE WHEN len(trim(text)) = 0 THEN 0 "
+            "       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tc, "
+            "  CASE WHEN len(text) = 0 THEN 0.0 "
+            "       ELSE len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 "
+            "            / len(text) END AS alpha, "
+            "  len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt, "
+            f"  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"      x -> list_contains({_sql_list(_STOP_EN)}, x))) AS hits "
+            "FROM documents) "
+            "SELECT doc_id, ROUND("
+            "  (CASE WHEN tc BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) "
+            "  + LEAST(alpha, 0.8) * 0.5 "
+            "  + (CASE WHEN nt > 0 AND hits * 1.0 / nt > 0.01 THEN 0.1 ELSE 0.0 END)"
+            ", 6) AS quality FROM q"
         ),
     }

@@ -19,7 +19,7 @@ results are stable across engines (oracle: DuckDB list_cosine_similarity).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -178,9 +178,17 @@ def ivf_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     the data. Here the index is built inline (sample → driver k-means →
     broadcast centroids as literals).
     """
+    # Quantizer sample: hash-ordered top-N — a deterministic *random*
+    # sample (one TakeOrdered pass, no full sort). orderBy(id).limit(N)
+    # would take the first N rows by id, which on crawl-ordered
+    # (topic-correlated) embeddings is a biased sample that silently
+    # degrades probe recall.
     sample = [
         list(r[vec_col])
-        for r in embeddings.select(vec_col).orderBy(id_col).limit(sample_size).collect()
+        for r in embeddings.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
     ]
     centroids = _kmeans_centroids(sample, n_clusters, seed=seed)
 
@@ -217,31 +225,129 @@ def embedding_near_duplicates_exact(embeddings: DataFrame, threshold: float = 0.
     )
 
 
-def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
-                              id_col: str = "vec_id", vec_col: str = "embedding",
-                              n_planes: int = 8, seed: int = 42) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucketing + exact verify.
+def embedding_lsh_candidates(embeddings: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding", bands: int = 12,
+                             rows_per_band: int = 12, seed: int = 42,
+                             max_bucket_size: int = 10_000) -> DataFrame:
+    """Banded random-hyperplane LSH candidate pairs (ids only).
 
-    Self-join happens only within identical signatures (the classic
-    near-dup shuffle pattern: one hash partition per bucket).
+    b bands × r bits each: a pair is a candidate iff it agrees on ALL r
+    sign bits of AT LEAST one band — P(candidate) = 1−(1−p^r)^b with
+    p = 1 − θ/π. The round-1 single-table 8-plane design capped at 256
+    buckets globally, so at 10⁹+ vectors every bucket held millions of
+    rows and the within-bucket self-join re-exploded to ~N²/256; the
+    banded form keeps 2^r buckets PER band (4096 at the default r=12)
+    and recovers recall by unioning the per-band candidate sets — same
+    shape as ``dedup.minhash_lsh_candidates``.
+
+    ``max_bucket_size`` bounds the quadratic blowup of any single
+    bucket (a degenerate direction shared by millions of vectors):
+    oversized buckets are dropped from candidate generation, trading
+    recall inside pathological clusters for a hard cost ceiling. NOT
+    silent: use ``embedding_lsh_bucket_stats`` to see what a corpus
+    would drop. At 100 TB, raise ``rows_per_band`` so expected bucket
+    size stays ≪ the cap, and keep the cap as the skew backstop.
+
+    Plan: one signature pass (b·r JVM dot products/row) → explode to
+    (doc_id, band, bucket) — ids only, the vector never enters the
+    shuffle — → bucket-size window filter → per-(band,bucket) self-join
+    → distinct id pairs.
+    """
+    from ocr_agent_spark.cache import persist_tracked
+
+    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = _hyperplanes(dim_row["d"], bands * rows_per_band, seed)
+    band_sigs = [
+        lsh_signature(F.col(vec_col),
+                      planes[b * rows_per_band:(b + 1) * rows_per_band])
+        for b in range(bands)
+    ]
+    banded = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), sig.alias("bucket"))
+                for b, sig in enumerate(band_sigs)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    w = Window.partitionBy("band", "bucket")
+    capped = persist_tracked(
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+    return (
+        capped.alias("a")
+        .join(capped.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def embedding_lsh_bucket_stats(embeddings: DataFrame, id_col: str = "vec_id",
+                               vec_col: str = "embedding", bands: int = 12,
+                               rows_per_band: int = 12, seed: int = 42,
+                               max_bucket_size: int = 10_000) -> DataFrame:
+    """Per-band bucket-size distribution + how many rows the cap drops.
+
+    The no-silent-caps companion to ``embedding_lsh_candidates``: run it
+    before a big job to see whether ``max_bucket_size`` bites.
     """
     dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    planes = _hyperplanes(dim_row["d"], n_planes, seed)
-    signed = embeddings.select(
+    planes = _hyperplanes(dim_row["d"], bands * rows_per_band, seed)
+    band_sigs = [
+        lsh_signature(F.col(vec_col),
+                      planes[b * rows_per_band:(b + 1) * rows_per_band])
+        for b in range(bands)
+    ]
+    banded = embeddings.select(
         F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("vec"),
-        lsh_signature(F.col(vec_col), planes).alias("sig"),
-    )
-    pairs = (
-        signed.alias("a")
-        .join(signed.alias("b"), "sig")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(
-                cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6
-            ).alias("cosine"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), sig.alias("bucket"))
+                for b, sig in enumerate(band_sigs)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.sum(
+                F.when(F.col("bucket_size") > max_bucket_size,
+                       F.col("bucket_size")).otherwise(0)
+            ).alias("rows_dropped_by_cap"),
         )
     )
-    return pairs.filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
+                              id_col: str = "vec_id", vec_col: str = "embedding",
+                              bands: int = 12, rows_per_band: int = 12,
+                              seed: int = 42,
+                              max_bucket_size: int = 10_000) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded LSH candidates → exact
+    cosine verify on the candidate ids only.
+
+    Candidate generation moves ids, never vectors; the verify stage
+    joins the (small) candidate pair set back to the embedding table
+    twice to fetch the two vectors — at 100 TB those are two hash joins
+    keyed on id against a candidate set that is ≪ N.
+    """
+    cand = embedding_lsh_candidates(embeddings, id_col, vec_col, bands,
+                                    rows_per_band, seed, max_bucket_size)
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    raw = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("cosine"))
+    )

@@ -214,6 +214,85 @@ def test_embedding_near_duplicates(spark, embeddings):
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 999)}
 
 
+def test_embedding_lsh_recall_vs_exact(spark):
+    # Planted perturbed near-dups (cosine ~0.97-0.99): the banded LSH
+    # variant must recover >=0.9 of what the exact O(N^2) baseline finds.
+    import random
+
+    rows = []
+    for i in range(150):
+        rng = random.Random(f"base:{i}")
+        v = [rng.uniform(-1, 1) for _ in range(32)]
+        rows.append((i, v))
+        if i < 40:  # 40 planted near-duplicates with small angular noise
+            nz = random.Random(f"noise:{i}")
+            rows.append((1000 + i, [x + nz.uniform(-0.08, 0.08) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates_exact(emb, threshold=0.95).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_duplicates(emb, threshold=0.95).collect()
+    }
+    assert len(exact) >= 30  # the plant worked
+    assert approx <= exact  # verify stage admits no false positives
+    assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_embedding_lsh_bucket_cap(spark):
+    # A degenerate direction shared by many vectors: with the cap below
+    # the cluster size, that bucket contributes no candidate pairs (the
+    # hard cost ceiling); stats report the drop so it is not silent.
+    rows = [(i, [1.0] * 16) for i in range(50)] + [
+        (100 + i, [(-1.0) ** j * (1.0 + 0.01 * i) for j in range(16)])
+        for i in range(5)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = similarity.embedding_near_duplicates(
+        emb, threshold=0.99, max_bucket_size=10
+    ).collect()
+    ids_in_big_cluster = {i for i in range(50)}
+    assert not any(
+        p["id_a"] in ids_in_big_cluster and p["id_b"] in ids_in_big_cluster
+        for p in capped
+    )
+    stats = similarity.embedding_lsh_bucket_stats(emb, max_bucket_size=10).collect()
+    assert all(r["rows_dropped_by_cap"] >= 50 for r in stats)
+    # with a cap that fits, the cluster's pairs come back
+    uncapped = similarity.embedding_near_duplicates(
+        emb, threshold=0.99, max_bucket_size=1000
+    ).count()
+    assert uncapped >= 50 * 49 / 2
+
+
+def test_ivf_sample_not_id_biased(spark):
+    # Id-sorted topic-clustered fixture: ids 0..149 point one way, ids
+    # 150..299 the other. A first-N-by-id quantizer sample would never
+    # see cluster B; the hash-ordered sample must, so a query near
+    # cluster B finds its true neighbors.
+    import random
+
+    rows = []
+    for i in range(300):
+        rng = random.Random(f"ivfbias:{i}")
+        base = [1.0] * 8 + [0.0] * 8 if i < 150 else [0.0] * 8 + [1.0] * 8
+        rows.append((i, [b + rng.uniform(-0.05, 0.05) for b in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = [0.0] * 8 + [1.0] * 8  # cluster B centroid
+
+    exact = [r["neighbor_id"] for r in similarity.cosine_topk(emb, query, k=5).collect()]
+    approx = [
+        r["neighbor_id"]
+        for r in similarity.ivf_cosine_topk(
+            emb, query, k=5, n_clusters=4, n_probe=1, sample_size=64
+        ).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 4
+
+
 # -- multimodal ------------------------------------------------------------
 
 
