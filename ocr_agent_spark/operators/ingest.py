@@ -50,6 +50,8 @@ def _pdf_page_count_udf(payload: pd.Series) -> pd.Series:
     from ocr_agent_spark.kernel.minipdf import pdf_page_count
 
     def probe(data) -> int:
+        if data is None:
+            return 1  # non-PDF row: payload was masked out JVM-side
         try:
             return pdf_page_count(bytes(data))
         except Exception:
@@ -86,13 +88,16 @@ def build_task_table(pages: DataFrame, order_partitions: int | None = None,
     (e.g. latest ``warc_ts`` wins) if a crawl carries url revisits.
     """
     # Single-scan plan: no filter/union branches (each branch would
-    # re-scan the source per pass). The page probe runs on every row —
-    # it rejects non-PDF payloads on the 4-byte magic, so the HTML
-    # majority costs one memcmp — and the fan-out is one explode:
-    # html → 1 row, good pdf → total_pages rows, bad pdf → 1 failure
-    # row (total_pages<=0, D2).
+    # re-scan the source per pass). The probe UDF's input is MASKED
+    # JVM-side to the PDF slice (CASE WHEN kind='pdf' THEN html END):
+    # the HTML-majority payload reaches the Arrow batch as NULLs — a
+    # validity bitmap, zero payload bytes — instead of round-tripping
+    # the full binary column into Python just to fail a 4-byte magic
+    # check. The fan-out stays one explode: html → 1 row, good pdf →
+    # total_pages rows, bad pdf → 1 failure row (total_pages<=0, D2).
     probed = classify_pages(pages).withColumn(
-        "_probe", _pdf_page_count_udf(F.col("html"))
+        "_probe",
+        _pdf_page_count_udf(F.when(F.col("kind") == KIND_PDF, F.col("html"))),
     )
     n_rows = (
         F.when(F.col("kind") == KIND_HTML, F.lit(1))

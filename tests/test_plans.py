@@ -69,6 +69,36 @@ def test_merge_plan_prunes_text_only(spark, pages_path):
         assert "part_wall_ms" not in scan_cols
 
 
+def test_staged_probe_masks_html_payload(spark, pages_path):
+    """The staged-path page probe must not ship HTML payloads through
+    Arrow: the ArrowEvalPython input is CASE WHEN kind='pdf' THEN html
+    END, so non-PDF rows cross as nulls (VERDICT r01 'what's wrong' #3).
+    Checked both on the plan and behaviorally: a corrupt payload that
+    would probe as a broken PDF classifies as html and must come out as
+    ONE html task row, proving the probe never saw its bytes."""
+    from ocr_agent_spark.operators.ingest import build_task_table
+    from ocr_agent_spark.plans.inspect import executed_plan_str
+
+    pages = spark.read.parquet(pages_path)
+    tasks = build_task_table(pages)
+    plan = executed_plan_str(tasks)
+    probe_lines = [
+        ln for ln in plan.splitlines() if "ArrowEvalPython" in ln
+    ]
+    assert probe_lines, plan[:2000]
+    assert any("CASE WHEN" in ln and "html" in ln for ln in probe_lines), probe_lines
+
+    rows = build_task_table(
+        spark.createDataFrame(
+            [("u1", None, b"not a pdf at all" * 100)],
+            "url string, warc_ts timestamp, html binary",
+        )
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["kind"] == "html"
+    assert rows[0]["total_pages"] is None
+
+
 def test_broadcast_join_in_staged_key_attach(spark, pages_path):
     """Small key set → the staged path's key-attach join must be a
     broadcast hash join (no payload shuffle)."""
