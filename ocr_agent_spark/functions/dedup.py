@@ -93,7 +93,15 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     jaccard = |∩| / (|A|+|B|−|∩|). The (a<b) predicate halves the pair
     space. At 100 TB this runs per-LSH-bucket, not globally.
     """
-    sh = shingle_table(docs, id_col, text_col, n)
+    return ngram_jaccard_from_shingles(
+        shingle_table(docs, id_col, text_col, n), threshold
+    )
+
+
+def ngram_jaccard_from_shingles(sh: DataFrame,
+                                threshold: float = 0.8) -> DataFrame:
+    """Jaccard pairs from a pre-built (doc_id, shingle) table — lets the
+    MinHash pipeline reuse one shingle pass for signatures AND verify."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     pairs = (
         sh.alias("a")
@@ -133,7 +141,14 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     measured 50x slower. Keep the explode.)
     Output: (doc_id, minhash: array<long>[k]).
     """
-    sh = shingle_table(docs, id_col, text_col, n)
+    return minhash_signatures_from_shingles(
+        shingle_table(docs, id_col, text_col, n), num_hashes
+    )
+
+
+def minhash_signatures_from_shingles(sh: DataFrame,
+                                     num_hashes: int = 32) -> DataFrame:
+    """Signatures from a pre-built (doc_id, shingle) table."""
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
         for seed in range(num_hashes)
@@ -153,8 +168,15 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     Plan: signatures → explode band slices → hash band → self-join per
     (band_idx, band_hash) bucket — the all-pairs join never happens.
     """
+    return _lsh_band_pairs(
+        minhash_signatures(docs, id_col, text_col, n, num_hashes),
+        num_hashes, bands,
+    )
+
+
+def _lsh_band_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, minhash) signatures → distinct candidate id pairs."""
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -189,28 +211,52 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
 def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
                             num_hashes: int = 32, bands: int = 8,
-                            threshold: float = 0.8) -> DataFrame:
+                            threshold: float = 0.8,
+                            reuse_shingles: bool = True) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates → exact-verify.
 
     The verification jaccard runs only on LSH candidates (semi-join
     pushdown onto the shingle table), so total cost stays near-linear.
+
+    ``reuse_shingles`` (default) persists the exploded shingle table so
+    ONE tokenize+shingle pass feeds both the signature aggregation and
+    the verify jaccard, instead of re-shingling the pruned docs from
+    scratch (a second doc scan + tokenization). Trade-off: the cache
+    holds |docs|·shingles rows; at 100 TB either pass
+    ``reuse_shingles=False`` (recompute just the small pruned slice) or
+    materialize the shingle table to storage between stages.
+
+    The candidate pairs are persisted either way: they feed three
+    consumers (id pruning, the final semi-join, the verify scope) and
+    are id pairs only — tiny at any scale.
     """
-    # Persist the candidate pairs: they feed three consumers (id
-    # pruning, the final semi-join, and implicitly the verify scope) —
-    # without it the whole signature+banding pipeline re-executes per
-    # consumer. Candidates are pairs of ids only: tiny at any scale.
     from ocr_agent_spark.cache import persist_tracked
 
-    candidates = persist_tracked(
-        minhash_lsh_candidates(docs, id_col, text_col, n, num_hashes, bands)
-    )
+    if reuse_shingles:
+        sh = persist_tracked(shingle_table(docs, id_col, text_col, n))
+        candidates = persist_tracked(
+            _lsh_band_pairs(
+                minhash_signatures_from_shingles(sh, num_hashes),
+                num_hashes, bands,
+            )
+        )
+    else:
+        sh = None
+        candidates = persist_tracked(
+            minhash_lsh_candidates(docs, id_col, text_col, n, num_hashes, bands)
+        )
     cand_ids = (
         candidates.select(F.col("id_a").alias("doc_id"))
         .union(candidates.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    pruned = docs.join(cand_ids, docs[id_col] == cand_ids["doc_id"], "left_semi")
-    verified = ngram_jaccard_pairs(pruned, id_col, text_col, n, threshold)
+    if reuse_shingles:
+        verified = ngram_jaccard_from_shingles(
+            sh.join(cand_ids, "doc_id", "left_semi"), threshold
+        )
+    else:
+        pruned = docs.join(cand_ids, docs[id_col] == cand_ids["doc_id"], "left_semi")
+        verified = ngram_jaccard_pairs(pruned, id_col, text_col, n, threshold)
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
 
 

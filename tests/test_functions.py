@@ -96,6 +96,23 @@ def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
     assert lsh == exact
 
 
+def test_minhash_reuse_shingles_equals_recompute(spark, docs):
+    """The shingle-reuse fast path (one tokenize pass feeding signature
+    AND verify stages) must be value-identical to the recompute path."""
+    d = docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    reuse = {
+        (p["id_a"], p["id_b"], round(p["jaccard"], 6))
+        for p in dedup.minhash_near_duplicates(d, threshold=0.4,
+                                               reuse_shingles=True).collect()
+    }
+    recompute = {
+        (p["id_a"], p["id_b"], round(p["jaccard"], 6))
+        for p in dedup.minhash_near_duplicates(d, threshold=0.4,
+                                               reuse_shingles=False).collect()
+    }
+    assert reuse == recompute and reuse
+
+
 def test_simhash_near_duplicates(spark, docs):
     sigs = dedup.simhash_signatures(docs.filter(F.col("doc_id").isin(0, 1, 4))).collect()
     by_id = {r["doc_id"]: r["simhash"] for r in sigs}
