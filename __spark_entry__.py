@@ -271,6 +271,24 @@ def _f13_mime_map(spark, sf):
     )
 
 
+def _s2_triage_counts(spark, sf):
+    # S2: the triage/classify report (reference input_discovery.py:56-97)
+    # in its distributed form — extension classification over synthesized
+    # path strings (documents.source carries no extension, so a
+    # deterministic doc_id-keyed extension mix exercises every branch).
+    from ocr_agent_spark.operators.triage import triage_counts
+
+    exts = ["png", "jpg", "pdf", "txt", "webp", "", "tiff"]
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in exts]), (F.col("doc_id") % 7).cast("int") + 1
+    )
+    path = F.concat(
+        F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"),
+        F.when(ext != "", F.concat(F.lit("."), ext)).otherwise(F.lit("")),
+    )
+    return triage_counts(_t(spark, sf, "documents"), path)
+
+
 def _a6_ordered_concat(spark, sf):
     li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000)
     return li.groupBy("l_orderkey").agg(
@@ -685,6 +703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_rolling_sum": _w7_rolling_sum,
         # filters / predicates (§2.2)
         "p_filters": _p_filters,
+        # triage/classify report (§2.1 S2)
+        "s2_triage_counts": _s2_triage_counts,
         # fan-out / scalar functions (§2.8, U3)
         "u3_page_fanout": _u3_page_fanout,
         "f6_page_header": _f6_page_header_impl,
@@ -878,6 +898,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, value FROM events "
             "WHERE event_type NOT IN ('error','view') AND value IS NOT NULL "
             "AND value > 50 AND event_id BETWEEN 100 AND 5000"
+        ),
+        "s2_triage_counts": (
+            "WITH p AS (SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) || "
+            "CASE WHEN (['png','jpg','pdf','txt','webp','','tiff'])"
+            "[CAST(doc_id % 7 AS INT) + 1] = '' THEN '' "
+            "ELSE '.' || (['png','jpg','pdf','txt','webp','','tiff'])"
+            "[CAST(doc_id % 7 AS INT) + 1] END AS path FROM documents), "
+            "c AS (SELECT CASE "
+            "WHEN lower(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1)) IN "
+            "('png','jpg','jpeg','webp','bmp','tif','tiff') THEN 'supported_image' "
+            "WHEN lower(regexp_extract(path, '\\.([A-Za-z0-9]+)$', 1)) = 'pdf' "
+            "THEN 'supported_pdf' ELSE 'unsupported' END AS category FROM p) "
+            "SELECT category, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1"
         ),
         "u3_page_fanout": (
             "SELECT p_partkey, i AS page_index FROM part, "

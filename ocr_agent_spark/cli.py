@@ -41,11 +41,23 @@ def _inputs_manifest(job_root: str) -> str:
 
 
 def cmd_enqueue(args) -> int:
-    paths = [os.path.abspath(p) for p in args.inputs]
-    missing = [p for p in paths if not os.path.exists(p)]
-    for p in missing:
-        print(f"missing input: {p}", file=sys.stderr)
-    paths = [p for p in paths if os.path.exists(p)]
+    # Full S2 triage (reference InputDiscoveryReport, input_discovery.py:
+    # 56-97): classify every input into supported / missing /
+    # unsupported / empty_dir / unknown and print the reference-shaped
+    # diagnostic block before enqueueing anything. This engine's page
+    # bundles are parquet, so that is the supported extension set.
+    from ocr_agent_spark.operators.triage import (
+        discover_input_rows,
+        render_triage_report,
+    )
+
+    raw = [os.path.abspath(p) for p in args.inputs]
+    paths, triage_rows = discover_input_rows(raw, supported_exts=("parquet",))
+    report = render_triage_report(triage_rows)
+    if report:
+        print(report, file=sys.stderr)
+        if any(cat == "unsupported" or cat == "empty_dir" for _, cat in triage_rows):
+            print("Supported file types:\n- Pages: .parquet", file=sys.stderr)
     if not paths:
         print("nothing enqueued", file=sys.stderr)
         return EXIT_CODE_NOTHING_ENQUEUED
