@@ -649,7 +649,7 @@ def _multimodal_features(spark, sf):
     )
 
     media = fake_media_table(spark, n=48)
-    return extract_media_features(media, decode_backend="fake", num_partitions=8)
+    return extract_media_features(media, decode_backend="headers", num_partitions=8)
 
 
 def _rolling_fingerprints(spark, sf):

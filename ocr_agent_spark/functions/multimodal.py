@@ -3,17 +3,21 @@
 Media travel as opaque ``binary`` columns + a typed metadata struct —
 the same pattern as the ``html:binary`` payload column: bytes never
 leave the JVM except through Arrow batches into pandas UDFs. The
-container ships no media libraries, so the *decode* step is stubbed:
+container ships no media libraries, so *pixel* decoding is stubbed,
+but image **metadata** decoding is real (stdlib header parsing):
 
+- ``decode_backend="headers"`` (default) → REAL container sniff +
+  width/height from PNG/JPEG/GIF/BMP headers (kernel/imagemeta.py);
+  malformed image payloads become failure rows. Feature vectors remain
+  deterministic fakes (pixel decode needs PIL), and audio/video
+  metadata stays faked (needs ffmpeg).
+- ``decode_backend="fake"``  → everything faked, keyed on payload
+  bytes (stable hashes → stable "pixels") — plumbing-only mode.
 - ``decode_backend="none"``  → NotImplementedError per row, surfaced as
   failure rows (status/error), never a job abort — D2 semantics.
-- ``decode_backend="fake"``  → deterministic fake decoder keyed on the
-  payload bytes (stable hashes → stable "pixels"), so the Spark-side
-  plumbing — schema, partitioning, UDF signature, Arrow batch shape,
-  failure rows — is fully real and testable.
 
-Real backends (PIL/ffmpeg) slot in behind the same interface: each
-``_fake_*`` function documents the real call it stands in for.
+Full pixel backends (PIL/ffmpeg) slot in behind the same interface:
+each ``_fake_*`` function documents the real call it stands in for.
 """
 
 from __future__ import annotations
@@ -33,7 +37,8 @@ MEDIA_SCHEMA = (
 
 FEATURES_SCHEMA = (
     "media_id long, kind string, status string, error string, "
-    "feature array<float>, out_width int, out_height int, n_frames int"
+    "feature array<float>, format string, src_width int, src_height int, "
+    "out_width int, out_height int, n_frames int"
 )
 
 
@@ -67,7 +72,7 @@ def _fake_video_frame_sample(data: bytes, every_ms: int) -> dict:
             "out_width": None, "out_height": None, "n_frames": n_frames}
 
 
-def extract_media_features(media: DataFrame, decode_backend: str = "fake",
+def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                            resize_to: tuple[int, int] = (64, 64),
                            frame_every_ms: int = 1000,
                            num_partitions: int | None = None) -> DataFrame:
@@ -75,16 +80,24 @@ def extract_media_features(media: DataFrame, decode_backend: str = "fake",
 
     Partitioning: hash of media_id (payloads are size-skewed, ids are
     not). The binary column is column-pruned away after this stage —
-    downstream consumers only see the 16-float feature.
+    downstream consumers only see the 16-float feature + metadata.
+
+    ``headers`` backend: image format/src_width/src_height come from a
+    REAL stdlib header parse (kernel/imagemeta.py); a payload that is
+    not a parseable image becomes a failure row (D2), like a malformed
+    PDF in the extraction stage.
     """
     spark = media.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_agent_spark.kernel.imagemeta import parse_image_dimensions
+
+        cols = ["media_id", "kind", "status", "error", "feature", "format",
+                "src_width", "src_height", "out_width", "out_height", "n_frames"]
         for batch in batches:
-            rows = {"media_id": [], "kind": [], "status": [], "error": [],
-                    "feature": [], "out_width": [], "out_height": [], "n_frames": []}
+            rows: dict[str, list] = {c: [] for c in cols}
             for media_id, kind, payload in zip(
                 batch["media_id"], batch["kind"], batch["payload"]
             ):
@@ -96,7 +109,10 @@ def extract_media_features(media: DataFrame, decode_backend: str = "fake",
                             f"no {kind} decode backend in this environment"
                         )
                     data = bytes(payload)
+                    fmt = src_w = src_h = None
                     if kind == "image":
+                        if decode_backend == "headers":
+                            fmt, src_w, src_h = parse_image_dimensions(data)
                         res = _fake_image_decode(data, resize_to)
                     elif kind == "audio":
                         res = _fake_audio_features(data)
@@ -107,16 +123,18 @@ def extract_media_features(media: DataFrame, decode_backend: str = "fake",
                     rows["status"].append("completed")
                     rows["error"].append(None)
                     rows["feature"].append(res["feature"])
+                    rows["format"].append(fmt)
+                    rows["src_width"].append(src_w)
+                    rows["src_height"].append(src_h)
                     rows["out_width"].append(res["out_width"])
                     rows["out_height"].append(res["out_height"])
                     rows["n_frames"].append(res["n_frames"])
                 except Exception as exc:
                     rows["status"].append("failed")
                     rows["error"].append(repr(exc))
-                    rows["feature"].append(None)
-                    rows["out_width"].append(None)
-                    rows["out_height"].append(None)
-                    rows["n_frames"].append(None)
+                    for c in ("feature", "format", "src_width", "src_height",
+                              "out_width", "out_height", "n_frames"):
+                        rows[c].append(None)
             yield pd.DataFrame(rows)
 
     partitioned = media.repartition(num_partitions, F.col("media_id"))
@@ -124,19 +142,43 @@ def extract_media_features(media: DataFrame, decode_backend: str = "fake",
 
 
 def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
-    """Deterministic media fixture rows (payload = seeded bytes)."""
+    """Deterministic media fixture rows.
+
+    Image payloads are REAL container bytes (PNG/JPEG/GIF/BMP round-
+    robin, built stdlib-only by kernel/imagemeta.py) so the ``headers``
+    backend decodes genuine dimensions; audio/video stay seeded bytes.
+    """
     import random
 
+    from ocr_agent_spark.kernel.imagemeta import (
+        build_bmp_header,
+        build_gif_header,
+        build_jpeg_header,
+        build_png,
+    )
+
+    builders = [
+        lambda w, h, i: build_png(min(w, 64), min(h, 64), seed=i),
+        lambda w, h, i: build_jpeg_header(w, h),
+        lambda w, h, i: build_gif_header(w, h),
+        lambda w, h, i: build_bmp_header(w, h),
+    ]
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         rng = random.Random(f"{seed}:media:{i}")
         kind = kinds[i % 3]
-        payload = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))
-        rows.append(
-            (i, kind, payload, f"{kind}/fake",
-             rng.randint(100, 4000) if kind == "image" else None,
-             rng.randint(100, 3000) if kind == "image" else None,
-             rng.randint(1000, 600000) if kind != "image" else None)
-        )
+        if kind == "image":
+            w = rng.randint(100, 4000)
+            h = rng.randint(100, 3000)
+            payload = builders[(i // 3) % 4](w, h, i)
+            if payload.startswith(b"\x89PNG"):
+                w, h = min(w, 64), min(h, 64)  # build_png clamps pixel count
+            rows.append((i, kind, payload, "image/fixture", w, h, None))
+        else:
+            payload = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))
+            rows.append(
+                (i, kind, payload, f"{kind}/fake", None, None,
+                 rng.randint(1000, 600000))
+            )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

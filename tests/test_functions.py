@@ -326,6 +326,60 @@ def test_multimodal_plumbing(spark):
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
 
 
+def test_multimodal_headers_decodes_real_dimensions(spark):
+    media = multimodal.fake_media_table(spark, n=24)
+    feats = multimodal.extract_media_features(media, decode_backend="headers")
+    rows = {r["media_id"]: r for r in feats.collect()}
+    meta = {r["media_id"]: r for r in media.collect()}
+    images = [i for i, m in meta.items() if m["kind"] == "image"]
+    assert images
+    formats = set()
+    for i in images:
+        r = rows[i]
+        assert r["status"] == "completed"
+        # decoded-from-bytes dims must equal the fixture's declared dims
+        assert (r["src_width"], r["src_height"]) == (
+            meta[i]["width"], meta[i]["height"]
+        ), (i, r["format"])
+        formats.add(r["format"])
+    assert formats == {"png", "jpeg", "gif", "bmp"}
+    # audio/video carry no image header — format columns are null
+    for i, m in meta.items():
+        if m["kind"] != "image":
+            assert rows[i]["format"] is None
+            assert rows[i]["status"] == "completed"
+
+
+def test_multimodal_headers_rejects_malformed_image(spark):
+    media = spark.createDataFrame(
+        [(0, "image", b"this is not an image", "image/x", 10, 10, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_media_features(media, decode_backend="headers").collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "failed"
+    assert "ImageFormatError" in rows[0]["error"]
+
+
+def test_imagemeta_kernel_roundtrip():
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    assert im.parse_image_dimensions(im.build_png(31, 17)) == ("png", 31, 17)
+    assert im.parse_image_dimensions(im.build_jpeg_header(641, 480)) == (
+        "jpeg", 641, 480
+    )
+    assert im.parse_image_dimensions(im.build_gif_header(12, 34)) == ("gif", 12, 34)
+    assert im.parse_image_dimensions(im.build_bmp_header(100, 200)) == (
+        "bmp", 100, 200
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(im.ImageFormatError):
+        im.parse_image_dimensions(b"garbage")
+    with _pytest.raises(im.ImageFormatError):
+        im.parse_image_dimensions(im.build_png(31, 17)[:12])  # truncated
+
+
 def test_multimodal_stub_backend_fails_as_rows(spark):
     media = multimodal.fake_media_table(spark, n=6)
     rows = multimodal.extract_media_features(media, decode_backend="none").collect()
