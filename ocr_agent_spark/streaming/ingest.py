@@ -25,8 +25,19 @@ import os
 from pyspark.sql import SparkSession
 
 from ocr_agent_spark.fixtures import PAGES_ARROW_SCHEMA_DDL
-from ocr_agent_spark.operators.extract import _extract_batches, EXTRACTED_SCHEMA
-from pyspark.sql import functions as F
+from ocr_agent_spark.operators.extract import (
+    FUSED_SCHEMA,
+    _extract_pages_fused_batches,
+)
+
+
+def _count_output_rows(spark: SparkSession, output_dir: str) -> int:
+    if not os.path.exists(output_dir):
+        return 0
+    try:
+        return spark.read.parquet(output_dir).count()
+    except Exception:
+        return 0  # directory exists but holds no committed files yet
 
 
 def run_streaming_extraction(
@@ -37,17 +48,25 @@ def run_streaming_extraction(
     max_files_per_trigger: int | None = None,
 ) -> int:
     """Drain all unprocessed page files from ``input_dir`` → extracted
-    parquet under ``output_dir``; returns rows written this drain.
+    parquet under ``output_dir``; returns rows written BY THIS drain
+    (pre/post count delta — a re-drain with no new files returns 0).
 
     Exactly-once per input file via the checkpoint; re-running after new
     files arrive processes only the new files (the streaming twin of the
     batch snapshot resume).
+
+    The transformation is the SAME fused kernel as the batch hot path
+    (probe + pdf page fan-out + extract inside one mapInPandas batch),
+    so a multi-page PDF arriving on the stream yields ALL its pages —
+    identical rows to a batch run over the same payload.
 
     Note: the streaming path assigns no global ``order_key`` (a global
     sort is meaningless on an unbounded source). Order remains data —
     (url, page_index) — and the merge job sorts when the artifact is
     built, exactly like the batch path.
     """
+    before = _count_output_rows(spark, output_dir)
+
     reader = (
         spark.readStream.schema(PAGES_ARROW_SCHEMA_DDL)
         .format("parquet")
@@ -56,23 +75,9 @@ def run_streaming_extraction(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     pages = reader.load(input_dir)
 
-    tasks = pages.select(
-        F.lit(-1).cast("long").alias("order_key"),
-        F.when(
-            F.substring(F.col("html"), 1, 4).cast("string") == "%PDF",
-            F.lit("pdf_page"),
-        ).otherwise(F.lit("html")).alias("kind"),
-        "url",
-        F.lit(0).alias("page_index"),
-        F.lit(None).cast("int").alias("total_pages"),
-        F.col("warc_ts").alias("created_ts"),
-        "html",
+    extracted = pages.select("url", "warc_ts", "html").mapInPandas(
+        _extract_pages_fused_batches, schema=FUSED_SCHEMA
     )
-    # NB: streaming PDF fan-out needs the page count inside the batch —
-    # mapInPandas handles page 0 here; multi-page payloads take the
-    # batch path. (The reference's watcher also only ever ingests whole
-    # bundles; page fan-out happens in the enqueue job, cli.py:179-185.)
-    extracted = tasks.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
 
     query = (
         extracted.writeStream.format("parquet")
@@ -84,6 +89,4 @@ def run_streaming_extraction(
     )
     query.awaitTermination()
 
-    if not os.path.exists(output_dir):
-        return 0
-    return spark.read.parquet(output_dir).count()
+    return _count_output_rows(spark, output_dir) - before

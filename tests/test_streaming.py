@@ -43,14 +43,14 @@ def test_streaming_drain_and_resume(spark, tmp_path):
     n1 = run_streaming_extraction(spark, inbox, out, ckpt)
     assert n1 == 25
 
-    # second drain with no new files: nothing reprocessed
+    # second drain with no new files: nothing reprocessed (per-drain delta)
     n2 = run_streaming_extraction(spark, inbox, out, ckpt)
-    assert n2 == 25
+    assert n2 == 0
 
     # new file arrives → only it is processed (checkpoint resume, ST3)
     _write_batch(f"{inbox}/batch-1.parquet", records[25:])
     n3 = run_streaming_extraction(spark, inbox, out, ckpt)
-    assert n3 == len(records)
+    assert n3 == len(records) - 25
 
     ext = spark.read.parquet(out)
     assert ext.count() == ext.select("url").distinct().count()  # exactly-once
@@ -62,3 +62,45 @@ def test_streaming_drain_and_resume(spark, tmp_path):
     got = {r["url"]: r["text"] for r in ext.collect()}
     for rec in records:
         assert got[rec.url] == extract_html_text(rec.html)
+
+
+def test_streaming_multipage_pdf_fans_out_all_pages(spark, tmp_path):
+    """ADVICE r01 (medium): a multi-page PDF arriving on the stream must
+    yield one row per page — identical to the batch path — not a single
+    page-0 row with the rest silently dropped."""
+    inbox = str(tmp_path / "inbox")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pdf_records = [r for r in generate_pages(60) if r.html[:4] == b"%PDF"]
+    assert pdf_records
+    _write_batch(f"{inbox}/pdfs.parquet", pdf_records)
+    n = run_streaming_extraction(spark, inbox, out, ckpt)
+
+    from ocr_agent_spark.kernel.minipdf import pdf_page_count
+
+    expected_pages = sum(pdf_page_count(r.html) for r in pdf_records)
+    assert n == expected_pages
+    ext = spark.read.parquet(out)
+    assert ext.count() == expected_pages
+    multi = [r for r in pdf_records if pdf_page_count(r.html) > 1]
+    assert multi, "fixture must contain at least one multi-page PDF"
+    for rec in multi:
+        pages = ext.filter(ext.url == rec.url).select("page_index").collect()
+        assert sorted(p["page_index"] for p in pages) == list(
+            range(pdf_page_count(rec.html))
+        )
+
+    # batch-path equality on the same payloads (one code path, two drivers)
+    from ocr_agent_spark.operators.extract import extract_pages_fused
+
+    batch_rows = {
+        (r["url"], r["page_index"]): r["text"]
+        for r in extract_pages_fused(
+            spark.read.parquet(f"{inbox}/pdfs.parquet")
+        ).collect()
+    }
+    stream_rows = {
+        (r["url"], r["page_index"]): r["text"] for r in ext.collect()
+    }
+    assert stream_rows == batch_rows
