@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_agent_spark.cache import release_caches
-from ocr_agent_spark.operators.extract import extract_pages_fused, lineage_from_extracted
+from ocr_agent_spark.operators.extract import extract_pages_auto, lineage_from_extracted
 from ocr_agent_spark.operators.ingest import BROADCAST_KEY_LIMIT, assign_order_key
 from ocr_agent_spark.operators.merge import merge_extracted_to_markdown
 from ocr_agent_spark.sources.snapshot import SnapshotStore
@@ -79,7 +79,10 @@ def run_extraction_job(
     if n_pending == 0:
         return RunResult(run_id, total, 0, total)
 
-    extracted = extract_pages_fused(pending)
+    # Auto-routed: fused single-pass extraction, with giant PDFs (the
+    # one fused-path skew hazard) diverted to the staged explode+shuffle
+    # path so their pages spread across the cluster.
+    extracted = extract_pages_auto(pending)
     # Snapshot-commit the extraction output, then derive lineage from
     # the committed files (re-read, not recompute — the expensive
     # kernel runs exactly once).

@@ -25,3 +25,50 @@ def test_300_page_pdf_both_paths(spark):
     assert {(r["page_index"], r["text"]) for r in staged} == {
         (r["page_index"], r["text"]) for r in fused
     }
+
+
+def test_auto_routing_diverts_giant_pdf(spark):
+    """extract_pages_auto routes a giant PDF to the staged explode path
+    (its pages spread across many tasks — skew balance, not just
+    equality) while small payloads keep the fused plan."""
+    from ocr_agent_spark.operators.extract import (
+        extract_pages_auto,
+        extract_pages_fused,
+    )
+
+    giant_pages = [[f"PAGE_{p}_MARK"] for p in range(300)]
+    giant = build_pdf(giant_pages)
+    small_pdf = build_pdf([["small page one"], ["small page two"]])
+    html = b"<html><body><main><p>hello world</p></main></body></html>"
+    df = spark.createDataFrame(
+        [
+            ("https://big.example/doc", None, giant, None, "en"),
+            ("https://small.example/pdf", None, small_pdf, None, "en"),
+            ("https://small.example/html", None, html, None, "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+    routed = extract_pages_auto(df, giant_bytes=len(giant) // 2)
+    rows = routed.collect()
+    fused_rows = extract_pages_fused(df).collect()
+    key = lambda rs: {(r["url"], r["page_index"], r["text"], r["status"]) for r in rs}
+    assert key(rows) == key(fused_rows)  # identical output either way
+    assert routed.columns == extract_pages_fused(df).columns  # same schema
+
+    # skew balance: the giant PDF's 300 pages must NOT sit in one task
+    giant_parts = {
+        r["partition_id"] for r in rows if r["url"] == "https://big.example/doc"
+    }
+    assert len(giant_parts) > 1, giant_parts
+    # the small payloads kept the fused plan's partitioning (one scan
+    # partition here), i.e. they were not dragged through the staged path
+    small_rows = [r for r in rows if r["url"] != "https://big.example/doc"]
+    assert len(small_rows) == 3
+
+    # no giants -> plan IS the fused plan (zero shuffles)
+    from ocr_agent_spark.plans.inspect import count_exchanges
+
+    small_only = df.filter(~df.url.contains("big"))
+    auto_plan = extract_pages_auto(small_only, giant_bytes=10**9)
+    assert count_exchanges(auto_plan) == 0
