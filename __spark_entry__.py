@@ -258,6 +258,29 @@ def _f10_epoch(spark, sf):
     return e.select("event_id", F.unix_timestamp("ts").alias("ts_unix"))
 
 
+def _f15_result_coalesce(spark, sf):
+    # F15: model-result normalization (runner dict-key probing) over
+    # synthesized result maps exercising every branch: markdown-only,
+    # response-only, both (priority wins), and empty (to_json fallback).
+    from ocr_agent_spark.functions.text import normalize_result_column
+
+    d = _t(spark, sf, "documents")
+    branch = (F.col("doc_id") % 4).cast("int")
+    m = (
+        F.when(branch == 0, F.create_map(F.lit("markdown"), F.col("text")))
+        .when(branch == 1, F.create_map(F.lit("response"), F.upper("text")))
+        .when(
+            branch == 2,
+            F.create_map(
+                F.lit("markdown"), F.col("text"),
+                F.lit("response"), F.upper("text"),
+            ),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+    )
+    return d.select("doc_id", normalize_result_column(m).alias("markdown_out"))
+
+
 def _f13_mime_map(spark, sf):
     e = _t(spark, sf, "events")
     mime = (
@@ -714,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_md_extension": _f9_md_extension,
         "f10_epoch": _f10_epoch,
         "f13_mime_map": _f13_mime_map,
+        "f15_result_coalesce": _f15_result_coalesce,
         # streaming-shape gap-fill (§2.9)
         "st6_tumbling_window": _st6_tumbling_window,
         # set ops (§2.7) + grouping-set gap-fill
@@ -948,6 +972,11 @@ def oracle_sql() -> dict[str, str]:
             "WHEN event_type='purchase' THEN 'txn/purchase' "
             "ELSE 'other/unknown' END AS mime, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM events GROUP BY 1"
+        ),
+        "f15_result_coalesce": (
+            "SELECT doc_id, CASE CAST(doc_id % 4 AS INT) "
+            "WHEN 0 THEN text WHEN 1 THEN upper(text) WHEN 2 THEN text "
+            "ELSE '{}' END AS markdown_out FROM documents"
         ),
         "st6_tumbling_window": (
             "SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, "

@@ -131,6 +131,24 @@ def doc_fingerprint(col: str | Column = "text") -> Column:
     return F.md5(normalized)
 
 
+RESULT_KEY_PRIORITY = ("markdown", "text", "result", "output", "response")
+
+
+def normalize_result_column(result_map: Column) -> Column:
+    """F15 — normalize a model's raw result map to one markdown string.
+
+    The reference probes a dict for the first string under the key
+    priority markdown → text → result → output → response, falling back
+    to ``str(dict)`` (deepseek_ocr2_runner.py:37-52,
+    ``_normalize_infer_result_to_markdown``). Spark form: the raw result
+    travels as ``map<string,string>``; ``element_at`` per key +
+    ``coalesce`` is the whole probe, JVM-side, with ``to_json`` as the
+    render-the-whole-thing fallback.
+    """
+    candidates = [F.element_at(result_map, k) for k in RESULT_KEY_PRIORITY]
+    return F.coalesce(*candidates, F.to_json(result_map))
+
+
 def math_rewrite_udf(style: str = "dollar"):
     """Fence-aware LaTeX-math delimiter rewrite as a Series→Series
     pandas UDF (U4) — the canonical stateful per-document text

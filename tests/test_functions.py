@@ -310,6 +310,47 @@ def test_ivf_sample_not_id_biased(spark):
     assert len(set(exact) & set(approx)) >= 4
 
 
+def test_normalize_result_column_matches_reference(spark):
+    """F15 differential vs the reference's _normalize_infer_result_to_
+    markdown (runner dict-key probing) on map-shaped results."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        import importlib
+
+        ref_mod = importlib.import_module("ocr_agent.deepseek_ocr2_runner")
+        ref = ref_mod._normalize_infer_result_to_markdown
+    except Exception:
+        ref = None  # reference runner imports torch; fall back to spec
+    finally:
+        sys.path.remove("/root/reference/src")
+
+    from ocr_agent_spark.functions.text import normalize_result_column
+
+    cases = [
+        {"markdown": "MD"},
+        {"text": "TX"},
+        {"response": "RS"},
+        {"markdown": "MD", "response": "RS"},
+        {"output": "OP", "result": "RE"},
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i int, m map<string,string>")
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", normalize_result_column(F.col("m")).alias("out")).collect()
+    }
+    expected = ["MD", "TX", "RS", "MD", "RE"]
+    assert [got[i] for i in range(len(cases))] == expected
+    if ref is not None:
+        assert [ref(c) for c in cases] == expected
+    # fallback: no known key → rendered map (str(dict) analogue)
+    fb = spark.createDataFrame([({"weird": "x"},)], "m map<string,string>")
+    out = fb.select(normalize_result_column(F.col("m")).alias("o")).first()["o"]
+    assert "weird" in out and "x" in out
+
+
 # -- multimodal ------------------------------------------------------------
 
 
