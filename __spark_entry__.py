@@ -312,6 +312,27 @@ def _s2_triage_counts(spark, sf):
     return triage_counts(_t(spark, sf, "documents"), path)
 
 
+def _host_histogram(spark, sf):
+    # Host extraction + per-host counts over synthesized skewed urls
+    # (half the corpus on one mega-host — the north star's skew shape).
+    from ocr_agent_spark.operators.skew import url_host
+
+    d = _t(spark, sf, "documents")
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("big.example.com")
+    ).otherwise(
+        F.concat(F.lit("host"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".example.com"))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                   F.col("doc_id").cast("string"))
+    return (
+        d.select(url_host(url).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _a6_ordered_concat(spark, sf):
     li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000)
     return li.groupBy("l_orderkey").agg(
@@ -728,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_filters": _p_filters,
         # triage/classify report (§2.1 S2)
         "s2_triage_counts": _s2_triage_counts,
+        # host extraction / skew detection (north-star bucketing)
+        "host_histogram": _host_histogram,
         # fan-out / scalar functions (§2.8, U3)
         "u3_page_fanout": _u3_page_fanout,
         "f6_page_header": _f6_page_header_impl,
@@ -922,6 +945,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, value FROM events "
             "WHERE event_type NOT IN ('error','view') AND value IS NOT NULL "
             "AND value > 50 AND event_id BETWEEN 100 AND 5000"
+        ),
+        "host_histogram": (
+            "WITH u AS (SELECT 'https://' || CASE WHEN doc_id % 2 = 0 "
+            "THEN 'big.example.com' ELSE 'host' || CAST(doc_id % 37 AS VARCHAR) "
+            "|| '.example.com' END || '/p/' || CAST(doc_id AS VARCHAR) AS url "
+            "FROM documents) "
+            "SELECT lower(regexp_extract(url, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1"
         ),
         "s2_triage_counts": (
             "WITH p AS (SELECT source || '/doc_' || CAST(doc_id AS VARCHAR) || "

@@ -1,0 +1,92 @@
+"""Host-skew toolkit: url parsing, detection, salted placement balance."""
+
+from pyspark.sql import functions as F
+
+from ocr_agent_spark.operators.skew import (
+    detect_skewed_keys,
+    salted_groupby_count,
+    salted_repartition,
+    url_host,
+)
+
+
+def _skewed_pages(spark, n=2000, big_share=0.8):
+    """n rows; big_share of them on one mega-host."""
+    cut = int(n * big_share)
+    host = F.when(F.col("id") < cut, F.lit("big.example.com")).otherwise(
+        F.concat(F.lit("h"), (F.col("id") % 97).cast("string"), F.lit(".example.org"))
+    )
+    return spark.range(n).select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("id").cast("string"))
+        .alias("url"),
+        F.col("id").alias("page_index"),
+    )
+
+
+def test_url_host_edge_cases(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://Example.COM/path?q=1",),
+            ("http://user:pw@host.net:8080/x",),
+            ("ftp://files.org",),
+            ("no-scheme/path",),
+        ],
+        "url string",
+    )
+    got = [r["h"] for r in df.select(url_host("url").alias("h")).collect()]
+    assert got == ["example.com", "host.net", "files.org", ""]
+
+
+def test_detect_skewed_keys(spark):
+    pages = _skewed_pages(spark)
+    skewed = detect_skewed_keys(pages, url_host("url"), max_rows_per_key=200)
+    assert skewed == ["big.example.com"]
+
+
+def test_salted_repartition_balances_mega_host(spark):
+    pages = _skewed_pages(spark, n=2000, big_share=0.8)
+    parts = 16
+
+    def max_partition_share(df):
+        sizes = [
+            r["n"]
+            for r in df.select(F.spark_partition_id().alias("p"))
+            .groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        return max(sizes) / sum(sizes)
+
+    unsalted = pages.repartition(parts, url_host("url"))
+    salted = salted_repartition(
+        pages, url_host("url"), unique_cols=["url", "page_index"],
+        num_partitions=parts, salt_buckets=16, max_rows_per_key=200,
+    )
+    # keyed-by-host placement pins >=80% of rows on one task ...
+    assert max_partition_share(unsalted) >= 0.8
+    # ... salting spreads the mega-host: no task holds more than ~3x fair share
+    assert max_partition_share(salted) <= 3.0 / parts
+
+    # determinism: same call -> identical partition contents (D1)
+    def contents(df):
+        return sorted(
+            (r["p"], r["url"])
+            for r in df.select(F.spark_partition_id().alias("p"), "url").collect()
+        )
+
+    again = salted_repartition(
+        pages, url_host("url"), unique_cols=["url", "page_index"],
+        num_partitions=parts, salt_buckets=16, max_rows_per_key=200,
+    )
+    assert contents(salted) == contents(again)
+
+
+def test_salted_groupby_count_equals_plain(spark):
+    pages = _skewed_pages(spark, n=1500)
+    plain = {
+        r["host"]: r["n"]
+        for r in pages.select(url_host("url").alias("host"))
+        .groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r["key"]: r["n"] for r in salted_groupby_count(pages, url_host("url")).collect()
+    }
+    assert salted == plain
