@@ -62,7 +62,7 @@ def main() -> None:
 
     from ocr_agent_spark.functions.dedup import minhash_near_duplicates
     from ocr_agent_spark.functions.similarity import cosine_topk
-    from ocr_agent_spark.functions.text import lang_id, quality_score, token_count
+    from ocr_agent_spark.functions.text import text_profile
     from ocr_agent_spark.operators.extract import extract_pages_fused
     from ocr_agent_spark.operators.merge import merge_extracted_to_markdown
     from ocr_agent_spark.session import build_spark
@@ -124,13 +124,9 @@ def main() -> None:
     timed("ann_topk", lambda: cosine_topk(emb, qvec, k=10).collect())
     timed(
         "text_stats",
-        lambda: docs.select(
-            lang_id("text").alias("lang_pred"),
-            token_count("text").alias("n_tok"),
-            quality_score("text").alias("q"),
-        )
-        .groupBy("lang_pred")
-        .agg(F.count(F.lit(1)), F.avg("n_tok"), F.avg("q"))
+        lambda: text_profile(docs)
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)), F.avg("n_tokens"), F.avg("quality"))
         .collect(),
     )
 

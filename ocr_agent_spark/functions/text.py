@@ -120,6 +120,69 @@ def lang_id(col: str | Column = "text") -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(result)
 
 
+def text_profile(docs, text_col: str = "text"):
+    """All text-quality signals in one pass, with shared subexpressions
+    PROJECTED between stages (DataFrame-level fast path).
+
+    The Column builders above compose freely but re-evaluate their
+    token arrays at every reference — Catalyst inlines subexpressions
+    into higher-order-function lambdas instead of CSE-ing them (same
+    effect measured 7× on shingling, 2× on lang_id). This transformer
+    tokenizes once, projects the per-language vote counts once, and
+    derives lang/quality/token counts from those columns. Semantics are
+    identical to the Column forms (asserted in tests).
+
+    Adds: n_tokens, n_bpe_tokens, n_chars, alpha_ratio, quality,
+    predicted_lang.
+    """
+    c = F.col(text_col)
+    toksed = docs.withColumn("_toks", F.split(F.lower(F.trim(c)), r"\s+"))
+    toks = F.col("_toks")
+
+    def vote(words: list[str]) -> Column:
+        # single-arg lambda (a 2nd param would receive the element index)
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    voted = toksed.withColumns(
+        {
+            "_n_toks_raw": F.size(toks),
+            "_alpha": F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+                F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / F.length(c)
+            ).cast("double"),
+            **{f"_v_{lang}": vote(words) for lang, words in STOPWORDS.items()},
+        }
+    )
+    n_tokens = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.col("_n_toks_raw")
+    ).cast("int")
+    best = F.greatest(*[F.col(f"_v_{lang}") for lang in STOPWORDS])
+    lang = F.lit("und")
+    for lg in sorted(STOPWORDS, reverse=True):
+        lang = F.when(F.col(f"_v_{lg}") == best, F.lit(lg)).otherwise(lang)
+    lang = F.when(best == 0, F.lit("und")).otherwise(lang)
+
+    profiled = voted.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_bpe_tokens": bpe_ish_token_count(c),
+            "n_chars": F.length(c).cast("int"),
+            "alpha_ratio": F.col("_alpha"),
+            "predicted_lang": lang,
+        }
+    )
+    stop_ratio = F.when(F.col("_n_toks_raw") == 0, F.lit(0.0)).otherwise(
+        F.col("_v_en") / F.col("_n_toks_raw")
+    )
+    quality = F.round(
+        F.when(F.col("n_tokens").between(10, 100000), F.lit(0.4)).otherwise(0.0)
+        + F.least(F.col("_alpha"), F.lit(0.8)) * F.lit(0.5)
+        + F.when(stop_ratio > 0.01, F.lit(0.1)).otherwise(0.0),
+        6,
+    ).cast("double")
+    drop = ["_toks", "_n_toks_raw", "_alpha"] + [f"_v_{lg}" for lg in STOPWORDS]
+    return profiled.withColumn("quality", quality).drop(*drop)
+
+
 def doc_fingerprint(col: str | Column = "text") -> Column:
     """Exact content fingerprint: md5 of whitespace-normalized lowercase.
 

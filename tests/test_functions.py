@@ -310,6 +310,44 @@ def test_ivf_sample_not_id_biased(spark):
     assert len(set(exact) & set(approx)) >= 4
 
 
+def test_text_profile_equals_column_forms(spark):
+    """The projected fast path must be value-identical to the composable
+    Column builders for every signal, including edge rows."""
+    from ocr_agent_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the lazy dog for it is that"),
+            (1, ""),
+            (2, "   "),
+            (3, "der hund und die katze ist nicht ein vogel mit auf"),
+            (4, "x"),
+            (5, "no wa ni wo ga de to mo desu masu !!! 123"),
+            (6, "a" * 500),
+        ],
+        "doc_id long, text string",
+    )
+    expected = docs.select(
+        "doc_id",
+        T.lang_id("text").alias("predicted_lang"),
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        T.char_count("text").alias("n_chars"),
+        T.quality_score("text").alias("quality"),
+    ).collect()
+    got = {
+        r["doc_id"]: r
+        for r in T.text_profile(docs).select(
+            "doc_id", "predicted_lang", "n_tokens", "n_bpe_tokens",
+            "n_chars", "quality",
+        ).collect()
+    }
+    for e in expected:
+        g = got[e["doc_id"]]
+        for f in ("predicted_lang", "n_tokens", "n_bpe_tokens", "n_chars", "quality"):
+            assert g[f] == e[f], (e["doc_id"], f, g[f], e[f])
+
+
 def test_normalize_result_column_matches_reference(spark):
     """F15 differential vs the reference's _normalize_infer_result_to_
     markdown (runner dict-key probing) on map-shaped results."""
