@@ -134,6 +134,28 @@ def test_connected_components_chain_and_star(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_log_convergence(spark):
+    """Pointer jumping: a 200-hop chain converges well inside a
+    logarithmic iteration budget (plain label propagation would need
+    ~200 rounds and strict mode would raise)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    comps = dedup.connected_components(pairs, max_iterations=12, strict=True)
+    vals = {r["component"] for r in comps.collect()}
+    assert vals == {0}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=2, strict=True)
+
+
 def test_dedup_near_collapses_transitive_cluster(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     rows = [
