@@ -421,6 +421,20 @@ def _dedup_keep_first(spark, sf):
     return dedup_exact(d).select("doc_id")
 
 
+def _corpus_clean_keep(spark, sf):
+    # End-to-end training-data cleanup (C4/Gopher-flavored): exact dedup
+    # (keep min doc_id per fingerprint) → quality floor → language gate.
+    # The composition every training-data pipeline runs before tokenizing.
+    from ocr_agent_spark.functions.dedup import dedup_exact
+    from ocr_agent_spark.functions.text import lang_id, quality_score
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    kept = dedup_exact(d)
+    return kept.filter(
+        (quality_score("text") >= 0.5) & (lang_id("text") == "en")
+    ).select("doc_id")
+
+
 def _q1_pricing_summary(spark, sf):
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -771,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": _cube_events,
         "monthly_revenue": _monthly_revenue,
         "dedup_keep_first": _dedup_keep_first,
+        "corpus_clean_keep": _corpus_clean_keep,
         # custom operators the reference lacks (gap-fill, brief-named)
         "asof_join_purchases": _asof_join_purchases,
         # headline analytics
@@ -1050,6 +1065,36 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY "
             "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
             "ORDER BY doc_id) = 1"
+        ),
+        "corpus_clean_keep": (
+            "WITH kept AS ("
+            "  SELECT doc_id, text FROM documents "
+            "  QUALIFY ROW_NUMBER() OVER (PARTITION BY "
+            "  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+            "  ORDER BY doc_id) = 1"
+            "), q AS ("
+            "  SELECT doc_id, text, "
+            "  CASE WHEN len(trim(text)) = 0 THEN 0 "
+            "       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tc, "
+            "  CASE WHEN len(text) = 0 THEN 0.0 "
+            "       ELSE len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 "
+            "            / len(text) END AS alpha, "
+            "  len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS nt, "
+            f"  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"      x -> list_contains({_sql_list(_STOP_EN)}, x))) AS ven, "
+            f"  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"      x -> list_contains({_sql_list(_STOP_DE)}, x))) AS vde, "
+            f"  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"      x -> list_contains({_sql_list(_STOP_JA)}, x))) AS vja "
+            "  FROM kept"
+            ") SELECT doc_id FROM q "
+            "WHERE ROUND((CASE WHEN tc BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)"
+            "  + LEAST(alpha, 0.8) * 0.5 "
+            "  + (CASE WHEN nt > 0 AND ven * 1.0 / nt > 0.01 THEN 0.1 ELSE 0.0 END)"
+            ", 6) >= 0.5 "
+            "AND greatest(ven, vde, vja) > 0 "
+            "AND CASE WHEN vde = greatest(ven, vde, vja) THEN 'de' "
+            "    WHEN ven = greatest(ven, vde, vja) THEN 'en' ELSE 'ja' END = 'en'"
         ),
         "asof_join_purchases": (
             "SELECT c.event_id, ROUND(p.value, 6) AS purchase_value "
