@@ -115,6 +115,12 @@ def main() -> None:
     timed("q3_top_revenue", lambda: qs["q3_top_revenue"](spark, sf_dir).collect())
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Warm-up (shingle/signature codegen + Python workers) — excluded
+    # from timing, same policy as the extraction warm-up above.
+    from ocr_agent_spark.cache import release_caches
+
+    minhash_near_duplicates(docs, threshold=0.5).count()
+    release_caches()
     timed(
         "dedup_minhash",
         lambda: minhash_near_duplicates(docs, threshold=0.5).count(),

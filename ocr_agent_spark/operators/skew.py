@@ -21,11 +21,12 @@ with explicit salting of skewed hosts":
                                  rows fan out over ``salt_buckets``
                                  partitions deterministically
                                  (xxhash64 of the row's unique columns).
-- :func:`salted_groupby_count`— the two-phase aggregation pattern for
-                                 skewed grouping keys: partial agg on
-                                 (key, salt), final agg on key. AQE's
-                                 skew-join handling covers joins; this
-                                 covers the groupBy side explicitly.
+
+The *aggregation* side of the same problem (two-phase salted groupBy)
+lives in ``operators/metrics.py`` (``salted_host_counts`` +
+``heavy_hitter_hosts``); AQE's skew-join splitting covers the join
+side. This module adds the PLACEMENT primitive those don't: balancing
+the physical partitions a skewed key's rows land on.
 """
 
 from __future__ import annotations
@@ -83,26 +84,3 @@ def salted_repartition(df: DataFrame, key: Column, unique_cols: list[str],
         key.isin(skewed_keys), _salt(unique_cols, salt_buckets)
     ).otherwise(F.lit(0))
     return df.repartition(num_partitions, key, salt)
-
-
-def salted_groupby_count(df: DataFrame, key: Column,
-                         salt_buckets: int = 16) -> DataFrame:
-    """Two-phase count over a (possibly) skewed key.
-
-    Phase 1 groups on (key, salt) — a mega-host's rows aggregate on
-    ``salt_buckets`` tasks instead of one; phase 2 sums the tiny
-    per-salt partials. For algebraic aggregates Spark's map-side
-    partial aggregation usually suffices; the explicit form exists for
-    the reduce-side-skew cases (high-cardinality composite aggregates)
-    and as the documented pattern.
-    """
-    salted = df.select(
-        key.alias("_k"),
-        F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).alias("_s"),
-    )
-    partial = salted.groupBy("_k", "_s").agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        partial.groupBy("_k")
-        .agg(F.sum("_n").alias("n"))
-        .select(F.col("_k").alias("key"), F.col("n").cast("long"))
-    )

@@ -4,7 +4,6 @@ from pyspark.sql import functions as F
 
 from ocr_agent_spark.operators.skew import (
     detect_skewed_keys,
-    salted_groupby_count,
     salted_repartition,
     url_host,
 )
@@ -79,14 +78,19 @@ def test_salted_repartition_balances_mega_host(spark):
     assert contents(salted) == contents(again)
 
 
-def test_salted_groupby_count_equals_plain(spark):
+def test_salted_host_counts_on_mega_host_corpus(spark):
+    # The aggregation-side counterpart lives in operators/metrics.py;
+    # confirm it agrees with a plain count on the skewed corpus too.
+    from ocr_agent_spark.operators.metrics import salted_host_counts
+
     pages = _skewed_pages(spark, n=1500)
     plain = {
         r["host"]: r["n"]
-        for r in pages.select(url_host("url").alias("host"))
-        .groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in pages.select(
+            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host")
+        ).groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     salted = {
-        r["key"]: r["n"] for r in salted_groupby_count(pages, url_host("url")).collect()
+        r["host"]: r["doc_count"] for r in salted_host_counts(pages).collect()
     }
     assert salted == plain
