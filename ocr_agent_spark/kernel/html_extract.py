@@ -110,11 +110,16 @@ class _Block:
         return _HEADING_LEVEL.get(self.tag, 0)
 
 
-class _BlockSegmenter(HTMLParser):
-    """Segment an HTML document into scored text blocks."""
+class _BlockConsumer:
+    """Tag/data event consumer segmenting a document into scored blocks.
+
+    Parser-agnostic: fed either by the fast scanner below (the hot
+    path) or by stdlib ``html.parser`` (the behavioral reference the
+    scanner is differential-tested against). Attributes are never
+    consulted — only tag names and text matter to the segmentation.
+    """
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: list[_Block] = []
         self.title_parts: list[str] = []
         self._ignore_depth = 0
@@ -189,6 +194,131 @@ class _BlockSegmenter(HTMLParser):
         self._flush()
 
 
+class _StdlibSegmenter(HTMLParser):
+    """stdlib adapter: html.parser events → _BlockConsumer (reference
+    implementation for the fast scanner's differential tests)."""
+
+    def __init__(self, consumer: _BlockConsumer) -> None:
+        super().__init__(convert_charrefs=True)
+        self._c = consumer
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        self._c.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        self._c.handle_endtag(tag)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        self._c.handle_startendtag(tag, attrs)
+
+    def handle_data(self, data: str) -> None:
+        self._c.handle_data(data)
+
+
+# ---------------------------------------------------------------------------
+# Fast tokenizer (the hot path)
+# ---------------------------------------------------------------------------
+#
+# The profiler shows 91% of kernel time inside stdlib html.parser's
+# generic machinery (attribute parsing, position tracking) — none of
+# which the segmenter consumes: only tag NAMES and text matter. This
+# scanner reproduces html.parser's observable behavior for exactly the
+# events _BlockConsumer uses, and is differential-tested against the
+# stdlib parser (same consumer, same output) over the full fixture
+# corpus, a hand-built edge-case set, and randomized fuzz
+# (tests/test_kernel_html.py). Behaviors replicated:
+#   - tag names lowercased; '>' inside quoted attribute values
+#   - <br/> → startendtag; stray '<' → literal data
+#   - script/style content is CDATA (embedded tags are data; unclosed
+#     CDATA at EOF is dropped); charrefs are NOT converted inside it
+#   - comments / <!...> / <![...]]> / <?...> consumed without events
+#     (PI consumed through the FIRST '>', like parse_pi)
+#   - charrefs converted in data (same table as html.unescape)
+
+import re
+from html import unescape as _unescape
+
+_STARTTAG_RE = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"          # tag name
+    r"((?:[^>'\"]+|\"[^\"]*\"|'[^']*')*?)"      # attrs (quotes may hold '>')
+    r"(/?)>"
+)
+_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_CDATA_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in ("script", "style")
+}
+_MARKED_CLOSE = re.compile(r"\]\s*\]\s*>")
+
+
+def _fast_feed(text: str, c: _BlockConsumer) -> None:
+    """Emit start/end/startend/data events from ``text`` into ``c``."""
+    i, n = 0, len(text)
+    find = text.find
+    data = c.handle_data
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            seg = text[i:]
+            data(_unescape(seg) if "&" in seg else seg)
+            return
+        if lt > i:
+            seg = text[i:lt]
+            data(_unescape(seg) if "&" in seg else seg)
+        nxt = text[lt + 1:lt + 2]
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
+            m = _STARTTAG_RE.match(text, lt)
+            if m is None:
+                return  # incomplete tag at EOF: stdlib buffers then drops
+            tag = m.group(1).lower()
+            i = m.end()
+            if m.group(3):
+                c.handle_startendtag(tag, [])
+                continue
+            c.handle_starttag(tag, [])
+            if tag in _CDATA_CLOSE:
+                mm = _CDATA_CLOSE[tag].search(text, i)
+                if mm is None:
+                    return  # unclosed CDATA: content dropped (stdlib)
+                if mm.start() > i:
+                    data(text[i:mm.start()])  # raw: no charref conversion
+                c.handle_endtag(tag)
+                i = mm.end()
+        elif nxt == "/":
+            m = _ENDTAG_RE.match(text, lt)
+            if m is not None:
+                c.handle_endtag(m.group(1).lower())
+                i = m.end()
+            else:
+                gt = find(">", lt)  # '</>' / bogus endtag: silent consume
+                if gt < 0:
+                    return
+                i = gt + 1
+        elif nxt == "!":
+            if text.startswith("<!--", lt):
+                e = find("-->", lt + 4)
+                if e < 0:
+                    return
+                i = e + 3
+            elif text.startswith("<![", lt):
+                mm = _MARKED_CLOSE.search(text, lt + 3)
+                if mm is None:
+                    return
+                i = mm.end()
+            else:
+                gt = find(">", lt)
+                if gt < 0:
+                    return
+                i = gt + 1
+        elif nxt == "?":
+            gt = find(">", lt)
+            if gt < 0:
+                return
+            i = gt + 1
+        else:  # stray '<' (incl. '< /p>', '<3'): literal data, step over
+            data("<")
+            i = lt + 1
+
+
 def _classify(blocks: list[_Block]) -> list[bool]:
     """Content/boilerplate decision per block, with context smoothing."""
     base = [
@@ -224,24 +354,33 @@ def _classify(blocks: list[_Block]) -> list[bool]:
     return kept
 
 
-def extract_html_text(html_bytes: bytes) -> str:
+def extract_html_text(html_bytes: bytes, _stdlib_parser: bool = False) -> str:
     """bytes of an HTML document → extracted main-content markdown.
 
     Output contract (normalization per the reference's merge rule,
     /root/reference/src/ocr_agent/markdown_merge.py:47): UTF-8 text,
     ``\\n`` line endings, blocks joined by blank lines, exactly one
     trailing newline. Empty page → ``""``.
+
+    ``_stdlib_parser`` switches to the html.parser-driven reference
+    path (≈3× slower) — used by the differential tests that prove the
+    fast scanner's output identical.
     """
     text = html_bytes.decode("utf-8", errors="replace")
-    parser = _BlockSegmenter()
-    parser.feed(text)
-    parser.finish()
+    consumer = _BlockConsumer()
+    if _stdlib_parser:
+        p = _StdlibSegmenter(consumer)
+        p.feed(text)
+        p.close()
+    else:
+        _fast_feed(text, consumer)
+    consumer.finish()
 
-    blocks = parser.blocks
+    blocks = consumer.blocks
     kept = _classify(blocks)
 
     out_lines: list[str] = []
-    title = " ".join("".join(parser.title_parts).split())
+    title = " ".join("".join(consumer.title_parts).split())
     if title and any(kept):
         out_lines.append(f"# {title}")
     for block, keep in zip(blocks, kept):

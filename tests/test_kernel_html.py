@@ -111,3 +111,75 @@ def test_determinism_per_row_seed():
     b = generate_pages(50)
     for i in range(10):
         assert a[i] == b[i]
+
+
+# -- fast scanner vs stdlib reference (differential) -------------------------
+
+_EDGE_DOCS = [
+    b"a < b and a <3 you",
+    b"<DIV CLASS='x'><p>T T T T T T T T T T T</p></DIV>",
+    b"x<br/>y<br />z",
+    b"<script>if(a<b){document.write('</div>');}</script><p>" + b"w " * 12 + b"</p>",
+    b"<p a=\"q>uote\">" + b"v " * 12 + b"</p>",
+    b"<!-- <div>c</div> --><p>" + b"d " * 12 + b"</p>",
+    b"<?php x > y ?><p>" + b"f " * 12 + b"</p>",
+    b"&amp; &lt;tag&gt; &#65; &#x42; &notasemi x",
+    b"<style>p>q{}</style><p>" + b"g " * 12 + b"</p>",
+    b"<p>unclosed " + b"u " * 12,
+    b"</>h",
+    b"< /p>i",
+    b"<p foo='bar' baz>" + b"j " * 12,
+    b"text &amp more",
+    b"<title>T &amp; U</title><p>" + b"k " * 12 + b"</p>",
+    b"<br>",
+    b"<script>never closed",
+    b"<p",
+    b"<p attr='x",
+    b"a<!-- x",
+    b"a<?x",
+    b"a<![CDATA[ x > y ]]><p>" + b"m " * 12 + b"</p>",
+    b"<!-->trailing",
+    b"</123><p>" + b"n " * 12 + b"</p>",
+    b"<p>n\x00o</p>",
+    b"<SCRIPT>x</SCRIPT><p>" + b"s " * 12 + b"</p>",
+    b"<script >x</script ><p>" + b"t " * 12 + b"</p>",
+    b"\xff\xfe garbage bytes<p>" + b"r " * 12 + b"</p>",
+]
+
+
+def test_fast_scanner_equals_stdlib_on_fixtures():
+    """The hot-path tokenizer must be output-identical to the stdlib
+    html.parser reference on the full fixture corpus."""
+    pages = [r for r in generate_pages(800) if r.html[:4] != b"%PDF"]
+    for r in pages:
+        assert extract_html_text(r.html) == extract_html_text(
+            r.html, _stdlib_parser=True
+        ), r.url
+
+
+def test_fast_scanner_equals_stdlib_on_edge_cases():
+    for doc in _EDGE_DOCS:
+        assert extract_html_text(doc) == extract_html_text(
+            doc, _stdlib_parser=True
+        ), doc
+
+
+def test_fast_scanner_equals_stdlib_fuzz():
+    import random
+
+    frags = [
+        "<p>", "</p>", "<div>", "</div>", "<br/>", "<br>", "word ", "&amp; ",
+        "&#65;", "&bogus ", "<a href='x'>", "</a>", "<script>", "</script>",
+        "<style>", "</style>", "< ", "<", ">", "<!-- c -->", "<!doctype html>",
+        "<?pi?>", "<h2>", "</h2>", "lots of words here ", '"q"', "'q'",
+        '<td x="a>b">', "</td>", "<nav>", "</nav>", "<title>", "</title>",
+        "\n", "\t",
+    ]
+    for seed in range(800):
+        rng = random.Random(seed)
+        doc = "".join(
+            rng.choice(frags) for _ in range(rng.randint(1, 60))
+        ).encode()
+        assert extract_html_text(doc) == extract_html_text(
+            doc, _stdlib_parser=True
+        ), (seed, doc)
