@@ -264,21 +264,8 @@ def _extract_positioned_strings(stream: bytes) -> list[tuple[float, float, str]]
     return chunks
 
 
-def extract_pdf_page_text(data: bytes, page_index: int) -> str:
-    """(pdf bytes, page index) → reconstructed page text.
-
-    Lines ordered top-to-bottom (descending y), chunks within a line
-    left-to-right (ascending x), joined with single spaces.
-    Raises ``IndexError`` on an out-of-range page (reference guard:
-    pdf_render.py:39-52) and ``ValueError`` on a non-PDF payload.
-    """
-    objects = _parse_objects(data)
-    page_nums = _page_object_numbers(objects)
-    if page_index < 0 or page_index >= len(page_nums):
-        raise IndexError(
-            f"page_index {page_index} out of range for {len(page_nums)}-page PDF"
-        )
-    body = objects[page_nums[page_index]]
+def _render_page(objects: dict[int, bytes], page_obj: int) -> str:
+    body = objects[page_obj]
     m = _CONTENTS_RE.search(body)
     if m is None:
         return ""
@@ -293,3 +280,52 @@ def extract_pdf_page_text(data: bytes, page_index: int) -> str:
     for key in sorted(lines, reverse=True):
         rendered.append(" ".join(t for _, t in sorted(lines[key], key=lambda p: p[0])))
     return "\n".join(rendered)
+
+
+def extract_pdf_page_text(data: bytes, page_index: int) -> str:
+    """(pdf bytes, page index) → reconstructed page text.
+
+    Lines ordered top-to-bottom (descending y), chunks within a line
+    left-to-right (ascending x), joined with single spaces.
+    Raises ``IndexError`` on an out-of-range page (reference guard:
+    pdf_render.py:39-52) and ``ValueError`` on a non-PDF payload.
+    """
+    objects = _parse_objects(data)
+    page_nums = _page_object_numbers(objects)
+    if page_index < 0 or page_index >= len(page_nums):
+        raise IndexError(
+            f"page_index {page_index} out of range for {len(page_nums)}-page PDF"
+        )
+    return _render_page(objects, page_nums[page_index])
+
+
+class PdfDocument:
+    """Parse ONCE, render pages on demand.
+
+    The fused extraction batch emits all of a PDF's pages back-to-back;
+    the per-page function would re-parse the object table per page (and
+    once more for the count). This handle amortizes the parse over the
+    document while keeping per-page error isolation (a page that fails
+    to render fails alone). ``page_text(i)`` equals
+    ``extract_pdf_page_text(data, i)`` exactly (tested); the per-page
+    function stays for the staged path, whose rows arrive one page at a
+    time.
+    """
+
+    __slots__ = ("_objects", "_pages")
+
+    def __init__(self, data: bytes) -> None:
+        self._objects = _parse_objects(data)
+        self._pages = _page_object_numbers(self._objects)
+
+    @property
+    def page_count(self) -> int:
+        return len(self._pages)
+
+    def page_text(self, page_index: int) -> str:
+        if page_index < 0 or page_index >= len(self._pages):
+            raise IndexError(
+                f"page_index {page_index} out of range for "
+                f"{len(self._pages)}-page PDF"
+            )
+        return _render_page(self._objects, self._pages[page_index])

@@ -105,11 +105,7 @@ def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd
     from pyspark import TaskContext
 
     from ocr_agent_spark.kernel.html_extract import extract_html_text
-    from ocr_agent_spark.kernel.minipdf import (
-        extract_pdf_page_text,
-        is_pdf_payload,
-        pdf_page_count,
-    )
+    from ocr_agent_spark.kernel.minipdf import PdfDocument, is_pdf_payload
 
     ctx = TaskContext.get()
     partition_id = ctx.partitionId() if ctx is not None else -1
@@ -148,7 +144,11 @@ def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd
                          None, STATUS_FAILED, repr(exc), n)
                 continue
             try:
-                total = pdf_page_count(data)
+                # One object-table parse per document, shared by the
+                # count and every page render (the per-page function
+                # would re-parse per page — measured on multi-page docs).
+                doc = PdfDocument(data)
+                total = doc.page_count
             except Exception as exc:
                 emit("pdf_page", url, 0, -1, created_ts,
                      None, STATUS_FAILED, repr(exc), n)
@@ -160,7 +160,7 @@ def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd
                 continue
             for p in range(total):
                 try:
-                    text = extract_pdf_page_text(data, p)
+                    text = doc.page_text(p)
                     text = text.rstrip() + "\n" if text.strip() else ""
                     emit("pdf_page", url, p, total, created_ts, text,
                          STATUS_COMPLETED, None, n)

@@ -62,3 +62,24 @@ def test_line_order_is_layout_not_stream_order():
     data = build_pdf([["top line", "bottom line"]])
     # sanity: reconstruction is top-down
     assert extract_pdf_page_text(data, 0).splitlines() == ["top line", "bottom line"]
+
+
+def test_pdf_document_handle_equals_per_page_function():
+    from ocr_agent_spark.kernel.minipdf import (
+        PdfDocument,
+        build_pdf,
+        extract_pdf_page_text,
+        pdf_page_count,
+    )
+
+    payload = build_pdf([[f"page {p} line one", "second line"] for p in range(7)])
+    doc = PdfDocument(payload)
+    assert doc.page_count == pdf_page_count(payload) == 7
+    for p in range(7):
+        assert doc.page_text(p) == extract_pdf_page_text(payload, p)
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        doc.page_text(7)
+    with _pytest.raises(IndexError):
+        doc.page_text(-1)
