@@ -738,7 +738,28 @@ def _math_rewrite(spark, sf):
     return d.select("doc_id", math_rewrite_udf()(wrapped).alias("rewritten"))
 
 
+def _releasing(fn: Callable) -> Callable:
+    """Release the PREVIOUS query's operator caches before building the
+    next plan: operators persist intermediates (shingle tables, LSH
+    candidates) that only their own actions consume, and a driver
+    sweeping all ~60 queries in one session would otherwise accumulate
+    every query's cached blocks until JVM exit."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ocr_agent_spark.cache import release_caches
+
+        release_caches()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _releasing(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # aggregations / monitoring (SURVEY §2.4)
         "a1_status_histogram": _a1_status_histogram,

@@ -225,6 +225,31 @@ def embedding_near_duplicates_exact(embeddings: DataFrame, threshold: float = 0.
     )
 
 
+def _banded_signature_table(embeddings: DataFrame, id_col: str, vec_col: str,
+                            bands: int, rows_per_band: int,
+                            seed: int) -> DataFrame:
+    """(doc_id, band, bucket) exploded banded-signature table — the ONE
+    bucketing definition shared by candidate generation and the
+    bucket-stats report, so the stats always describe the bucketing
+    actually applied."""
+    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    planes = _hyperplanes(dim_row["d"], bands * rows_per_band, seed)
+    band_sigs = [
+        lsh_signature(F.col(vec_col),
+                      planes[b * rows_per_band:(b + 1) * rows_per_band])
+        for b in range(bands)
+    ]
+    return embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), sig.alias("bucket"))
+                for b, sig in enumerate(band_sigs)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def embedding_lsh_candidates(embeddings: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding", bands: int = 12,
                              rows_per_band: int = 12, seed: int = 42,
@@ -255,22 +280,8 @@ def embedding_lsh_candidates(embeddings: DataFrame, id_col: str = "vec_id",
     """
     from ocr_agent_spark.cache import persist_tracked
 
-    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    planes = _hyperplanes(dim_row["d"], bands * rows_per_band, seed)
-    band_sigs = [
-        lsh_signature(F.col(vec_col),
-                      planes[b * rows_per_band:(b + 1) * rows_per_band])
-        for b in range(bands)
-    ]
-    banded = embeddings.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), sig.alias("bucket"))
-                for b, sig in enumerate(band_sigs)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _banded_signature_table(embeddings, id_col, vec_col, bands,
+                                     rows_per_band, seed)
 
     w = Window.partitionBy("band", "bucket")
     capped = persist_tracked(
@@ -294,24 +305,11 @@ def embedding_lsh_bucket_stats(embeddings: DataFrame, id_col: str = "vec_id",
     """Per-band bucket-size distribution + how many rows the cap drops.
 
     The no-silent-caps companion to ``embedding_lsh_candidates``: run it
-    before a big job to see whether ``max_bucket_size`` bites.
+    before a big job to see whether ``max_bucket_size`` bites. Shares
+    the exact bucketing construction with candidate generation.
     """
-    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
-    planes = _hyperplanes(dim_row["d"], bands * rows_per_band, seed)
-    band_sigs = [
-        lsh_signature(F.col(vec_col),
-                      planes[b * rows_per_band:(b + 1) * rows_per_band])
-        for b in range(bands)
-    ]
-    banded = embeddings.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), sig.alias("bucket"))
-                for b, sig in enumerate(band_sigs)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _banded_signature_table(embeddings, id_col, vec_col, bands,
+                                     rows_per_band, seed)
     return (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("bucket_size"))

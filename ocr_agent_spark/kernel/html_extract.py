@@ -238,27 +238,62 @@ class _StdlibSegmenter(HTMLParser):
 # stdlib parser (same consumer, same output) over the full fixture
 # corpus, a hand-built edge-case set, and randomized fuzz
 # (tests/test_kernel_html.py). Behaviors replicated:
-#   - tag names lowercased; '>' inside quoted attribute values
-#   - <br/> → startendtag; stray '<' → literal data
+#   - tag names lowercased; '>' inside quoted attribute values;
+#     stdlib's exact tolerant patterns are REUSED (imported), and the
+#     attr walk advances through them without building attr tuples —
+#     that construction (plus position tracking) is where the 91% went
+#   - <br/> → startendtag (via the same end-text check as
+#     parse_starttag, so '<br / >' stays a plain starttag); stray '<'
+#     and malformed tag tails become literal data
+#   - bogus end tags ('</a junk>') emit the endtag like stdlib's
+#     tagfind_tolerant fallback; '</>' and '</123>' consume silently
 #   - script/style content is CDATA (embedded tags are data; unclosed
 #     CDATA at EOF is dropped); charrefs are NOT converted inside it
-#   - comments / <!...> / <![...]]> / <?...> consumed without events
-#     (PI consumed through the FIRST '>', like parse_pi)
+#   - comments / <!...> / <?...> consumed without events (PI consumed
+#     through the FIRST '>', like parse_pi); marked sections use the
+#     stdlib keyword rule (']>' close for if/else/endif, ']]>' for
+#     cdata/ignore/...). ONE deliberate divergence: stdlib RAISES
+#     AssertionError on unknown marked-section keywords ('<![foo[');
+#     the scanner consumes them tolerantly instead of crashing the job
+#     (asserted in tests).
 #   - charrefs converted in data (same table as html.unescape)
 
 import re
 from html import unescape as _unescape
-
-_STARTTAG_RE = re.compile(
-    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"          # tag name
-    r"((?:[^>'\"]+|\"[^\"]*\"|'[^']*')*?)"      # attrs (quotes may hold '>')
-    r"(/?)>"
+from html.parser import (
+    attrfind_tolerant as _ATTRFIND,
+    endtagfind as _ENDTAGFIND,
+    locatestarttagend_tolerant as _LOCATE_START,
+    tagfind_tolerant as _TAGFIND,
 )
-_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
 _CDATA_CLOSE = {
     t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in ("script", "style")
 }
-_MARKED_CLOSE = re.compile(r"\]\s*\]\s*>")
+_MARKED_CLOSE = re.compile(r"\]\s*\]\s*>")     # _markupbase._markedsectionclose
+_MS_MARKED_CLOSE = re.compile(r"\]\s*>")       # _markupbase._msmarkedsectionclose
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")  # _markupbase._declname_match
+_MS_KEYWORDS = frozenset({"if", "else", "endif"})
+_STD_KEYWORDS = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
+# check_for_whole_start_tag's "end of input in or before attribute
+# value" character set (a next-char in this set means stdlib waits for
+# more data, then drops the tail at EOF):
+_TAG_LIMBO = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+
+# Well-formed start-tag fast path. A match here is PROVABLY equivalent
+# to the full tolerant machinery: alnum tag name followed by a
+# delimiter; attrs are space-separated names with optionally '='-joined
+# values whose quoted forms contain no '>' / stray quote and whose bare
+# forms draw from a safe class; the tag closes at a real '>' or '/>'.
+# Anything else (stray quotes, '=' junk, missing spaces, exotic names)
+# falls back to the stdlib-faithful slow branch below. On real crawl
+# HTML ~all tags take this path.
+_SIMPLE_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:=\"[^\"'<>]*\"|='[^\"'<>]*'|=[-a-zA-Z0-9_./:;+#%?&~,]*)?)*)"
+    r"\s*(/?)>"
+)
 
 
 # Tags whose events change the consumer's state; everything else
@@ -277,6 +312,21 @@ def _fast_feed(text: str, c: _BlockConsumer,
     i, n = 0, len(text)
     find = text.find
     data = c.handle_data
+
+    def recover(lt: int) -> int:
+        # goahead's end-of-feed recovery for incomplete constructs
+        # (parse_* returned -1 with end=1): emit through the next '>'
+        # as data, else up to the next '<', else just the '<'.
+        gt = find(">", lt + 1)
+        if gt >= 0:
+            end_at = gt + 1
+        else:
+            lt2 = find("<", lt + 1)
+            end_at = lt2 if lt2 >= 0 else lt + 1
+        seg = text[lt:end_at]
+        data(_unescape(seg) if "&" in seg else seg)
+        return end_at
+
     while i < n:
         lt = find("<", i)
         if lt < 0:
@@ -288,12 +338,59 @@ def _fast_feed(text: str, c: _BlockConsumer,
             data(_unescape(seg) if "&" in seg else seg)
         nxt = text[lt + 1:lt + 2]
         if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
-            m = _STARTTAG_RE.match(text, lt)
-            if m is None:
-                return  # incomplete tag at EOF: stdlib buffers then drops
-            tag = m.group(1).lower()
-            i = m.end()
-            if m.group(3):
+            sm = _SIMPLE_START.match(text, lt)
+            if sm is not None:  # well-formed tag: skip the tolerant walk
+                tag = sm.group(1).lower()
+                i = sm.end()
+                if sm.group(3):
+                    if tag in interesting:
+                        c.handle_startendtag(tag, [])
+                    continue
+                if tag in interesting:
+                    c.handle_starttag(tag, [])
+                if tag in _CDATA_CLOSE:
+                    mm = _CDATA_CLOSE[tag].search(text, i)
+                    if mm is None:
+                        return  # unclosed CDATA: content dropped (stdlib)
+                    if mm.start() > i:
+                        data(text[i:mm.start()])  # raw: no charref conversion
+                    c.handle_endtag(tag)
+                    i = mm.end()
+                continue
+            # parse_starttag, faithfully: locate the tolerant tag end,
+            # classify the char after it (check_for_whole_start_tag),
+            # walk the attrs without materializing them, then apply the
+            # same end-text check that decides start/startend/data.
+            j = _LOCATE_START.match(text, lt).end()
+            nxt2 = text[j:j + 1]
+            if nxt2 == ">":
+                endpos = j + 1
+            elif nxt2 == "/":
+                if text.startswith("/>", j):
+                    endpos = j + 2
+                else:  # '/' not closing: incomplete → data recovery
+                    i = recover(lt)
+                    continue
+            elif nxt2 == "" or nxt2 in _TAG_LIMBO:
+                i = recover(lt)  # incomplete tag at end of feed
+                continue
+            else:
+                endpos = j  # malformed junk → data path below
+            tm = _TAGFIND.match(text, lt + 1)
+            k = tm.end()
+            while k < endpos:
+                am = _ATTRFIND.match(text, k)
+                if am is None or am.end() <= k:
+                    break
+                k = am.end()
+            end = text[k:endpos].strip()
+            if end != ">" and end != "/>":
+                data(text[lt:endpos])  # raw: stdlib bypasses charrefs here
+                i = endpos if endpos > lt else lt + 1
+                continue
+            tag = tm.group(1).lower()
+            i = endpos
+            if end == "/>":
                 if tag in interesting:
                     c.handle_startendtag(tag, [])
                 continue
@@ -308,38 +405,55 @@ def _fast_feed(text: str, c: _BlockConsumer,
                 c.handle_endtag(tag)
                 i = mm.end()
         elif nxt == "/":
-            m = _ENDTAG_RE.match(text, lt)
+            m = _ENDTAGFIND.match(text, lt)
             if m is not None:
                 tag = m.group(1).lower()
                 if tag in interesting:
                     c.handle_endtag(tag)
                 i = m.end()
+            elif text.startswith("</>", lt):
+                i = lt + 3
             else:
-                gt = find(">", lt)  # '</>' / bogus endtag: silent consume
-                if gt < 0:
-                    return
-                i = gt + 1
+                nm = _TAGFIND.match(text, lt + 2)
+                if nm is None:
+                    gt = find(">", lt)  # bogus comment: silent consume
+                    if gt < 0:
+                        i = recover(lt)
+                    else:
+                        i = gt + 1
+                else:
+                    # stdlib's tolerant fallback: emit the endtag, then
+                    # skip to the '>' after the name ('</a junk>' → e:a)
+                    gt = find(">", nm.end())
+                    if gt < 0:
+                        i = recover(lt)
+                    else:
+                        tag = nm.group(1).lower()
+                        if tag in interesting:
+                            c.handle_endtag(tag)
+                        i = gt + 1
         elif nxt == "!":
             if text.startswith("<!--", lt):
                 e = find("-->", lt + 4)
-                if e < 0:
-                    return
-                i = e + 3
+                i = e + 3 if e >= 0 else recover(lt)
             elif text.startswith("<![", lt):
-                mm = _MARKED_CLOSE.search(text, lt + 3)
-                if mm is None:
-                    return
-                i = mm.end()
+                nm = _DECLNAME.match(text, lt + 3)
+                name = nm.group(0).strip().lower() if nm else None
+                if name in _MS_KEYWORDS:       # <![if !IE]> closes at ']>'
+                    mm = _MS_MARKED_CLOSE.search(text, lt + 3)
+                elif name in _STD_KEYWORDS:    # <![CDATA[...]]>
+                    mm = _MARKED_CLOSE.search(text, lt + 3)
+                else:
+                    # stdlib raises AssertionError here; stay tolerant:
+                    # ']]>' close, else the same data recovery.
+                    mm = _MARKED_CLOSE.search(text, lt + 3)
+                i = mm.end() if mm is not None else recover(lt)
             else:
-                gt = find(">", lt)
-                if gt < 0:
-                    return
-                i = gt + 1
+                gt = find(">", lt + 2)  # doctype / bogus declaration
+                i = gt + 1 if gt >= 0 else recover(lt)
         elif nxt == "?":
-            gt = find(">", lt)
-            if gt < 0:
-                return
-            i = gt + 1
+            gt = find(">", lt + 2)
+            i = gt + 1 if gt >= 0 else recover(lt)
         else:  # stray '<' (incl. '< /p>', '<3'): literal data, step over
             data("<")
             i = lt + 1

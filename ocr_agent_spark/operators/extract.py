@@ -133,6 +133,10 @@ def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd
         for url, created_ts, payload in zip(
             batch["url"], batch["warc_ts"], batch["html"]
         ):
+            if payload is None:  # data fault → failure row, never a crash (D2)
+                emit("html", url, 0, None, created_ts, None, STATUS_FAILED,
+                     "TypeError('null html payload')", 0)
+                continue
             data = bytes(payload)
             n = len(data)
             if not is_pdf_payload(data):
@@ -208,8 +212,24 @@ def extract_pages_fused(pages: DataFrame) -> DataFrame:
 GIANT_PDF_BYTES = 8_000_000
 
 
+def giant_pdf_predicate(giant_bytes: int = GIANT_PDF_BYTES) -> F.Column:
+    """True iff the row's payload is a PDF of at least ``giant_bytes``.
+
+    NULL-safe: a NULL payload is NOT giant (it must flow to the fused
+    branch, whose kernel turns it into a failure row) — without the
+    coalesce, NULL would fail BOTH branch filters and the row would
+    silently vanish from the output.
+    """
+    raw = (
+        (F.substring(F.col("html"), 1, 4).cast("string") == "%PDF")
+        & (F.length(F.col("html")) >= giant_bytes)
+    )
+    return F.coalesce(raw, F.lit(False))
+
+
 def extract_pages_auto(pages: DataFrame,
-                       giant_bytes: int = GIANT_PDF_BYTES) -> DataFrame:
+                       giant_bytes: int = GIANT_PDF_BYTES,
+                       has_giant: bool | None = None) -> DataFrame:
     """Fused extraction with automatic giant-PDF diversion.
 
     The fused path's one skew hazard: a PDF's pages are all emitted by
@@ -229,14 +249,15 @@ def extract_pages_auto(pages: DataFrame,
     Output schema = FUSED_SCHEMA for both branches (the staged branch
     drops its dense order_key; order is data — (url, page_index)).
     """
-    is_giant = (
-        (F.substring(F.col("html"), 1, 4).cast("string") == "%PDF")
-        & (F.length(F.col("html")) >= giant_bytes)
-    )
-    # Existence probe first (JVM-only scan, stops at the first hit): the
-    # common no-giants corpus pays one cheap scan and keeps the pure
-    # fused plan — no split, no staged machinery.
-    if pages.filter(is_giant).limit(1).count() == 0:
+    is_giant = giant_pdf_predicate(giant_bytes)
+    # Existence check first: the common no-giants corpus keeps the pure
+    # fused plan — no split, no staged machinery. Callers that already
+    # aggregate over the input (run_extraction_job's pending count)
+    # pass ``has_giant`` from that same pass so no extra scan happens;
+    # standalone callers fall back to a JVM-only limit(1) probe.
+    if has_giant is None:
+        has_giant = pages.filter(is_giant).limit(1).count() > 0
+    if not has_giant:
         return extract_pages_fused(pages)
 
     fused_out = extract_pages_fused(pages.filter(~is_giant))

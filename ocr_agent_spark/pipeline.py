@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_agent_spark.cache import release_caches
-from ocr_agent_spark.operators.extract import extract_pages_auto, lineage_from_extracted
+from ocr_agent_spark.operators.extract import (
+    extract_pages_auto,
+    giant_pdf_predicate,
+    lineage_from_extracted,
+)
 from ocr_agent_spark.operators.ingest import BROADCAST_KEY_LIMIT, assign_order_key
 from ocr_agent_spark.operators.merge import merge_extracted_to_markdown
 from ocr_agent_spark.sources.snapshot import SnapshotStore
@@ -75,14 +79,21 @@ def run_extraction_job(
         raise EmptyInputError("no supported input rows to enqueue")
 
     pending = store.anti_join_committed(pages, RESUME_KEYS, spark)
-    n_pending = pending.count()
+    # ONE pass computes the pending count AND the giant-PDF existence
+    # bit (folding the router's probe into the count the job already
+    # pays — no separate probe scan of the payload column).
+    stats = pending.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(giant_pdf_predicate().cast("int")).alias("g"),
+    ).first()
+    n_pending = stats["n"]
     if n_pending == 0:
         return RunResult(run_id, total, 0, total)
 
     # Auto-routed: fused single-pass extraction, with giant PDFs (the
     # one fused-path skew hazard) diverted to the staged explode+shuffle
     # path so their pages spread across the cluster.
-    extracted = extract_pages_auto(pending)
+    extracted = extract_pages_auto(pending, has_giant=bool(stats["g"] or 0))
     # Snapshot-commit the extraction output, then derive lineage from
     # the committed files (re-read, not recompute — the expensive
     # kernel runs exactly once).

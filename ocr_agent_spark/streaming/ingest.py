@@ -40,6 +40,47 @@ def _count_output_rows(spark: SparkSession, output_dir: str) -> int:
         return 0  # directory exists but holds no committed files yet
 
 
+def _sink_committed_paths(output_dir: str) -> set[str] | None:
+    """Files committed by the parquet streaming sink, from its
+    ``_spark_metadata`` manifest log (tiny JSON files — O(#batches) to
+    read, never touches the data). None if no log exists yet."""
+    import json
+
+    meta = os.path.join(output_dir, "_spark_metadata")
+    if not os.path.isdir(meta):
+        return None
+    paths: set[str] = set()
+    for name in os.listdir(meta):
+        base = name[:-8] if name.endswith(".compact") else name
+        if not base.isdigit():
+            continue
+        try:
+            with open(os.path.join(meta, name)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue
+                    entry = json.loads(line)
+                    if entry.get("action", "add") == "add" and "path" in entry:
+                        paths.add(entry["path"])
+        except (OSError, ValueError):
+            return None  # malformed log → let the caller fall back
+    return paths
+
+
+def _rows_in_files(uris: set[str]) -> int:
+    """Row counts from parquet footers only (no data pages read)."""
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for uri in uris:
+        local = urlparse(uri).path if "://" in uri else uri
+        total += pq.ParquetFile(local).metadata.num_rows
+    return total
+
+
 def run_streaming_extraction(
     spark: SparkSession,
     input_dir: str,
@@ -49,7 +90,13 @@ def run_streaming_extraction(
 ) -> int:
     """Drain all unprocessed page files from ``input_dir`` → extracted
     parquet under ``output_dir``; returns rows written BY THIS drain
-    (pre/post count delta — a re-drain with no new files returns 0).
+    (a re-drain with no new files returns 0).
+
+    Drain accounting reads the sink's ``_spark_metadata`` commit log
+    and the NEW files' parquet footers only — O(rows written this
+    drain), not O(total historical output), so a long-lived watcher's
+    bookkeeping stays flat as the output grows. (Falls back to a full
+    pre/post count only if the sink log is unreadable.)
 
     Exactly-once per input file via the checkpoint; re-running after new
     files arrive processes only the new files (the streaming twin of the
@@ -65,7 +112,10 @@ def run_streaming_extraction(
     (url, page_index) — and the merge job sorts when the artifact is
     built, exactly like the batch path.
     """
-    before = _count_output_rows(spark, output_dir)
+    before_paths = _sink_committed_paths(output_dir)
+    before_count = None
+    if before_paths is None and os.path.exists(output_dir):
+        before_count = _count_output_rows(spark, output_dir)
 
     reader = (
         spark.readStream.schema(PAGES_ARROW_SCHEMA_DDL)
@@ -89,4 +139,7 @@ def run_streaming_extraction(
     )
     query.awaitTermination()
 
-    return _count_output_rows(spark, output_dir) - before
+    after_paths = _sink_committed_paths(output_dir)
+    if after_paths is not None:
+        return _rows_in_files(after_paths - (before_paths or set()))
+    return _count_output_rows(spark, output_dir) - (before_count or 0)

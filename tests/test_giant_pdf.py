@@ -72,3 +72,33 @@ def test_auto_routing_diverts_giant_pdf(spark):
     small_only = df.filter(~df.url.contains("big"))
     auto_plan = extract_pages_auto(small_only, giant_bytes=10**9)
     assert count_exchanges(auto_plan) == 0
+
+
+def test_null_payload_becomes_failure_row_on_both_routes(spark):
+    """code-review r02: a NULL html payload must surface as a
+    status='failed' row (D2), not vanish when a giant PDF makes the
+    router split the corpus, and not crash the fused kernel."""
+    from ocr_agent_spark.operators.extract import extract_pages_auto
+
+    giant = build_pdf([[f"P{p}"] for p in range(50)])
+    rows = [
+        ("https://x/null", None, None, None, "en"),
+        ("https://x/ok", None,
+         b"<p>healthy words one two three four five six seven eight nine ten</p>",
+         None, "en"),
+        ("https://x/giant", None, giant, None, "en"),
+    ]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    df = spark.createDataFrame(rows, schema)
+
+    # with a giant present (split plan) and without (pure fused plan)
+    for giant_bytes in (len(giant) // 2, 10**9):
+        out = extract_pages_auto(df, giant_bytes=giant_bytes).collect()
+        by_url = {}
+        for r in out:
+            by_url.setdefault(r["url"], []).append(r)
+        assert len(by_url["https://x/null"]) == 1
+        nr = by_url["https://x/null"][0]
+        assert nr["status"] == "failed" and "null html payload" in nr["error"]
+        assert by_url["https://x/ok"][0]["status"] == "completed"
+        assert len(by_url["https://x/giant"]) == 50

@@ -144,6 +144,25 @@ _EDGE_DOCS = [
     b"<SCRIPT>x</SCRIPT><p>" + b"s " * 12 + b"</p>",
     b"<script >x</script ><p>" + b"t " * 12 + b"</p>",
     b"\xff\xfe garbage bytes<p>" + b"r " * 12 + b"</p>",
+    # code-review r02 repros: each of these lost content on the first
+    # fast-scanner cut
+    b"<![if !IE]><p>hello world one two three four five six seven ten</p>"
+    b"<![endif]><p>" + b"after " * 12 + b"</p>",
+    b"<a href=x>link</a junk> lambda mu nu xi omicron pi rho sigma tau "
+    b"upsilon phi chi",
+    b"<p align=center'>one two three four five six seven eight nine ten "
+    b"eleven twelve</p><p>it's a fine day isn't it friends of the corpus</p>",
+    # stdlib tag-edge catalog
+    b"</div foo><p>" + b"dd " * 12 + b"</p>",
+    b"<br / ><p>" + b"ee " * 12 + b"</p>",
+    b'<p a="1"b>' + b"ff " * 12 + b"</p>",
+    b"<p/ x>" + b"gg " * 12 + b"</p>",
+    b"</a,b><p>" + b"hh " * 12 + b"</p>",
+    b"<![CDATA[a>b]]><p>" + b"ii " * 12 + b"</p>",
+    b"<![endif]><p>" + b"jj " * 12 + b"</p>",
+    b"<p =x>" + b"kk " * 12 + b"</p>",
+    b"<p a='x'b c>" + b"ll " * 12 + b"</p>",
+    b"<div data-x='a>b'><p>" + b"mm " * 12 + b"</p></div>",
 ]
 
 
@@ -164,6 +183,20 @@ def test_fast_scanner_equals_stdlib_on_edge_cases():
         ), doc
 
 
+def test_fast_scanner_tolerates_unknown_marked_sections():
+    """Documented divergence: stdlib html.parser raises AssertionError
+    on unknown marked-section keywords; the production scanner must
+    keep extracting instead of crashing the job."""
+    import pytest as _pytest
+
+    doc = b"<![foo[x]]><p>alpha beta gamma delta epsilon zeta eta theta " \
+          b"iota kappa</p>"
+    out = extract_html_text(doc)
+    assert "alpha beta" in out
+    with _pytest.raises(AssertionError):
+        extract_html_text(doc, _stdlib_parser=True)
+
+
 def test_fast_scanner_equals_stdlib_fuzz():
     import random
 
@@ -174,6 +207,14 @@ def test_fast_scanner_equals_stdlib_fuzz():
         "<?pi?>", "<h2>", "</h2>", "lots of words here ", '"q"', "'q'",
         '<td x="a>b">', "</td>", "<nav>", "</nav>", "<title>", "</title>",
         "\n", "\t",
+        # tolerant-machinery stressors (code-review r02)
+        "</p junk>", "</a junk>", "<p align=center'>", "<br / >",
+        "<p a='1'b>", "<p/ x>", "</a,b>", "<![if !IE]>", "<![endif]>",
+        "<![CDATA[ x > y ]]>", "<p =x>", "'", '"', "=", "/",
+        "<p a = 'v'>", "<p a==b>", "<img src=x.png/>", "<A HREF=X>",
+        "</A >", "<p\tx='1'>", "&", "&#", ";&x",
+        # unterminated constructs (goahead end-of-feed recovery)
+        "<p a='", '<p a="', "<!-- x", "<?x", "</p", "<![if ", "<p/", "<p /",
     ]
     for seed in range(800):
         rng = random.Random(seed)
