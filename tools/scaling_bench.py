@@ -84,7 +84,10 @@ def main() -> None:
         worker(int(sys.argv[2]), int(sys.argv[3]))
         return
 
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    # Default sized so per-task kernel work dominates the ~2-3 s fixed
+    # scan/scheduling floor (post round-2 kernel speedups, 20k docs
+    # finish so fast at high core counts that the floor masks scaling).
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500000
     # Every Spark task here runs a JVM thread AND a Python worker, so
     # local[N] keeps ~2N threads busy. On this 32-core box local[32]
     # oversubscribes (64 threads) — local[16] measurably beats it. The
