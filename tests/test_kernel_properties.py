@@ -52,3 +52,52 @@ def test_mathdown_preserves_line_count_outside_blocks(text):
     # no LaTeX delimiters must round-trip byte-identically.
     if "\\(" not in text and "\\[" not in text:
         assert convert_math_delimiters(text) == text
+
+
+# -- fast tokenizer vs stdlib reference (hypothesis) -------------------------
+
+_html_fragment = st.one_of(
+    st.text(
+        alphabet=st.sampled_from(list("abc <>/='\"&;!?#-[]\n\t")), max_size=12
+    ),
+    st.sampled_from([
+        "<p>", "</p>", "<div class='x'>", "<br/>", "<a href=x>", "</a>",
+        "<script>", "</script>", "<style>", "</style>", "<title>", "</title>",
+        "<!-- c -->", "<!doctype html>", "<?pi?>", "<![if !IE]>", "<![endif]>",
+        "<![CDATA[ x ]]>", "&amp;", "&#65;", "&bogus", "</p junk>",
+        "<p align=center'>", "<br / >", "words and more words ",
+    ]),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_html_fragment, max_size=30).map("".join))
+def test_fast_scanner_equals_stdlib_hypothesis(doc):
+    """The production tokenizer must match the stdlib reference path on
+    arbitrary HTML-ish soup, wherever stdlib itself doesn't crash (its
+    unknown-marked-section AssertionError is a documented divergence)."""
+    data = doc.encode("utf-8", "replace")
+    fast = extract_html_text(data)
+    try:
+        ref = extract_html_text(data, _stdlib_parser=True)
+    except AssertionError:
+        return  # stdlib crash on '<![unknown[': fast path stays tolerant
+    assert fast == ref, data
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_pdf_document_total_on_arbitrary_bytes(data):
+    """PdfDocument + page rendering never crash a task on garbage: they
+    raise typed errors the batch layer converts to failure rows."""
+    import zlib
+
+    from ocr_agent_spark.kernel.minipdf import PdfDocument
+
+    try:
+        doc = PdfDocument(b"%PDF-1.4\n" + data)
+        for p in range(min(doc.page_count, 4)):
+            out = doc.page_text(p)
+            assert isinstance(out, str)
+    except (ValueError, IndexError, KeyError, zlib.error):
+        pass  # typed data faults → failure rows upstream
