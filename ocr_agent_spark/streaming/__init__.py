@@ -1,3 +1,6 @@
-from ocr_agent_spark.streaming.ingest import run_streaming_extraction
+from ocr_agent_spark.streaming.ingest import (
+    run_streaming_extraction,
+    run_streaming_extraction_committed,
+)
 
-__all__ = ["run_streaming_extraction"]
+__all__ = ["run_streaming_extraction", "run_streaming_extraction_committed"]

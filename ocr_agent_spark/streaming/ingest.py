@@ -143,3 +143,74 @@ def run_streaming_extraction(
     if after_paths is not None:
         return _rows_in_files(after_paths - (before_paths or set()))
     return _count_output_rows(spark, output_dir) - (before_count or 0)
+
+
+def run_streaming_extraction_committed(
+    spark: SparkSession,
+    input_dir: str,
+    output_root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> list[str]:
+    """Streaming drain whose sink is the SNAPSHOT STORE: each micro-batch
+    commits atomically (manifest publish) with per-partition lineage
+    rows — the streaming twin of ``pipeline.run_extraction_job``, so
+    streamed and batch output share one table, one resume contract, one
+    merge/status surface (ST1–ST4 unified with S14).
+
+    Exactly-once: source offsets live in the streaming checkpoint;
+    after a failure ``foreachBatch`` re-delivers the same ``batch_id``,
+    and the run_id derives from it — a replayed batch whose run_id is
+    already in the manifest is skipped, and a data directory left by a
+    crash BETWEEN write and manifest publish is discarded and rewritten
+    (the standard idempotent-foreachBatch recipe).
+
+    Returns the run_ids committed by this drain (empty on a no-op).
+    """
+    import shutil
+
+    from ocr_agent_spark.operators.extract import lineage_from_extracted
+    from ocr_agent_spark.pipeline import extraction_store, lineage_store
+
+    store = extraction_store(output_root)
+    lstore = lineage_store(output_root)
+    committed_now: list[str] = []
+
+    reader = (
+        spark.readStream.schema(PAGES_ARROW_SCHEMA_DDL)
+        .format("parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    pages = reader.load(input_dir)
+    extracted = pages.select("url", "warc_ts", "html").mapInPandas(
+        _extract_pages_fused_batches, schema=FUSED_SCHEMA
+    )
+
+    def commit_batch(df, batch_id: int) -> None:
+        run_id = f"stream{batch_id:08d}"
+        manifest = store.latest_manifest()
+        if manifest is not None and run_id in manifest["runs"]:
+            return  # replayed batch already published: exactly-once
+        run_dir = os.path.join(store.data_dir, run_id)
+        if os.path.exists(run_dir):
+            shutil.rmtree(run_dir)  # crash between write and publish
+        store.commit(df, run_id=run_id)
+        committed = spark.read.parquet(run_dir)
+        lmanifest = lstore.latest_manifest()
+        if lmanifest is None or run_id not in lmanifest["runs"]:
+            ldir = os.path.join(lstore.data_dir, run_id)
+            if os.path.exists(ldir):
+                shutil.rmtree(ldir)
+            lstore.commit(lineage_from_extracted(committed, run_id),
+                          run_id=run_id)
+        committed_now.append(run_id)
+
+    query = (
+        extracted.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return committed_now

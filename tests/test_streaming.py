@@ -104,3 +104,57 @@ def test_streaming_multipage_pdf_fans_out_all_pages(spark, tmp_path):
         (r["url"], r["page_index"]): r["text"] for r in ext.collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_streaming_snapshot_committed_sink(spark, tmp_path):
+    """foreachBatch → SnapshotStore: streamed and batch extraction share
+    one table, one resume contract, one merge surface; drains are
+    idempotent (re-drain commits nothing) and lineage rows land per run."""
+    from ocr_agent_spark.pipeline import (
+        merge_job,
+        read_extracted,
+        read_lineage,
+        run_extraction_job,
+    )
+    from ocr_agent_spark.streaming.ingest import (
+        run_streaming_extraction_committed,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    root = str(tmp_path / "job")
+    ckpt = str(tmp_path / "ckpt")
+    records = generate_pages(30)
+
+    _write_batch(f"{inbox}/b0.parquet", records[:18])
+    runs1 = run_streaming_extraction_committed(spark, inbox, root, ckpt)
+    assert runs1, "first drain must commit at least one run"
+
+    # idempotence: nothing new → no commits
+    assert run_streaming_extraction_committed(spark, inbox, root, ckpt) == []
+
+    # new arrivals → exactly the new rows, in the SAME snapshot table
+    _write_batch(f"{inbox}/b1.parquet", records[18:])
+    runs2 = run_streaming_extraction_committed(spark, inbox, root, ckpt)
+    assert runs2 and set(runs2).isdisjoint(runs1)
+
+    ext = read_extracted(spark, root)
+    assert ext.select("url").distinct().count() == 30
+    assert ext.count() == ext.select("url", "page_index").distinct().count()
+
+    # lineage rows exist for every streamed run
+    lineage = read_lineage(spark, root)
+    run_ids = {r["run_id"] for r in lineage.select("run_id").distinct().collect()}
+    assert set(runs1 + runs2) <= run_ids
+
+    # the BATCH job resumes against the streamed commits: nothing pending
+    pages_df = spark.createDataFrame(
+        [(r.url, r.warc_ts, r.html, r.text, r.lang) for r in records],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    result = run_extraction_job(spark, pages_df, root)
+    assert result.pages_processed == 0
+    assert result.pages_skipped_committed == 30
+
+    # and the ordered merge works over the streamed table
+    merged = merge_job(spark, root)
+    assert merged.startswith("# Extracted Output")
