@@ -149,7 +149,8 @@ PAGES_ARROW_SCHEMA_DDL = (
 
 def write_pages_parquet(path: str, n: int, seed: int = 42,
                         pdf_fraction: float = 0.07, rows_per_file: int = 5000,
-                        row_group_rows: int = 512) -> None:
+                        row_group_rows: int = 512,
+                        with_meta: bool = True) -> None:
     """Materialize the corpus as parquet via pyarrow (no Spark needed).
 
     Files and row groups are kept small (5k rows/file, 512 rows/group ≈
@@ -157,36 +158,49 @@ def write_pages_parquet(path: str, n: int, seed: int = 42,
     the whole source read a single task regardless of cluster size. At
     real scale the same rule holds in reverse — row groups sized so
     `spark.sql.files.maxPartitionBytes` yields ≥ 2-3 tasks per core.
+
+    ``with_meta`` persists the ingest-time slim routing columns
+    (``doc_bytes``, ``is_pdf`` — see ``operators.ingest.with_doc_meta``)
+    alongside the input-hint shape, so the extraction job's pending
+    stats and giant-PDF routing prune to metadata instead of re-reading
+    the payload. Pass ``with_meta=False`` for the raw 5-column
+    input-hint shape (the job accepts both; tested both ways).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
     import os
 
     os.makedirs(path, exist_ok=True)
-    schema = pa.schema(
-        [
-            ("url", pa.string()),
-            ("warc_ts", pa.timestamp("us", tz="UTC")),
-            ("html", pa.binary()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-        ]
-    )
+    fields = [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+    if with_meta:
+        fields += [("doc_bytes", pa.int64()), ("is_pdf", pa.bool_())]
+    schema = pa.schema(fields)
     file_idx = 0
     for start in range(0, n, rows_per_file):
         stop = min(start + rows_per_file, n)
         records = [generate_page(i, seed=seed, pdf_fraction=pdf_fraction)
                    for i in range(start, stop)]
-        table = pa.Table.from_pydict(
-            {
-                "url": [r.url for r in records],
-                "warc_ts": [r.warc_ts for r in records],
-                "html": [r.html for r in records],
-                "text": [r.text for r in records],
-                "lang": [r.lang for r in records],
-            },
-            schema=schema,
-        )
+        cols = {
+            "url": [r.url for r in records],
+            "warc_ts": [r.warc_ts for r in records],
+            "html": [r.html for r in records],
+            "text": [r.text for r in records],
+            "lang": [r.lang for r in records],
+        }
+        if with_meta:
+            cols["doc_bytes"] = [
+                len(r.html) if r.html is not None else 0 for r in records
+            ]
+            cols["is_pdf"] = [
+                (r.html or b"")[:4] == b"%PDF" for r in records
+            ]
+        table = pa.Table.from_pydict(cols, schema=schema)
         pq.write_table(
             table,
             os.path.join(path, f"part-{file_idx:05d}.parquet"),

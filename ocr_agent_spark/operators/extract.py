@@ -212,18 +212,29 @@ def extract_pages_fused(pages: DataFrame) -> DataFrame:
 GIANT_PDF_BYTES = 8_000_000
 
 
-def giant_pdf_predicate(giant_bytes: int = GIANT_PDF_BYTES) -> F.Column:
+def giant_pdf_predicate(giant_bytes: int = GIANT_PDF_BYTES,
+                        use_meta: bool = False) -> F.Column:
     """True iff the row's payload is a PDF of at least ``giant_bytes``.
 
-    NULL-safe: a NULL payload is NOT giant (it must flow to the fused
-    branch, whose kernel turns it into a failure row) — without the
-    coalesce, NULL would fail BOTH branch filters and the row would
-    silently vanish from the output.
+    With ``use_meta=True`` the predicate reads the ingest-time slim
+    metadata columns (``is_pdf``, ``doc_bytes`` — see
+    ``ingest.with_doc_meta``) instead of the payload: the routing
+    decision then prunes to two fixed-width columns AND pushes down to
+    parquet row-group stats, instead of materializing the fattest
+    column in the table a second time.
+
+    NULL-safe either way: a NULL payload is NOT giant (it must flow to
+    the fused branch, whose kernel turns it into a failure row) —
+    without the coalesce, NULL would fail BOTH branch filters and the
+    row would silently vanish from the output.
     """
-    raw = (
-        (F.substring(F.col("html"), 1, 4).cast("string") == "%PDF")
-        & (F.length(F.col("html")) >= giant_bytes)
-    )
+    if use_meta:
+        raw = F.col("is_pdf") & (F.col("doc_bytes") >= giant_bytes)
+    else:
+        raw = (
+            (F.substring(F.col("html"), 1, 4).cast("string") == "%PDF")
+            & (F.length(F.col("html")) >= giant_bytes)
+        )
     return F.coalesce(raw, F.lit(False))
 
 
@@ -249,12 +260,18 @@ def extract_pages_auto(pages: DataFrame,
     Output schema = FUSED_SCHEMA for both branches (the staged branch
     drops its dense order_key; order is data — (url, page_index)).
     """
-    is_giant = giant_pdf_predicate(giant_bytes)
+    from ocr_agent_spark.operators.ingest import has_doc_meta
+
+    # When ingest persisted slim routing metadata, both the probe and
+    # the branch split read (is_pdf, doc_bytes) instead of the payload
+    # — the giant-only staged branch's filter then pushes down to
+    # parquet row-group stats and never decodes non-giant payloads.
+    is_giant = giant_pdf_predicate(giant_bytes, use_meta=has_doc_meta(pages))
     # Existence check first: the common no-giants corpus keeps the pure
     # fused plan — no split, no staged machinery. Callers that already
     # aggregate over the input (run_extraction_job's pending count)
     # pass ``has_giant`` from that same pass so no extra scan happens;
-    # standalone callers fall back to a JVM-only limit(1) probe.
+    # standalone callers fall back to a slim (or JVM-only) limit(1) probe.
     if has_giant is None:
         has_giant = pages.filter(is_giant).limit(1).count() > 0
     if not has_giant:

@@ -37,8 +37,15 @@ from ocr_agent_spark.operators.extract import (
     giant_pdf_predicate,
     lineage_from_extracted,
 )
-from ocr_agent_spark.operators.ingest import BROADCAST_KEY_LIMIT, assign_order_key
-from ocr_agent_spark.operators.merge import merge_extracted_to_markdown
+from ocr_agent_spark.operators.ingest import (
+    BROADCAST_KEY_LIMIT,
+    assign_order_key,
+    has_doc_meta,
+)
+from ocr_agent_spark.operators.merge import (
+    merge_extracted_to_file,
+    merge_extracted_to_markdown,
+)
 from ocr_agent_spark.sources.snapshot import SnapshotStore
 
 RESUME_KEYS = ["url"]
@@ -81,10 +88,16 @@ def run_extraction_job(
     pending = store.anti_join_committed(pages, RESUME_KEYS, spark)
     # ONE pass computes the pending count AND the giant-PDF existence
     # bit (folding the router's probe into the count the job already
-    # pays — no separate probe scan of the payload column).
+    # pays). When the input carries ingest-time routing metadata
+    # (``with_doc_meta``: doc_bytes, is_pdf — the fixture corpus and
+    # any production ingest persist them), this aggregate prunes to two
+    # slim fixed-width columns and never touches the payload
+    # (plan-asserted in tests/test_plans.py); only a raw 5-column
+    # input-hint-shaped table pays one payload scan here.
+    use_meta = has_doc_meta(pending)
     stats = pending.agg(
         F.count(F.lit(1)).alias("n"),
-        F.max(giant_pdf_predicate().cast("int")).alias("g"),
+        F.max(giant_pdf_predicate(use_meta=use_meta).cast("int")).alias("g"),
     ).first()
     n_pending = stats["n"]
     if n_pending == 0:
@@ -137,12 +150,23 @@ def merge_job(
     style: str = "dollar",
     merged_path: str | None = None,
 ) -> str:
+    """Merge committed output into one markdown artifact.
+
+    With ``merged_path`` the artifact is STREAMED to disk one range
+    partition at a time (``merge_extracted_to_file``) and the returned
+    string is read back from the file — the driver never holds more
+    than one partition of text plus the final artifact it was asked to
+    return. Callers that only need the file can ignore the return value;
+    at 100 TB the file path is the only sane interface and the byte
+    count is in the lineage. Without ``merged_path`` the collecting
+    variant runs (byte-identical, tested) for small in-memory use.
+    """
     extracted = read_extracted(spark, output_root)
     if extracted is None:
         raise EmptyInputError("nothing committed yet")
-    text = merge_extracted_to_markdown(extracted, style=style)
     if merged_path is not None:
-        os.makedirs(os.path.dirname(merged_path), exist_ok=True)
-        with open(merged_path, "w", encoding="utf-8") as fh:
-            fh.write(text)
-    return text
+        os.makedirs(os.path.dirname(os.path.abspath(merged_path)), exist_ok=True)
+        merge_extracted_to_file(extracted, merged_path, style=style)
+        with open(merged_path, encoding="utf-8", newline="") as fh:
+            return fh.read()
+    return merge_extracted_to_markdown(extracted, style=style)

@@ -42,6 +42,16 @@ def build_spark(
         )
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Transient-failure retry: the reference retries SQLite connects
+        # with backoff (queue_store.py:205-227 in the reference repo);
+        # Spark's analogue is per-task retry — a task that dies on a
+        # transient I/O error (object-store hiccup, executor loss) is
+        # rescheduled up to maxFailures-1 times before failing the job.
+        # Extraction tasks are idempotent (commit is all-or-nothing per
+        # run), so retries are always safe. local[] mode defaults this
+        # to 1 (fail fast); set the cluster default explicitly so tests
+        # exercise the same retry semantics a real cluster has.
+        .config("spark.task.maxFailures", "4")
         # Scan-split sizing: small enough that this sandbox's ~20 MB
         # fixture files split into ≥2-3 tasks per core. At 100 TB with
         # ~1 GB files raise toward the 128 MB default — the invariant

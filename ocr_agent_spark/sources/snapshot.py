@@ -5,10 +5,11 @@ minimal snapshot layer reproducing the two Iceberg behaviors the north
 rule requires:
 
 1. **Atomic commit** — data files are written to a run-scoped directory
-   first; the commit is a single ``os.replace`` of a manifest JSON into
-   ``_snapshots/`` (rename is atomic on POSIX). Readers only ever see
-   directories listed in the latest manifest, so a job killed mid-write
-   leaves no partial state visible.
+   first; the commit is a single exclusive create (O_CREAT|O_EXCL) of a
+   manifest JSON into ``_snapshots/``, unlinked again if the write dies
+   mid-stream. Readers only ever see directories listed in the latest
+   fully-written manifest, so a job killed mid-write leaves no partial
+   state visible.
 2. **Snapshot resume** — a re-run anti-joins its task list against the
    keys already committed (the Spark translation of the reference's
    "fetch next pending" scheduler, queue_store.py:125-138 + the status
@@ -23,9 +24,10 @@ Layout::
 
 Manifests are cumulative (each lists all live run dirs), so reading =
 parse latest manifest + read its run dirs. Concurrency model: single
-writer (same as the reference's one-job-per-host gate, main.rs:1287-1292);
-optimistic multi-writer would need a CAS on the manifest name, noted in
-docstrings but out of scope for a single driver.
+writer (same as the reference's one-job-per-host gate, main.rs:1287-1292),
+enforced optimistically — the manifest publish is an O_EXCL create on the
+sequenced name, so a second writer racing on the same base snapshot gets
+``CommitConflictError`` instead of silently clobbering a commit.
 """
 
 from __future__ import annotations
@@ -36,6 +38,10 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent writer published the same snapshot seq first."""
 
 
 class SnapshotStore:
@@ -86,10 +92,33 @@ class SnapshotStore:
             "run_id": run_id,
             "committed_unix_ms": int(time.time() * 1000),
         }
-        tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self.snap_dir, f"snap-{seq:06d}.json"))
+        # CAS publish: O_CREAT|O_EXCL on the sequenced manifest name.
+        # Two writers that both read seq N-1 race to create snap-N; the
+        # loser gets FileExistsError → CommitConflictError instead of
+        # silently overwriting the winner's manifest (which would drop
+        # its run from every future read). Same optimistic-concurrency
+        # shape as Iceberg's commit: writers may retry by re-reading the
+        # latest manifest and re-basing. The store is still documented
+        # single-writer (reference's one-job gate, main.rs:1287-1292) —
+        # this guard turns concurrent misuse into a loud failure.
+        target = os.path.join(self.snap_dir, f"snap-{seq:06d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"snapshot seq={seq} already published (concurrent writer?); "
+                f"re-read the latest manifest and retry the commit"
+            ) from None
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+        except BaseException:
+            # Never leave a half-written manifest visible under the
+            # sequenced name — readers take the latest name as truth.
+            os.unlink(target)
+            raise
         return run_id
 
     def reset(self) -> None:

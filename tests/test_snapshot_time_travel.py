@@ -22,3 +22,41 @@ def test_time_travel(spark, tmp_path):
     assert [s["seq"] for s in history] == [0, 1]
     assert history[0]["runs"] == ["r1"]
     assert history[1]["runs"] == ["r1", "r2"]
+
+
+def test_concurrent_commit_conflicts_loudly(spark, tmp_path):
+    """Two writers racing on the same base snapshot: exactly one wins,
+    the loser raises CommitConflictError, and the table stays
+    consistent (the winner's run is never dropped)."""
+    from unittest.mock import patch
+
+    from ocr_agent_spark.sources.snapshot import CommitConflictError
+
+    store = SnapshotStore(str(tmp_path / "cas"))
+    store.commit(spark.createDataFrame([(1,)], "id long"), run_id="base")
+
+    # Interleave: writer B reads the manifest and publishes seq=1 while
+    # writer A is between its manifest read and its own publish. Mock
+    # latest_manifest so A's read happens, then B commits for real.
+    real_latest = store.latest_manifest
+    other = SnapshotStore(str(tmp_path / "cas"))
+
+    def read_then_lose(*a, **kw):
+        manifest = real_latest()
+        if not other._manifests() or len(other._manifests()) == 1:
+            other.commit(
+                spark.createDataFrame([(2,)], "id long"), run_id="winner"
+            )
+        return manifest
+
+    with patch.object(store, "latest_manifest", side_effect=read_then_lose):
+        with pytest.raises(CommitConflictError, match="seq=1"):
+            store.commit(spark.createDataFrame([(3,)], "id long"), run_id="loser")
+
+    # Winner's commit is intact; loser's run never published.
+    assert store.latest_manifest()["runs"] == ["base", "winner"]
+    assert store.read(spark).count() == 2
+    # Loser can retry against the new base and succeed.
+    retry = SnapshotStore(str(tmp_path / "cas"))
+    retry.commit(spark.createDataFrame([(3,)], "id long"), run_id="loser2")
+    assert retry.read(spark).count() == 3
