@@ -18,6 +18,10 @@ Layout:
 - ``streaming/``  Structured Streaming ingestion (inbox-watcher analogue)
 """
 
-from ocr_agent_spark.cache import persist_tracked, release_caches  # noqa: F401
+from ocr_agent_spark.cache import (  # noqa: F401
+    cache_scope,
+    persist_tracked,
+    release_caches,
+)
 
 __version__ = "0.2.0"

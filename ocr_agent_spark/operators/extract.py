@@ -94,6 +94,14 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# Max rows buffered before a fused output batch is flushed. Bounds the
+# per-task Python-side memory independently of the INPUT batch shape:
+# without it, a single low-byte/high-page PDF (bytes are the routing
+# heuristic, pages are the memory cost) balloons one output batch to
+# its full fan-out. 4096 rows ≈ a few MB of text per flush.
+FUSED_OUT_BATCH_ROWS = 4096
+
+
 def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Fused probe+fan-out+extract over raw pages (runs on executors).
 
@@ -101,6 +109,12 @@ def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd
     counting, pdf page fan-out (1→N row emission) and extraction all
     happen inside the same batch. Emits the same row shape as the
     staged path minus order_key (attached afterward on slim columns).
+
+    Output batches are flushed every ``FUSED_OUT_BATCH_ROWS`` emitted
+    rows — including mid-document, so one degenerate PDF's fan-out
+    never accumulates unbounded rows in memory. ``part_wall_ms`` is a
+    running clock per task, so ``max()`` per partition is still that
+    partition's total wall time.
     """
     from pyspark import TaskContext
 
@@ -111,25 +125,36 @@ def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd
     partition_id = ctx.partitionId() if ctx is not None else -1
     t0 = time.monotonic()
 
-    for batch in batches:
-        out = {
+    def new_out():
+        return {
             "kind": [], "url": [], "page_index": [], "total_pages": [],
             "created_ts": [], "text": [], "status": [], "error": [],
             "doc_bytes": [],
         }
 
-        def emit(kind, url, page_index, total_pages, created_ts, text,
-                 status, error, nbytes):
-            out["kind"].append(kind)
-            out["url"].append(url)
-            out["page_index"].append(page_index)
-            out["total_pages"].append(total_pages)
-            out["created_ts"].append(created_ts)
-            out["text"].append(text)
-            out["status"].append(status)
-            out["error"].append(error)
-            out["doc_bytes"].append(nbytes)
+    out = new_out()
 
+    def emit(kind, url, page_index, total_pages, created_ts, text,
+             status, error, nbytes):
+        out["kind"].append(kind)
+        out["url"].append(url)
+        out["page_index"].append(page_index)
+        out["total_pages"].append(total_pages)
+        out["created_ts"].append(created_ts)
+        out["text"].append(text)
+        out["status"].append(status)
+        out["error"].append(error)
+        out["doc_bytes"].append(nbytes)
+
+    def drain() -> pd.DataFrame:
+        nonlocal out
+        df = pd.DataFrame(out)
+        df["partition_id"] = partition_id
+        df["part_wall_ms"] = int((time.monotonic() - t0) * 1000)
+        out = new_out()
+        return df
+
+    for batch in batches:
         for url, created_ts, payload in zip(
             batch["url"], batch["warc_ts"], batch["html"]
         ):
@@ -146,36 +171,37 @@ def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd
                 except Exception as exc:
                     emit("html", url, 0, None, created_ts,
                          None, STATUS_FAILED, repr(exc), n)
-                continue
-            try:
-                # One object-table parse per document, shared by the
-                # count and every page render (the per-page function
-                # would re-parse per page — measured on multi-page docs).
-                doc = PdfDocument(data)
-                total = doc.page_count
-            except Exception as exc:
-                emit("pdf_page", url, 0, -1, created_ts,
-                     None, STATUS_FAILED, repr(exc), n)
-                continue
-            if total <= 0:
-                emit("pdf_page", url, 0, total, created_ts, None,
-                     STATUS_FAILED, "IndexError('page_index 0 out of range "
-                     f"for {total}-page PDF')", n)
-                continue
-            for p in range(total):
+            else:
                 try:
-                    text = doc.page_text(p)
-                    text = text.rstrip() + "\n" if text.strip() else ""
-                    emit("pdf_page", url, p, total, created_ts, text,
-                         STATUS_COMPLETED, None, n)
+                    # One object-table parse per document, shared by the
+                    # count and every page render (the per-page function
+                    # would re-parse per page — measured on multi-page docs).
+                    doc = PdfDocument(data)
+                    total = doc.page_count
                 except Exception as exc:
-                    emit("pdf_page", url, p, total, created_ts, None,
-                         STATUS_FAILED, repr(exc), n)
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        df = pd.DataFrame(out)
-        df["partition_id"] = partition_id
-        df["part_wall_ms"] = wall_ms
-        yield df
+                    emit("pdf_page", url, 0, -1, created_ts,
+                         None, STATUS_FAILED, repr(exc), n)
+                    continue
+                if total <= 0:
+                    emit("pdf_page", url, 0, total, created_ts, None,
+                         STATUS_FAILED, "IndexError('page_index 0 out of range "
+                         f"for {total}-page PDF')", n)
+                    continue
+                for p in range(total):
+                    try:
+                        text = doc.page_text(p)
+                        text = text.rstrip() + "\n" if text.strip() else ""
+                        emit("pdf_page", url, p, total, created_ts, text,
+                             STATUS_COMPLETED, None, n)
+                    except Exception as exc:
+                        emit("pdf_page", url, p, total, created_ts, None,
+                             STATUS_FAILED, repr(exc), n)
+                    if len(out["url"]) >= FUSED_OUT_BATCH_ROWS:
+                        yield drain()  # mid-document flush: bounded fan-out
+            if len(out["url"]) >= FUSED_OUT_BATCH_ROWS:
+                yield drain()
+        if out["url"]:
+            yield drain()
 
 
 FUSED_SCHEMA = (

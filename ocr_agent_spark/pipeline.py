@@ -31,7 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_agent_spark.cache import release_caches
+from ocr_agent_spark.cache import cache_scope
 from ocr_agent_spark.operators.extract import (
     extract_pages_auto,
     giant_pdf_predicate,
@@ -78,6 +78,22 @@ def run_extraction_job(
     run_id: str | None = None,
     num_partitions: int | None = None,
 ) -> RunResult:
+    # cache_scope: release only the intermediates THIS job persisted —
+    # a caller's own tracked caches (e.g. an unmaterialized dedup
+    # result) survive the job (ADVICE r2).
+    with cache_scope():
+        return _run_extraction_job(
+            spark, pages, output_root, run_id, num_partitions
+        )
+
+
+def _run_extraction_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_root: str,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+) -> RunResult:
     run_id = run_id or uuid.uuid4().hex[:12]
     store = extraction_store(output_root)
 
@@ -115,7 +131,6 @@ def run_extraction_job(
     lineage_store(output_root).commit(
         lineage_from_extracted(committed, run_id), run_id=run_id
     )
-    release_caches()  # all actions done — drop operator-level caches
     return RunResult(run_id, total, n_pending, total - n_pending)
 
 

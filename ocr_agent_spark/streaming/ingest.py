@@ -68,16 +68,30 @@ def _sink_committed_paths(output_dir: str) -> set[str] | None:
     return paths
 
 
-def _rows_in_files(uris: set[str]) -> int:
-    """Row counts from parquet footers only (no data pages read)."""
-    from urllib.parse import urlparse
+def _rows_in_files(uris: set[str]) -> int | None:
+    """Row counts from parquet footers only (no data pages read).
 
+    Returns None when any footer is unreadable — e.g. the sink lives on
+    a filesystem this process can't open directly — so the caller falls
+    back to the pre/post full-count delta instead of crashing after a
+    successful drain (ADVICE r2). Remote schemes are opened through
+    ``pyarrow.fs.FileSystem.from_uri``; bare paths stay local.
+    """
     import pyarrow.parquet as pq
 
     total = 0
     for uri in uris:
-        local = urlparse(uri).path if "://" in uri else uri
-        total += pq.ParquetFile(local).metadata.num_rows
+        try:
+            if "://" in uri:
+                from pyarrow import fs as pafs
+
+                filesystem, path = pafs.FileSystem.from_uri(uri)
+                with filesystem.open_input_file(path) as f:
+                    total += pq.ParquetFile(f).metadata.num_rows
+            else:
+                total += pq.ParquetFile(uri).metadata.num_rows
+        except Exception:
+            return None
     return total
 
 
@@ -140,8 +154,18 @@ def run_streaming_extraction(
     query.awaitTermination()
 
     after_paths = _sink_committed_paths(output_dir)
-    if after_paths is not None:
-        return _rows_in_files(after_paths - (before_paths or set()))
+    if after_paths is not None and before_paths is not None:
+        delta = _rows_in_files(after_paths - before_paths)
+        if delta is not None:
+            return delta
+        # Footers unreadable from this process (e.g. remote sink fs):
+        # recover via Spark, which does have the filesystem connectors —
+        # count the pre-drain files directly, full output minus that.
+        pre = (
+            spark.read.parquet(*sorted(before_paths)).count()
+            if before_paths else 0
+        )
+        return _count_output_rows(spark, output_dir) - pre
     return _count_output_rows(spark, output_dir) - (before_count or 0)
 
 
@@ -187,23 +211,37 @@ def run_streaming_extraction_committed(
         _extract_pages_fused_batches, schema=FUSED_SCHEMA
     )
 
+    def ensure_lineage(run_id: str, run_dir: str) -> None:
+        # Idempotent lineage publish from the COMMITTED files. Runs on
+        # every delivery of a batch — including a replay whose
+        # extraction manifest is already published — so a crash landing
+        # between the extraction commit and the lineage commit is
+        # repaired on the next drain instead of leaving that batch's
+        # lineage missing forever (ADVICE r2, medium).
+        lmanifest = lstore.latest_manifest()
+        if lmanifest is not None and run_id in lmanifest["runs"]:
+            return
+        ldir = os.path.join(lstore.data_dir, run_id)
+        if os.path.exists(ldir):
+            shutil.rmtree(ldir)  # crash between lineage write and publish
+        committed = spark.read.parquet(run_dir)
+        lstore.commit(lineage_from_extracted(committed, run_id),
+                      run_id=run_id)
+
     def commit_batch(df, batch_id: int) -> None:
         run_id = f"stream{batch_id:08d}"
+        run_dir = os.path.join(store.data_dir, run_id)
         manifest = store.latest_manifest()
         if manifest is not None and run_id in manifest["runs"]:
-            return  # replayed batch already published: exactly-once
-        run_dir = os.path.join(store.data_dir, run_id)
+            # replayed batch already published: exactly-once — but the
+            # lineage commit may still be missing if the crash hit
+            # between the two publishes; repair before returning.
+            ensure_lineage(run_id, run_dir)
+            return
         if os.path.exists(run_dir):
             shutil.rmtree(run_dir)  # crash between write and publish
         store.commit(df, run_id=run_id)
-        committed = spark.read.parquet(run_dir)
-        lmanifest = lstore.latest_manifest()
-        if lmanifest is None or run_id not in lmanifest["runs"]:
-            ldir = os.path.join(lstore.data_dir, run_id)
-            if os.path.exists(ldir):
-                shutil.rmtree(ldir)
-            lstore.commit(lineage_from_extracted(committed, run_id),
-                          run_id=run_id)
+        ensure_lineage(run_id, run_dir)
         committed_now.append(run_id)
 
     query = (

@@ -56,3 +56,74 @@ def test_minhash_caches_released(spark):
     minhash_near_duplicates(docs, threshold=0.3).count()
     release_caches()
     assert _n_cached(spark) == baseline
+
+
+def test_cache_scope_releases_only_inner_persists(spark):
+    """ADVICE r2: a job must not unpersist caches its caller still
+    depends on — cache_scope releases exactly what was persisted inside
+    it, leaving the caller's earlier tracked caches live."""
+    from ocr_agent_spark.cache import cache_scope, persist_tracked
+
+    release_caches()
+    baseline = _n_cached(spark)
+
+    outer = persist_tracked(spark.range(10))
+    outer.count()
+    n_outer = _n_cached(spark)
+    assert n_outer > baseline
+
+    with cache_scope():
+        inner = persist_tracked(spark.range(20))
+        inner.count()
+        assert _n_cached(spark) > n_outer
+    assert _n_cached(spark) == n_outer  # inner gone, outer intact
+
+    release_caches()
+    assert _n_cached(spark) == baseline
+
+
+def test_run_extraction_job_preserves_caller_caches(spark, tmp_path):
+    """run_extraction_job is scope-contained: the caller's tracked cache
+    survives the job and its own intermediates are dropped."""
+    from ocr_agent_spark.cache import persist_tracked
+    from ocr_agent_spark.fixtures import pages_dataframe
+    from ocr_agent_spark.pipeline import run_extraction_job
+
+    release_caches()
+    baseline = _n_cached(spark)
+    mine = persist_tracked(spark.range(7))
+    mine.count()
+    n_mine = _n_cached(spark)
+
+    run_extraction_job(spark, pages_dataframe(spark, 15),
+                       str(tmp_path / "scope"), run_id="r")
+    assert _n_cached(spark) == n_mine  # job cleaned up after itself only
+
+    release_caches()
+    assert _n_cached(spark) == baseline
+
+
+def test_registry_is_thread_local(spark):
+    """Concurrent jobs on separate driver threads cannot release each
+    other's caches."""
+    import threading
+
+    from ocr_agent_spark.cache import persist_tracked
+
+    release_caches()
+    baseline = _n_cached(spark)
+    df = persist_tracked(spark.range(5))
+    df.count()
+    n_one = _n_cached(spark)
+    assert n_one > baseline
+
+    def other_thread_release():
+        # this thread's registry is empty: releases nothing
+        assert release_caches() == 0
+
+    t = threading.Thread(target=other_thread_release)
+    t.start(); t.join()
+    assert _n_cached(spark) == n_one  # still cached
+
+    release_caches()
+    assert _n_cached(spark) == baseline

@@ -74,6 +74,46 @@ def test_auto_routing_diverts_giant_pdf(spark):
     assert count_exchanges(auto_plan) == 0
 
 
+def test_fused_batches_split_mid_document(spark):
+    """A low-byte/high-page PDF (routing keys on bytes, memory cost is
+    pages) must not balloon one output batch to its full fan-out: the
+    fused kernel flushes every FUSED_OUT_BATCH_ROWS rows, mid-document
+    (VERDICT r2 'what's wrong' #4)."""
+    import pandas as pd
+
+    from ocr_agent_spark.operators.extract import (
+        FUSED_OUT_BATCH_ROWS,
+        _extract_pages_fused_batches,
+        extract_pages_fused,
+    )
+
+    n_pages = FUSED_OUT_BATCH_ROWS * 2 + 137  # forces ≥3 flushes in-doc
+    payload = build_pdf([[f"PAGE_{p}_MARK"] for p in range(n_pages)])
+    batch = pd.DataFrame(
+        {"url": ["https://dense.example/doc"], "warc_ts": [None],
+         "html": [payload]}
+    )
+    outs = list(_extract_pages_fused_batches(iter([batch])))
+    assert len(outs) >= 3, [len(o) for o in outs]
+    assert all(len(o) <= FUSED_OUT_BATCH_ROWS for o in outs)
+    assert sum(len(o) for o in outs) == n_pages
+    # wall clock is a running max across flushes (lineage contract)
+    walls = [int(o["part_wall_ms"].iloc[0]) for o in outs]
+    assert walls == sorted(walls)
+    # page order preserved across the flush boundaries end-to-end
+    joined = pd.concat(outs, ignore_index=True)
+    assert list(joined["page_index"]) == list(range(n_pages))
+    assert (joined["status"] == "completed").all()
+
+    # and through Spark: same rows, no dup/loss at batch boundaries
+    df = spark.createDataFrame(
+        [("https://dense.example/doc", None, payload, None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = extract_pages_fused(df).groupBy("status").count().collect()
+    assert {(r["status"], r["count"]) for r in got} == {("completed", n_pages)}
+
+
 def test_null_payload_becomes_failure_row_on_both_routes(spark):
     """code-review r02: a NULL html payload must surface as a
     status='failed' row (D2), not vanish when a giant PDF makes the
