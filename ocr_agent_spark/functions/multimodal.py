@@ -8,8 +8,11 @@ but image **metadata** decoding is real (stdlib header parsing):
 
 - ``decode_backend="headers"`` (default) → REAL container sniff +
   width/height from PNG/JPEG/GIF/BMP headers (kernel/imagemeta.py);
-  malformed image payloads become failure rows. Feature vectors remain
-  deterministic fakes (pixel decode needs PIL), and audio/video
+  malformed image payloads become failure rows. For PNGs the feature
+  vector is also REAL: a 16-bin luminance histogram from a full stdlib
+  pixel decode (zlib IDAT inflate + unfilter,
+  ``imagemeta.png_luminance_histogram``). JPEG/GIF/BMP feature vectors
+  remain deterministic fakes (pixel decode needs PIL), and audio/video
   metadata stays faked (needs ffmpeg).
 - ``decode_backend="fake"``  → everything faked, keyed on payload
   bytes (stable hashes → stable "pixels") — plumbing-only mode.
@@ -92,7 +95,10 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ocr_agent_spark.kernel.imagemeta import parse_image_dimensions
+        from ocr_agent_spark.kernel.imagemeta import (
+            parse_image_dimensions,
+            png_luminance_histogram,
+        )
 
         cols = ["media_id", "kind", "status", "error", "feature", "format",
                 "src_width", "src_height", "out_width", "out_height", "n_frames"]
@@ -113,7 +119,21 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                     if kind == "image":
                         if decode_backend == "headers":
                             fmt, src_w, src_h = parse_image_dimensions(data)
-                        res = _fake_image_decode(data, resize_to)
+                            if fmt == "png":
+                                # REAL pixel decode (stdlib zlib inflate
+                                # + unfilter): the feature is the actual
+                                # 16-bin luminance histogram. Other
+                                # containers need PIL → fake features.
+                                res = {
+                                    "feature": png_luminance_histogram(data),
+                                    "out_width": src_w,
+                                    "out_height": src_h,
+                                    "n_frames": 1,
+                                }
+                            else:
+                                res = _fake_image_decode(data, resize_to)
+                        else:
+                            res = _fake_image_decode(data, resize_to)
                     elif kind == "audio":
                         res = _fake_audio_features(data)
                     elif kind == "video":

@@ -481,6 +481,62 @@ def test_imagemeta_kernel_roundtrip():
         im.parse_image_dimensions(im.build_png(31, 17)[:12])  # truncated
 
 
+def test_png_pixel_decode_all_filters_and_color_types():
+    """decode_png_luminance inverts every PNG row filter (0-4) for every
+    supported color type: the luminance plane must equal the known
+    (seed + i) % 256 ramp regardless of how the encoder filtered it."""
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    expected = bytes((7 + i) % 256 for i in range(23 * 9))
+    for color_type in (0, 2, 4, 6):
+        for ftype in range(5):
+            png = im.build_png(23, 9, seed=7, filter_type=ftype,
+                               color_type=color_type)
+            w, h, lum = im.decode_png_luminance(png)
+            assert (w, h) == (23, 9)
+            assert bytes(lum) == expected, (color_type, ftype)
+
+
+def test_png_luminance_histogram_known_values():
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    # 16x16 ramp hits every luminance 0..255 exactly once → uniform
+    assert im.png_luminance_histogram(im.build_png(16, 16)) == [1 / 16] * 16
+    # constant-black 8x4 image (seed picks the ramp start; width*height
+    # wraps) — build a 1x1 seed=0 image: single pixel 0 → all mass in bin 0
+    h = im.png_luminance_histogram(im.build_png(1, 1, seed=0))
+    assert h[0] == 1.0 and sum(h) == 1.0
+    # seed=255 single pixel → top bin
+    h = im.png_luminance_histogram(im.build_png(1, 1, seed=255))
+    assert h[15] == 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(im.ImageFormatError):
+        im.decode_png_luminance(b"not a png")
+    # corrupt IDAT must reject, not crash
+    png = bytearray(im.build_png(8, 8))
+    png[-20] ^= 0xFF
+    with _pytest.raises(im.ImageFormatError):
+        im.decode_png_luminance(bytes(png))
+
+
+def test_multimodal_headers_png_feature_is_real_histogram(spark):
+    """The headers backend's PNG feature vector is the actual pixel
+    luminance histogram (VERDICT r2 item 8), not a payload-hash fake."""
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    png = im.build_png(16, 16, seed=0, filter_type=4)  # Paeth-filtered
+    media = spark.createDataFrame(
+        [(0, "image", png, "image/png", 16, 16, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_media_features(media, decode_backend="headers").collect()
+    assert rows[0]["status"] == "completed"
+    assert rows[0]["feature"] == [pytest.approx(1 / 16)] * 16
+    assert (rows[0]["out_width"], rows[0]["out_height"]) == (16, 16)
+
+
 def test_multimodal_stub_backend_fails_as_rows(spark):
     media = multimodal.fake_media_table(spark, n=6)
     rows = multimodal.extract_media_features(media, decode_backend="none").collect()
