@@ -902,6 +902,14 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.05
     """
+    # MinHash+LSH oracle: the exact all-pairs jaccard at the query's
+    # verify threshold. Safe because (a) the verify stage IS exact
+    # jaccard on candidates, so false positives are impossible, and
+    # (b) on this fixed corpus every pair ≥0.3 is a planted near-copy
+    # at jaccard ≥0.86, where the deterministic 32-band signature's
+    # miss probability is ~1e-12 — checked empirically: LSH output ==
+    # this SQL on sf0.01 (was rows-only through r2).
+    jacc_minhash = jacc_shingles.replace(">= 0.05", ">= 0.3")
     lang_votes = f"""
         WITH v AS (
             SELECT
@@ -1170,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM base GROUP BY 1 HAVING COUNT(*) > 1"
         ),
         "ngram_jaccard_pairs": jacc_shingles,
+        "minhash_near_dups": jacc_minhash,
         "lang_id_counts": lang_votes,
         "token_histogram": (
             "SELECT CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE "
@@ -1209,4 +1218,52 @@ def oracle_sql() -> dict[str, str]:
             "  + (CASE WHEN nt > 0 AND hits * 1.0 / nt > 0.01 THEN 0.1 ELSE 0.0 END)"
             ", 6) AS quality FROM q"
         ),
+        # Karp–Rabin winnowing fingerprint, replayed in pure SQL: the
+        # polynomial window hashes become SUM(byte * 257^k) mod 2^61-1
+        # over a byte×window range join with HUGEINT arithmetic (exact).
+        # ascii(char) == utf-8 byte holds because the test corpus is
+        # ASCII (asserted by the match itself); the Spark UDF handles
+        # arbitrary UTF-8.
+        "rolling_fingerprints": """
+            WITH RECURSIVE powers(k, p) AS (
+                SELECT 0, 1::HUGEINT
+                UNION ALL
+                SELECT k + 1, (p * 257) % 2305843009213693951
+                FROM powers WHERE k < 63
+            ),
+            docs AS (
+                SELECT doc_id,
+                       array_to_string(
+                           regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           ' ') AS t
+                FROM documents WHERE doc_id < 200
+            ),
+            sized AS (SELECT doc_id, t, length(t) AS L FROM docs),
+            windows AS (
+                SELECT doc_id, g.w, LEAST(L, 64) AS wl
+                FROM sized,
+                     unnest(range(CASE WHEN L <= 64 THEN 1
+                                       ELSE L - 64 + 1 END)) AS g(w)
+            ),
+            bytes AS (
+                SELECT doc_id, g.i, ascii(t[g.i + 1]) AS b
+                FROM sized, unnest(range(L)) AS g(i)
+            ),
+            hashes AS (
+                SELECT b1.doc_id, w.w,
+                       SUM(b1.b::HUGEINT * pw.p)
+                           % 2305843009213693951 AS h
+                FROM bytes b1
+                JOIN windows w ON b1.doc_id = w.doc_id
+                              AND b1.i BETWEEN w.w AND w.w + w.wl - 1
+                JOIN powers pw ON pw.k = w.w + w.wl - 1 - b1.i
+                GROUP BY 1, 2
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.t = '' THEN 0
+                        ELSE (SELECT MIN(h) FROM hashes hh
+                              WHERE hh.doc_id = d.doc_id)
+                   END::BIGINT AS fingerprint
+            FROM docs d
+        """,
     }
