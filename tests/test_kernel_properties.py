@@ -101,3 +101,67 @@ def test_pdf_document_total_on_arbitrary_bytes(data):
             assert isinstance(out, str)
     except (ValueError, IndexError, KeyError, zlib.error):
         pass  # typed data faults → failure rows upstream
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12),
+    st.sampled_from([0, 2, 4, 6]),
+    st.lists(st.integers(0, 4), min_size=12, max_size=12),
+    st.binary(min_size=0, max_size=256),
+)
+def test_png_decode_inverts_arbitrary_per_row_filters(w, h, color_type,
+                                                      row_filters, pix_seed):
+    """PNG filters are PER-ROW: an image whose every row picked a
+    different filter must still decode to the exact pixels. Encoder is
+    written here (independent of build_png) so decoder bugs can't be
+    mirrored by the fixture."""
+    import struct
+    import zlib
+
+    from ocr_agent_spark.kernel.imagemeta import (
+        PNG_MAGIC,
+        _paeth,
+        decode_png_luminance,
+    )
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = w * ch
+    # arbitrary pixels from the seed bytes (cycled)
+    seed = pix_seed or b"\x00"
+    flat = bytes(seed[i % len(seed)] for i in range(h * stride))
+    rows = [flat[y * stride:(y + 1) * stride] for y in range(h)]
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, cur in enumerate(rows):
+        f = row_filters[y % len(row_filters)]
+        raw.append(f)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = (0, a, b, (a + b) // 2, _paeth(a, b, c))[f]
+            raw.append((cur[x] - pred) & 0xFF)
+        prev = cur
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+
+    dw, dh, lum = decode_png_luminance(png)
+    assert (dw, dh) == (w, h)
+    # expected luminance from the known pixels
+    exp = bytearray()
+    for i in range(w * h):
+        px = flat[i * ch:(i + 1) * ch]
+        if color_type in (0, 4):
+            exp.append(px[0])
+        else:
+            exp.append((299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000)
+    assert bytes(lum) == bytes(exp)
