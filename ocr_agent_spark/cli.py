@@ -106,7 +106,7 @@ def cmd_run(args) -> int:
         return EXIT_CODE_NOTHING_ENQUEUED
     merged_path = os.path.join(args.job_root, "output.md")
     merge_job(spark, args.job_root, style=args.math_delimiter_style,
-              merged_path=merged_path)
+              merged_path=merged_path, return_text=False)
     print(
         f"processed={result.pages_processed} "
         f"skipped={result.pages_skipped_committed} merged={merged_path}"

@@ -164,17 +164,18 @@ def merge_job(
     output_root: str,
     style: str = "dollar",
     merged_path: str | None = None,
+    return_text: bool = True,
 ) -> str:
     """Merge committed output into one markdown artifact.
 
     With ``merged_path`` the artifact is STREAMED to disk one range
-    partition at a time (``merge_extracted_to_file``) and the returned
-    string is read back from the file — the driver never holds more
-    than one partition of text plus the final artifact it was asked to
-    return. Callers that only need the file can ignore the return value;
-    at 100 TB the file path is the only sane interface and the byte
-    count is in the lineage. Without ``merged_path`` the collecting
-    variant runs (byte-identical, tested) for small in-memory use.
+    partition at a time (``merge_extracted_to_file``) — the driver
+    never holds more than one partition of text. Pass
+    ``return_text=False`` (the CLI does) to skip reading the file back
+    and get ``""``; at 100 TB the file path is the only sane interface
+    and the byte count is in the lineage. Without ``merged_path`` the
+    collecting variant runs (byte-identical, tested) for small
+    in-memory use.
     """
     extracted = read_extracted(spark, output_root)
     if extracted is None:
@@ -182,6 +183,8 @@ def merge_job(
     if merged_path is not None:
         os.makedirs(os.path.dirname(os.path.abspath(merged_path)), exist_ok=True)
         merge_extracted_to_file(extracted, merged_path, style=style)
+        if not return_text:
+            return ""
         with open(merged_path, encoding="utf-8", newline="") as fh:
             return fh.read()
     return merge_extracted_to_markdown(extracted, style=style)
