@@ -644,9 +644,15 @@ def _minhash_near_dups(spark, sf):
 
 
 def _simhash_signatures(spark, sf):
+    # hash_fn="md5": engine-portable token hash so DuckDB reproduces
+    # the identical 64-bit signatures — full oracle for the simhash
+    # algorithm (votes, sign, bit assembly). Production calls keep the
+    # xxhash64 default.
     from ocr_agent_spark.functions.dedup import simhash_signatures
 
-    return simhash_signatures(_t(spark, sf, "documents").filter(F.col("doc_id") < 200))
+    return simhash_signatures(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 200), hash_fn="md5"
+    )
 
 
 def _lsh_cosine_topk(spark, sf):
@@ -1218,6 +1224,37 @@ def oracle_sql() -> dict[str, str]:
             "  + (CASE WHEN nt > 0 AND hits * 1.0 / nt > 0.01 THEN 0.1 ELSE 0.0 END)"
             ", 6) AS quality FROM q"
         ),
+        # SimHash with the md5 token-hash primitive: DuckDB reproduces
+        # the identical 64-bit signature (nibble-wise bit extraction,
+        # +1/-1 votes, sign, bit reassembly with HUGEINT → signed wrap).
+        "simhash_signatures": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                              '\s+')) AS tok
+                FROM documents WHERE doc_id < 200
+            ),
+            hashed AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+            bits AS (
+                SELECT doc_id, g.i,
+                       CASE WHEN ((strpos('0123456789abcdef',
+                                          substr(hx, 16 - (g.i // 4), 1)) - 1)
+                                  >> (g.i % 4)) & 1 = 1
+                            THEN 1 ELSE -1 END AS vote
+                FROM hashed, unnest(range(64)) AS g(i)
+            ),
+            votes AS (SELECT doc_id, i, SUM(vote) AS v FROM bits GROUP BY 1, 2),
+            sig AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN v > 0 THEN (1::HUGEINT << i) ELSE 0 END) AS s
+                FROM votes GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   (CASE WHEN s >= 9223372036854775808::HUGEINT
+                         THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT
+                   AS simhash
+            FROM sig
+        """,
         # Karp–Rabin winnowing fingerprint, replayed in pure SQL: the
         # polynomial window hashes become SUM(byte * 257^k) mod 2^61-1
         # over a byte×window range join with HUGEINT arithmetic (exact).

@@ -391,25 +391,50 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per doc, fully JVM-side.
 
-    Per token: xxhash64 → per bit position, vote +1/−1; signature bit i
-    = sign of vote sum. Implemented as explode(tokens) → one groupBy
-    with 64 conditional sums → bit reassembly via aggregate().
+    Per token: 64-bit hash → per bit position, vote +1/−1; signature
+    bit i = sign of vote sum. Implemented as explode(tokens) → one
+    groupBy with 64 conditional sums → bit reassembly.
+
+    ``hash_fn``: ``"xxhash64"`` (default — fastest JVM primitive) or
+    ``"md5"`` (the first 16 hex chars of md5 as the 64-bit token hash,
+    extracted nibble-wise). The md5 form exists for engine portability:
+    DuckDB computes the identical signature, giving the simhash
+    ALGORITHM (votes, sign, bit assembly) a full value-hash oracle —
+    the hash primitive is the only swappable part.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_fn == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+        bit = [
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1)
+            for i in range(64)
+        ]
+    elif hash_fn == "md5":
+        # 64-bit value = first 16 hex nibbles of md5, big-endian; bit i
+        # (LSB=0) lives in nibble 15 - i//4 at in-nibble position i%4.
+        toks = toks.withColumn("hx", F.md5("tok"))
+        nib = [
+            F.conv(F.substring("hx", k + 1, 1), 16, 10).cast("int")
+            for k in range(16)
+        ]
+        bit = [
+            (F.shiftright(nib[15 - i // 4], i % 4).bitwiseAND(F.lit(1)) == 1)
+            for i in range(64)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     votes = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.when(bit[i], 1).otherwise(-1)).alias(f"b{i}")
             for i in range(64)
         ]
     )

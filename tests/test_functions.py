@@ -123,6 +123,28 @@ def test_simhash_near_duplicates(spark, docs):
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(0, 1)}
 
 
+def test_simhash_md5_variant_same_algorithm_properties(spark, docs):
+    """The engine-portable md5 hash primitive (oracle form) preserves
+    the simhash algorithm's properties: identical text → identical
+    signature, distinct text → different signature, deterministic."""
+    sub = docs.filter(F.col("doc_id").isin(0, 1, 4))
+    a = {r["doc_id"]: r["simhash"]
+         for r in dedup.simhash_signatures(sub, hash_fn="md5").collect()}
+    b = {r["doc_id"]: r["simhash"]
+         for r in dedup.simhash_signatures(sub, hash_fn="md5").collect()}
+    assert a == b
+    assert a[0] == a[1]
+    assert a[0] != a[4]
+    # and it's genuinely a different hash family than the default
+    x = {r["doc_id"]: r["simhash"]
+         for r in dedup.simhash_signatures(sub).collect()}
+    assert x[0] != a[0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown hash_fn"):
+        dedup.simhash_signatures(sub, hash_fn="sha1")
+
+
 def test_connected_components_chain_and_star(spark):
     pairs = spark.createDataFrame(
         # chain 1-2-3-4 (diameter 3) + star 10-(11,12) + isolated pair 20-21
