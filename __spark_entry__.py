@@ -1224,6 +1224,59 @@ def oracle_sql() -> dict[str, str]:
             "  + (CASE WHEN nt > 0 AND hits * 1.0 / nt > 0.01 THEN 0.1 ELSE 0.0 END)"
             ", 6) AS quality FROM q"
         ),
+        # Fuzzy-dedup keep policy: exact all-pairs jaccard >= 0.5 →
+        # transitive closure (recursive CTE) → drop non-min members.
+        # Sound for the same reason as minhash_near_dups: the verify
+        # stage is exact jaccard, and every >=0.5 pair in this corpus
+        # sits at >=0.95 where the deterministic banding cannot miss
+        # (checked: the Spark pipeline finds exactly these 3 pairs).
+        "near_dedup_keep": r"""
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 200
+                  AND len(regexp_split_to_array(trim(lower(text)),
+                          '\s+')) >= 3
+            ),
+            toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                FROM docs
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i:i+2], ' ') AS shingle
+                FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pp AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ),
+            near AS (
+                SELECT id_a, id_b FROM pp
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM near
+                UNION ALL SELECT id_b, id_a FROM near
+            ),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            comp AS (
+                SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+                FROM reach GROUP BY src
+            )
+            SELECT d.doc_id FROM docs d
+            WHERE d.doc_id NOT IN (
+                SELECT doc_id FROM comp WHERE doc_id != component
+            )
+        """,
         # SimHash with the md5 token-hash primitive: DuckDB reproduces
         # the identical 64-bit signature (nibble-wise bit extraction,
         # +1/-1 votes, sign, bit reassembly with HUGEINT → signed wrap).
