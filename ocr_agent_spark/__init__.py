@@ -21,6 +21,7 @@ Layout:
 from ocr_agent_spark.cache import (  # noqa: F401
     cache_scope,
     persist_tracked,
+    release_all_caches,
     release_caches,
 )
 

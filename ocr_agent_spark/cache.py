@@ -31,6 +31,11 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 
 _LOCAL = threading.local()
+# Every thread's registry, so a terminal cleanup can reach caches
+# persisted on worker threads (foreachBatch callbacks, thread pools)
+# whose owning thread may be gone. Guarded by _ALL_LOCK.
+_ALL_REGISTRIES: list[list[DataFrame]] = []
+_ALL_LOCK = threading.Lock()
 
 
 def _registry() -> list[DataFrame]:
@@ -38,6 +43,8 @@ def _registry() -> list[DataFrame]:
     if reg is None:
         reg = []
         _LOCAL.registry = reg
+        with _ALL_LOCK:
+            _ALL_REGISTRIES.append(reg)
     return reg
 
 
@@ -66,9 +73,25 @@ def release_caches() -> int:
     Safe to call at any time: plans referencing a released cache simply
     recompute their lineage on the next action. Jobs that should not
     touch caches their caller still depends on use :func:`cache_scope`
-    instead.
+    instead; session-terminal cleanup that must also reach caches
+    persisted on other (possibly finished) threads — e.g. a streaming
+    ``foreachBatch`` callback — uses :func:`release_all_caches`.
     """
     return _release(_registry())
+
+
+def release_all_caches() -> int:
+    """Unpersist every tracked DataFrame across ALL threads; returns count.
+
+    The whole-driver terminal cleanup: reaches registries created on
+    worker threads that have since exited (their entries would
+    otherwise leak for the session's lifetime). Do NOT call while other
+    jobs are mid-flight — that is exactly the clobbering
+    :func:`cache_scope` exists to prevent.
+    """
+    with _ALL_LOCK:
+        regs = list(_ALL_REGISTRIES)
+    return sum(_release(reg) for reg in regs)
 
 
 @contextmanager

@@ -96,6 +96,7 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ocr_agent_spark.kernel.imagemeta import (
+            UnsupportedImageError,
             parse_image_dimensions,
             png_luminance_histogram,
         )
@@ -119,18 +120,29 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                     if kind == "image":
                         if decode_backend == "headers":
                             fmt, src_w, src_h = parse_image_dimensions(data)
+                            res = None
                             if fmt == "png":
                                 # REAL pixel decode (stdlib zlib inflate
                                 # + unfilter): the feature is the actual
-                                # 16-bin luminance histogram. Other
-                                # containers need PIL → fake features.
-                                res = {
-                                    "feature": png_luminance_histogram(data),
-                                    "out_width": src_w,
-                                    "out_height": src_h,
-                                    "n_frames": 1,
-                                }
-                            else:
+                                # 16-bin luminance histogram. A spec-
+                                # valid PNG outside the decoder's scope
+                                # (palette, 16-bit, interlaced) is NOT a
+                                # failure — it falls back to the fake
+                                # features like the PIL-needing
+                                # containers (JPEG/GIF/BMP) do. A
+                                # CORRUPT body (bad IDAT, truncated
+                                # chunks) still raises → failure row,
+                                # same D2 contract as a malformed PDF.
+                                try:
+                                    res = {
+                                        "feature": png_luminance_histogram(data),
+                                        "out_width": src_w,
+                                        "out_height": src_h,
+                                        "n_frames": 1,
+                                    }
+                                except UnsupportedImageError:
+                                    res = None
+                            if res is None:
                                 res = _fake_image_decode(data, resize_to)
                         else:
                             res = _fake_image_decode(data, resize_to)

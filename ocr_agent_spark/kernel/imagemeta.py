@@ -29,6 +29,13 @@ class ImageFormatError(ValueError):
     """Payload is not a parseable image of a supported container."""
 
 
+class UnsupportedImageError(ImageFormatError):
+    """Spec-VALID image outside this decoder's documented scope
+    (e.g. palette/16-bit/interlaced PNG) — callers may fall back to a
+    weaker feature path; only genuinely malformed payloads should
+    become failure rows."""
+
+
 def sniff_image_format(data: bytes) -> str | None:
     """Container from magic bytes: png/jpeg/gif/bmp, None if unknown."""
     if data.startswith(PNG_MAGIC):
@@ -220,11 +227,13 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
     if width is None or not idat:
         raise ImageFormatError("PNG missing IHDR or IDAT")
     if bit_depth != 8:
-        raise ImageFormatError(f"unsupported PNG bit depth {bit_depth}")
+        raise UnsupportedImageError(f"unsupported PNG bit depth {bit_depth}")
     if color_type not in _PNG_CHANNELS:
-        raise ImageFormatError(f"unsupported PNG color type {color_type}")
+        raise UnsupportedImageError(f"unsupported PNG color type {color_type}")
     if interlace != 0:
-        raise ImageFormatError("interlaced PNG unsupported")
+        raise UnsupportedImageError("interlaced PNG unsupported")
+    if width <= 0 or height <= 0:
+        raise ImageFormatError(f"non-positive PNG dimensions {width}x{height}")
 
     ch = _PNG_CHANNELS[color_type]
     stride = width * ch
@@ -286,9 +295,10 @@ def png_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
     sums to 1.0, bucket i covers luminance [i*256/bins, (i+1)*256/bins).
     """
     width, height, lum = decode_png_luminance(data)
-    counts = [0] * bins
-    shift = 256 // bins
-    for v in lum:
-        counts[v // shift] += 1
     total = width * height
+    if total == 0 or bins <= 0:
+        raise ImageFormatError(f"cannot histogram {width}x{height} PNG into {bins} bins")
+    counts = [0] * bins
+    for v in lum:
+        counts[v * bins // 256] += 1
     return [c / total for c in counts]

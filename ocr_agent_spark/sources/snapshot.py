@@ -5,11 +5,11 @@ minimal snapshot layer reproducing the two Iceberg behaviors the north
 rule requires:
 
 1. **Atomic commit** — data files are written to a run-scoped directory
-   first; the commit is a single exclusive create (O_CREAT|O_EXCL) of a
-   manifest JSON into ``_snapshots/``, unlinked again if the write dies
-   mid-stream. Readers only ever see directories listed in the latest
-   fully-written manifest, so a job killed mid-write leaves no partial
-   state visible.
+   first; the manifest JSON is fully written + fsynced under a temp
+   name, then hard-linked to its sequenced name in ``_snapshots/``
+   (atomic; EEXIST if a racing writer won). Readers only ever see
+   complete manifests, so a job killed at any point — even mid-write —
+   leaves no partial state visible.
 2. **Snapshot resume** — a re-run anti-joins its task list against the
    keys already committed (the Spark translation of the reference's
    "fetch next pending" scheduler, queue_store.py:125-138 + the status
@@ -25,9 +25,10 @@ Layout::
 Manifests are cumulative (each lists all live run dirs), so reading =
 parse latest manifest + read its run dirs. Concurrency model: single
 writer (same as the reference's one-job-per-host gate, main.rs:1287-1292),
-enforced optimistically — the manifest publish is an O_EXCL create on the
-sequenced name, so a second writer racing on the same base snapshot gets
-``CommitConflictError`` instead of silently clobbering a commit.
+enforced optimistically — the manifest publish is a write-then-hard-link
+onto the sequenced name, so a second writer racing on the same base
+snapshot gets ``CommitConflictError`` instead of silently clobbering a
+commit.
 """
 
 from __future__ import annotations
@@ -92,33 +93,37 @@ class SnapshotStore:
             "run_id": run_id,
             "committed_unix_ms": int(time.time() * 1000),
         }
-        # CAS publish: O_CREAT|O_EXCL on the sequenced manifest name.
-        # Two writers that both read seq N-1 race to create snap-N; the
-        # loser gets FileExistsError → CommitConflictError instead of
-        # silently overwriting the winner's manifest (which would drop
-        # its run from every future read). Same optimistic-concurrency
-        # shape as Iceberg's commit: writers may retry by re-reading the
-        # latest manifest and re-basing. The store is still documented
-        # single-writer (reference's one-job gate, main.rs:1287-1292) —
-        # this guard turns concurrent misuse into a loud failure.
+        # CAS publish, atomic AND exclusive: the manifest is fully
+        # written + fsynced to a temp name first, then HARD-LINKED to
+        # the sequenced name. os.link fails with EEXIST if another
+        # writer won the race (→ CommitConflictError, same optimistic-
+        # concurrency shape as Iceberg's commit — re-read and re-base to
+        # retry), and because the link only ever exposes a complete
+        # file, a crash at ANY point (including SIGKILL mid-write, which
+        # a create-then-write would turn into a truncated manifest
+        # permanently occupying the seq) leaves no partial state
+        # visible. The store is still documented single-writer
+        # (reference's one-job gate, main.rs:1287-1292) — the guard
+        # turns concurrent misuse into a loud failure.
         target = os.path.join(self.snap_dir, f"snap-{seq:06d}.json")
+        tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise CommitConflictError(
-                f"snapshot seq={seq} already published (concurrent writer?); "
-                f"re-read the latest manifest and retry the commit"
-            ) from None
-        try:
-            with os.fdopen(fd, "w") as fh:
+            with open(tmp, "w") as fh:
                 json.dump(manifest, fh)
                 fh.flush()
                 os.fsync(fh.fileno())
-        except BaseException:
-            # Never leave a half-written manifest visible under the
-            # sequenced name — readers take the latest name as truth.
-            os.unlink(target)
-            raise
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"snapshot seq={seq} already published (concurrent "
+                    f"writer?); re-read the latest manifest and retry"
+                ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass  # a hard kill may still strand a .tmp; reads ignore it
         return run_id
 
     def reset(self) -> None:

@@ -130,6 +130,13 @@ def run_streaming_extraction(
     before_count = None
     if before_paths is None and os.path.exists(output_dir):
         before_count = _count_output_rows(spark, output_dir)
+    elif before_paths:
+        # Pre-pay the fallback: if the sink log becomes unreadable
+        # DURING the drain (compaction, new format), the post-drain path
+        # below needs the pre-drain row count — footers are cheap now,
+        # and without this the final branch would report the TOTAL
+        # historical output as this drain's delta (code-review r3).
+        before_count = _rows_in_files(before_paths)
 
     reader = (
         spark.readStream.schema(PAGES_ARROW_SCHEMA_DDL)

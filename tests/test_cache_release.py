@@ -127,3 +127,26 @@ def test_registry_is_thread_local(spark):
 
     release_caches()
     assert _n_cached(spark) == baseline
+
+
+def test_release_all_caches_reaches_other_threads(spark):
+    """code-review r3: caches persisted on a worker thread (foreachBatch,
+    thread pools) must be releasable after that thread exits."""
+    import threading
+
+    from ocr_agent_spark.cache import persist_tracked, release_all_caches
+
+    release_all_caches()
+    baseline = _n_cached(spark)
+
+    def worker():
+        df = persist_tracked(spark.range(9))
+        df.count()
+
+    t = threading.Thread(target=worker)
+    t.start(); t.join()
+    assert _n_cached(spark) > baseline       # worker's cache is live
+    assert release_caches() == 0             # this thread owns nothing
+    assert _n_cached(spark) > baseline
+    assert release_all_caches() >= 1         # terminal cleanup reaches it
+    assert _n_cached(spark) == baseline

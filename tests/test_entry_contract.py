@@ -7,11 +7,17 @@ the sweep window again (VERDICT r2 'what's missing' #1).
 """
 
 import importlib.util
+import os
+
+_ENTRY_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "__spark_entry__.py",
+)
 
 
 def _entry():
     spec = importlib.util.spec_from_file_location(
-        "entry_under_test", "/root/repo/__spark_entry__.py"
+        "entry_under_test", _ENTRY_PATH
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

@@ -559,6 +559,70 @@ def test_multimodal_headers_png_feature_is_real_histogram(spark):
     assert (rows[0]["out_width"], rows[0]["out_height"]) == (16, 16)
 
 
+def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
+    """code-review r3: a spec-valid PNG outside the pixel decoder's
+    scope (palette color type 3) must stay a completed row with fake
+    features — only corrupt payloads become failure rows."""
+    import struct
+    import zlib
+
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    # palette PNG: IHDR color type 3 + PLTE + 1 indexed pixel
+    palette_png = (
+        im.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"\xff\x00\x00")
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    # corrupt PNG: valid header, garbage IDAT
+    corrupt = bytearray(im.build_png(8, 8))
+    corrupt[-20] ^= 0xFF
+
+    media = spark.createDataFrame(
+        [(0, "image", palette_png, "image/png", 1, 1, None),
+         (1, "image", bytes(corrupt), "image/png", 8, 8, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in
+            multimodal.extract_media_features(media, decode_backend="headers").collect()}
+    assert rows[0]["status"] == "completed"          # unsupported → fake
+    assert len(rows[0]["feature"]) == 16
+    assert rows[1]["status"] == "failed"             # corrupt → failure row
+    assert "ImageFormatError" in rows[1]["error"]
+
+
+def test_png_histogram_arbitrary_bins_and_zero_pixels():
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    # bins that don't divide 256 must not IndexError and must sum to 1
+    h = im.png_luminance_histogram(im.build_png(16, 16), bins=10)
+    assert len(h) == 10 and abs(sum(h) - 1.0) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(im.ImageFormatError):
+        im.png_luminance_histogram(im.build_png(4, 4), bins=0)
+    with _pytest.raises(im.UnsupportedImageError):
+        # 16-bit PNG: valid but out of scope
+        import struct
+        import zlib
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        png16 = (im.PNG_MAGIC
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+                 + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+                 + chunk(b"IEND", b""))
+        im.decode_png_luminance(png16)
+
+
 def test_multimodal_stub_backend_fails_as_rows(spark):
     media = multimodal.fake_media_table(spark, n=6)
     rows = multimodal.extract_media_features(media, decode_backend="none").collect()

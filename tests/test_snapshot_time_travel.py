@@ -60,3 +60,34 @@ def test_concurrent_commit_conflicts_loudly(spark, tmp_path):
     retry = SnapshotStore(str(tmp_path / "cas"))
     retry.commit(spark.createDataFrame([(3,)], "id long"), run_id="loser2")
     assert retry.read(spark).count() == 3
+
+
+def test_crashed_manifest_write_leaves_no_partial_state(spark, tmp_path):
+    """code-review r3: a writer killed mid-manifest-write must never
+    leave a truncated manifest under the sequenced name (that would
+    brick every future read). The publish is write+fsync to a temp name
+    then an atomic hard link."""
+    import json
+    import os
+    from unittest.mock import patch
+
+    store = SnapshotStore(str(tmp_path / "crash"))
+    store.commit(spark.createDataFrame([(1,)], "id long"), run_id="r1")
+
+    # Simulate SIGKILL mid-write: json.dump raises before finishing.
+    with patch("ocr_agent_spark.sources.snapshot.json.dump",
+               side_effect=KeyboardInterrupt):
+        with pytest.raises(KeyboardInterrupt):
+            store.commit(spark.createDataFrame([(2,)], "id long"), run_id="r2")
+
+    # No snap-000001 exists (partial write never linked); store readable.
+    names = sorted(os.listdir(store.snap_dir))
+    assert [n for n in names if n.startswith("snap-")] == ["snap-000000.json"]
+    assert store.read(spark).count() == 1
+    with open(os.path.join(store.snap_dir, "snap-000000.json")) as fh:
+        json.load(fh)  # still valid JSON
+
+    # Retry succeeds (data dir from the failed attempt is pre-cleaned
+    # by the run_id guard being per-commit — use a fresh run id).
+    store.commit(spark.createDataFrame([(2,)], "id long"), run_id="r2b")
+    assert store.read(spark).count() == 2
