@@ -37,16 +37,30 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
+# Bump when write_pages_parquet's output changes (content OR schema) so
+# cached corpora regenerate instead of silently serving the old shape.
+# v2: ingest-time doc_bytes/is_pdf metadata columns (round 3).
+CORPUS_VERSION = "v2"
+
+
 def ensure_pages_corpus(sf: float) -> str:
     from ocr_agent_spark.fixtures import write_pages_parquet
 
     n = max(int(sf * DOCS_PER_SF), 500)
     path = os.path.join(REPO, "_build", f"pages_n{n}")
     marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    stamp = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stamp = fh.read().strip()
+    if stamp != CORPUS_VERSION:
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
         write_pages_parquet(path, n)
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(CORPUS_VERSION)
     return path
 
 
