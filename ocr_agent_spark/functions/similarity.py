@@ -166,23 +166,17 @@ def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
     return embeddings.withColumn("_cluster", cluster)
 
 
-def ivf_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_clusters: int = 16, n_probe: int = 4,
-                    sample_size: int = 2048, seed: int = 42) -> DataFrame:
-    """IVF ANN: coarse k-means quantizer → probe the query's n_probe
-    nearest clusters → exact re-rank inside the probed subset.
+def _quantizer_centroids(embeddings: DataFrame, id_col: str, vec_col: str,
+                         n_clusters: int, sample_size: int,
+                         seed: int) -> list[list[float]]:
+    """Driver k-means over a deterministic unbiased sample.
 
-    At scale the ``_cluster`` column is precomputed and the table is
-    partitioned/bucketed by it, so a query scans ~n_probe/n_clusters of
-    the data. Here the index is built inline (sample → driver k-means →
-    broadcast centroids as literals).
+    Quantizer sample: hash-ordered top-N — a deterministic *random*
+    sample (one TakeOrdered pass, no full sort). orderBy(id).limit(N)
+    would take the first N rows by id, which on crawl-ordered
+    (topic-correlated) embeddings is a biased sample that silently
+    degrades probe recall.
     """
-    # Quantizer sample: hash-ordered top-N — a deterministic *random*
-    # sample (one TakeOrdered pass, no full sort). orderBy(id).limit(N)
-    # would take the first N rows by id, which on crawl-ordered
-    # (topic-correlated) embeddings is a biased sample that silently
-    # degrades probe recall.
     sample = [
         list(r[vec_col])
         for r in embeddings.select(vec_col, F.xxhash64(F.col(id_col)).alias("_h"))
@@ -190,18 +184,100 @@ def ivf_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         .limit(sample_size)
         .collect()
     ]
-    centroids = _kmeans_centroids(sample, n_clusters, seed=seed)
+    return _kmeans_centroids(sample, n_clusters, seed=seed)
 
+
+def _probe_clusters(centroids: list[list[float]], query_vec: list[float],
+                    n_probe: int) -> list[int]:
     def dot(a, b):
         return sum(x * y for x, y in zip(a, b))
 
-    probe = sorted(
+    return sorted(
         range(len(centroids)), key=lambda i: -dot(query_vec, centroids[i])
     )[:n_probe]
 
+
+def ivf_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_clusters: int = 16, n_probe: int = 4,
+                    sample_size: int = 2048, seed: int = 42) -> DataFrame:
+    """IVF ANN: coarse k-means quantizer → probe the query's n_probe
+    nearest clusters → exact re-rank inside the probed subset.
+
+    Inline form: the index is built per call (sample → driver k-means →
+    broadcast centroids as literals) and the probe filter is evaluated
+    against every row. For the build-once/query-many production shape,
+    use ``build_ivf_index`` + ``ivf_index_topk``, where the vectors are
+    PARTITIONED by cluster id and a query's scan prunes to
+    ~n_probe/n_clusters of the files.
+    """
+    centroids = _quantizer_centroids(
+        embeddings, id_col, vec_col, n_clusters, sample_size, seed
+    )
+    probe = _probe_clusters(centroids, query_vec, n_probe)
     assigned = ivf_assign(embeddings, centroids, vec_col)
     candidates = assigned.filter(F.col("_cluster").isin(probe)).drop("_cluster")
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def build_ivf_index(embeddings: DataFrame, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_clusters: int = 16, sample_size: int = 2048,
+                    seed: int = 42) -> list[list[float]]:
+    """Materialize an IVF index: build once, query many.
+
+    Layout::
+
+        <path>/centroids.json            # tiny: n_clusters × dim floats
+        <path>/vectors/cluster_id=<j>/   # vectors PARTITIONED by cluster
+
+    The expensive parts — the quantizer sample, the k-means, and the
+    one full assignment pass over the vectors — are paid exactly once;
+    every subsequent ``ivf_index_topk`` reads ONLY the probed clusters'
+    partition directories (PartitionFilters prune the scan before any
+    file is opened — plan-asserted in tests). At 10^9+ vectors this is
+    the difference between a query scanning n_probe/n_clusters of the
+    table and re-scanning (and re-assigning) everything per query, and
+    the same layout serves any query vector. Returns the centroids.
+    """
+    import json
+    import os
+
+    centroids = _quantizer_centroids(
+        embeddings, id_col, vec_col, n_clusters, sample_size, seed
+    )
+    assigned = (
+        ivf_assign(embeddings, centroids, vec_col)
+        .withColumnRenamed("_cluster", "cluster_id")
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        json.dump(centroids, fh)
+    return centroids
+
+
+def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
+                   n_probe: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Query a persisted IVF index (see ``build_ivf_index``).
+
+    The probe-cluster filter is on the PARTITION column, so the scan
+    opens only the n_probe chosen ``cluster_id=<j>`` directories; the
+    exact cosine re-rank runs inside that slice only.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        centroids = json.load(fh)
+    probe = _probe_clusters(centroids, query_vec, n_probe)
+    vectors = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("cluster_id").isin(probe)
+    )
+    return cosine_topk(vectors.drop("cluster_id"), query_vec, k, id_col, vec_col)
 
 
 def embedding_near_duplicates_exact(embeddings: DataFrame, threshold: float = 0.95,

@@ -629,3 +629,39 @@ def test_multimodal_stub_backend_fails_as_rows(spark):
     assert len(rows) == 6
     assert all(r["status"] == "failed" for r in rows)
     assert all("NotImplementedError" in r["error"] for r in rows)
+
+
+def test_ivf_persisted_index_matches_inline_and_prunes(spark, embeddings, tmp_path):
+    """build_ivf_index + ivf_index_topk: identical results to the inline
+    IVF (same deterministic quantizer), and the query scan PRUNES to the
+    probed clusters' partition directories."""
+    import os
+
+    from ocr_agent_spark.plans.inspect import executed_plan_str
+
+    qvec = [1.0 if i % 3 == 0 else (-0.5 if i % 3 == 1 else 0.25)
+            for i in range(len(embeddings.first()["embedding"]))]
+    idx = str(tmp_path / "ivf_idx")
+    centroids = similarity.build_ivf_index(embeddings, idx, n_clusters=8,
+                                           sample_size=256)
+    assert len(centroids) == 8
+    assert os.path.exists(os.path.join(idx, "centroids.json"))
+
+    inline = [(r["neighbor_id"], round(r["cosine"], 6)) for r in
+              similarity.ivf_cosine_topk(embeddings, qvec, k=5, n_clusters=8,
+                                         n_probe=3, sample_size=256).collect()]
+    from_index = [(r["neighbor_id"], round(r["cosine"], 6)) for r in
+                  similarity.ivf_index_topk(spark, idx, qvec, k=5,
+                                            n_probe=3).collect()]
+    assert from_index == inline
+
+    # partition pruning: the scan's PartitionFilters constrain cluster_id
+    q = similarity.ivf_index_topk(spark, idx, qvec, k=5, n_probe=3)
+    plan = executed_plan_str(q)
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines, plan[:2000]
+    assert any("cluster_id" in ln for ln in scan_lines), scan_lines
+    # and only the probed cluster dirs exist in the slice it reads
+    dirs = {d for d in os.listdir(os.path.join(idx, "vectors"))
+            if d.startswith("cluster_id=")}
+    assert len(dirs) <= 8
