@@ -194,8 +194,9 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
     byte per pixel (BT.601 integer luma for color; first channel for
     gray). Returns (width, height, luminance_bytes).
 
-    Honest-maximum scope (documented, raises ImageFormatError beyond
-    it): bit depth 8, color types 0/2/4/6 (no palette), no interlace.
+    Honest-maximum scope (documented, raises UnsupportedImageError
+    beyond it): bit depth 8, color types 0/2/3/4/6 (palette PNGs decode
+    through their PLTE lookup), no interlace.
     The reference's payload decode is a GPU model runner
     (deepseek_ocr2_runner.py:122-177); PIL/ffmpeg-backed formats stay
     behind the backend interface in functions/multimodal.py.
@@ -208,6 +209,7 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte: bytes | None = None
     n = len(data)
     while pos + 8 <= n:
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -219,6 +221,8 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
             width, height, bit_depth, color_type, _, _, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
+        elif tag == b"PLTE":
+            plte = bytes(body)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -228,14 +232,24 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
         raise ImageFormatError("PNG missing IHDR or IDAT")
     if bit_depth != 8:
         raise UnsupportedImageError(f"unsupported PNG bit depth {bit_depth}")
-    if color_type not in _PNG_CHANNELS:
+    if color_type not in _PNG_CHANNELS and color_type != 3:
         raise UnsupportedImageError(f"unsupported PNG color type {color_type}")
     if interlace != 0:
         raise UnsupportedImageError("interlaced PNG unsupported")
     if width <= 0 or height <= 0:
         raise ImageFormatError(f"non-positive PNG dimensions {width}x{height}")
-
-    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ImageFormatError("palette PNG without a valid PLTE chunk")
+        # pre-project the palette to luminance: index byte → luma byte
+        pal_lum = bytes(
+            (299 * plte[i] + 587 * plte[i + 1] + 114 * plte[i + 2]) // 1000
+            for i in range(0, len(plte), 3)
+        )
+        ch = 1  # one index byte per pixel; filters run on index bytes
+    else:
+        pal_lum = None
+        ch = _PNG_CHANNELS[color_type]
     stride = width * ch
     try:
         raw = zlib.decompress(bytes(idat))
@@ -276,6 +290,13 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
         else:
             raise ImageFormatError(f"unknown PNG filter {f} on row {y}")
 
+    if color_type == 3:
+        try:
+            return width, height, bytearray(pal_lum[i] for i in recon)
+        except IndexError:
+            raise ImageFormatError(
+                "palette index out of range for PLTE size"
+            ) from None
     if ch == 1:
         return width, height, recon
     lum = bytearray(width * height)

@@ -561,8 +561,9 @@ def test_multimodal_headers_png_feature_is_real_histogram(spark):
 
 def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
     """code-review r3: a spec-valid PNG outside the pixel decoder's
-    scope (palette color type 3) must stay a completed row with fake
-    features — only corrupt payloads become failure rows."""
+    scope (16-bit depth) must stay a completed row with fake features;
+    a palette PNG decodes FOR REAL through its PLTE; only corrupt
+    payloads become failure rows."""
     import struct
     import zlib
 
@@ -572,12 +573,19 @@ def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
         return (struct.pack(">I", len(body)) + tag + body
                 + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
-    # palette PNG: IHDR color type 3 + PLTE + 1 indexed pixel
+    # palette PNG: 1 white pixel via PLTE index 0 → top luminance bin
     palette_png = (
         im.PNG_MAGIC
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
-        + chunk(b"PLTE", b"\xff\x00\x00")
+        + chunk(b"PLTE", b"\xff\xff\xff")
         + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    # 16-bit gray PNG: valid but out of decoder scope → fake fallback
+    png16 = (
+        im.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
         + chunk(b"IEND", b"")
     )
     # corrupt PNG: valid header, garbage IDAT
@@ -586,15 +594,18 @@ def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
 
     media = spark.createDataFrame(
         [(0, "image", palette_png, "image/png", 1, 1, None),
-         (1, "image", bytes(corrupt), "image/png", 8, 8, None)],
+         (1, "image", bytes(corrupt), "image/png", 8, 8, None),
+         (2, "image", png16, "image/png", 1, 1, None)],
         schema=multimodal.MEDIA_SCHEMA,
     )
     rows = {r["media_id"]: r for r in
             multimodal.extract_media_features(media, decode_backend="headers").collect()}
-    assert rows[0]["status"] == "completed"          # unsupported → fake
-    assert len(rows[0]["feature"]) == 16
+    assert rows[0]["status"] == "completed"          # palette → REAL decode
+    assert rows[0]["feature"][15] == pytest.approx(1.0)  # white pixel
     assert rows[1]["status"] == "failed"             # corrupt → failure row
     assert "ImageFormatError" in rows[1]["error"]
+    assert rows[2]["status"] == "completed"          # 16-bit → fake fallback
+    assert len(rows[2]["feature"]) == 16
 
 
 def test_png_histogram_arbitrary_bins_and_zero_pixels():
