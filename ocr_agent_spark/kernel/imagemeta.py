@@ -195,8 +195,9 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
     gray). Returns (width, height, luminance_bytes).
 
     Honest-maximum scope (documented, raises UnsupportedImageError
-    beyond it): bit depth 8, color types 0/2/3/4/6 (palette PNGs decode
-    through their PLTE lookup), no interlace.
+    beyond it): bit depths 8 and 16 (16-bit planes reduce to their high
+    bytes), color types 0/2/3/4/6 (palette PNGs decode through their
+    PLTE lookup; palette is 8-bit-only per spec here), no interlace.
     The reference's payload decode is a GPU model runner
     (deepseek_ocr2_runner.py:122-177); PIL/ffmpeg-backed formats stay
     behind the backend interface in functions/multimodal.py.
@@ -230,8 +231,10 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
         pos += 12 + length  # len + tag + crc
     if width is None or not idat:
         raise ImageFormatError("PNG missing IHDR or IDAT")
-    if bit_depth != 8:
-        raise UnsupportedImageError(f"unsupported PNG bit depth {bit_depth}")
+    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
+        raise UnsupportedImageError(
+            f"unsupported PNG bit depth {bit_depth} (color type {color_type})"
+        )
     if color_type not in _PNG_CHANNELS and color_type != 3:
         raise UnsupportedImageError(f"unsupported PNG color type {color_type}")
     if interlace != 0:
@@ -250,7 +253,11 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
     else:
         pal_lum = None
         ch = _PNG_CHANNELS[color_type]
-    stride = width * ch
+    # Filter offsets are in BYTES PER PIXEL (spec: "bpp"), which for
+    # 16-bit samples is 2x the channel count; 16-bit planes reduce to
+    # their big-endian high bytes after unfiltering (8-bit luminance).
+    bpp = ch * (bit_depth // 8)
+    stride = width * bpp
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -270,7 +277,7 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
             recon[base:base + stride] = row
         elif f == 1:  # Sub
             for x in range(stride):
-                a = recon[base + x - ch] if x >= ch else 0
+                a = recon[base + x - bpp] if x >= bpp else 0
                 recon[base + x] = (row[x] + a) & 0xFF
         elif f == 2:  # Up
             for x in range(stride):
@@ -278,17 +285,20 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
                 recon[base + x] = (row[x] + b) & 0xFF
         elif f == 3:  # Average
             for x in range(stride):
-                a = recon[base + x - ch] if x >= ch else 0
+                a = recon[base + x - bpp] if x >= bpp else 0
                 b = recon[prev_base + x] if y > 0 else 0
                 recon[base + x] = (row[x] + (a + b) // 2) & 0xFF
         elif f == 4:  # Paeth
             for x in range(stride):
-                a = recon[base + x - ch] if x >= ch else 0
+                a = recon[base + x - bpp] if x >= bpp else 0
                 b = recon[prev_base + x] if y > 0 else 0
-                c = recon[prev_base + x - ch] if (y > 0 and x >= ch) else 0
+                c = recon[prev_base + x - bpp] if (y > 0 and x >= bpp) else 0
                 recon[base + x] = (row[x] + _paeth(a, b, c)) & 0xFF
         else:
             raise ImageFormatError(f"unknown PNG filter {f} on row {y}")
+
+    if bit_depth == 16:
+        recon = recon[0::2]  # big-endian high bytes ≈ 8-bit samples
 
     if color_type == 3:
         try:

@@ -581,11 +581,11 @@ def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
         + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + chunk(b"IEND", b"")
     )
-    # 16-bit gray PNG: valid but out of decoder scope → fake fallback
-    png16 = (
+    # interlaced PNG: valid but out of decoder scope → fake fallback
+    png_i = (
         im.PNG_MAGIC
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + chunk(b"IEND", b"")
     )
     # corrupt PNG: valid header, garbage IDAT
@@ -595,7 +595,7 @@ def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
     media = spark.createDataFrame(
         [(0, "image", palette_png, "image/png", 1, 1, None),
          (1, "image", bytes(corrupt), "image/png", 8, 8, None),
-         (2, "image", png16, "image/png", 1, 1, None)],
+         (2, "image", png_i, "image/png", 1, 1, None)],
         schema=multimodal.MEDIA_SCHEMA,
     )
     rows = {r["media_id"]: r for r in
@@ -604,7 +604,7 @@ def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
     assert rows[0]["feature"][15] == pytest.approx(1.0)  # white pixel
     assert rows[1]["status"] == "failed"             # corrupt → failure row
     assert "ImageFormatError" in rows[1]["error"]
-    assert rows[2]["status"] == "completed"          # 16-bit → fake fallback
+    assert rows[2]["status"] == "completed"          # interlaced → fake fallback
     assert len(rows[2]["feature"]) == 16
 
 
@@ -619,7 +619,7 @@ def test_png_histogram_arbitrary_bins_and_zero_pixels():
     with _pytest.raises(im.ImageFormatError):
         im.png_luminance_histogram(im.build_png(4, 4), bins=0)
     with _pytest.raises(im.UnsupportedImageError):
-        # 16-bit PNG: valid but out of scope
+        # interlaced PNG: valid but out of scope
         import struct
         import zlib
 
@@ -627,11 +627,26 @@ def test_png_histogram_arbitrary_bins_and_zero_pixels():
             return (struct.pack(">I", len(body)) + tag + body
                     + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
-        png16 = (im.PNG_MAGIC
-                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
-                 + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        png_i = (im.PNG_MAGIC
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+                 + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
                  + chunk(b"IEND", b""))
-        im.decode_png_luminance(png16)
+        im.decode_png_luminance(png_i)
+
+    # 16-bit gray decodes for real: high byte is the luminance
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png16 = (im.PNG_MAGIC
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(b"\x00\xfa\x77"))
+             + chunk(b"IEND", b""))
+    w16, h16, lum16 = im.decode_png_luminance(png16)
+    assert (w16, h16, list(lum16)) == (1, 1, [0xfa])
 
 
 def test_multimodal_stub_backend_fails_as_rows(spark):
