@@ -186,6 +186,48 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Invert the five PNG row filters over ``height`` rows of
+    ``stride`` bytes each (input rows carry a leading filter byte)."""
+    recon = bytearray(height * stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        row = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        base = y * stride
+        prev_base = base - stride
+        if f == 0:  # None
+            recon[base:base + stride] = row
+        elif f == 1:  # Sub
+            for x in range(stride):
+                a = recon[base + x - bpp] if x >= bpp else 0
+                recon[base + x] = (row[x] + a) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                b = recon[prev_base + x] if y > 0 else 0
+                recon[base + x] = (row[x] + b) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = recon[base + x - bpp] if x >= bpp else 0
+                b = recon[prev_base + x] if y > 0 else 0
+                recon[base + x] = (row[x] + (a + b) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = recon[base + x - bpp] if x >= bpp else 0
+                b = recon[prev_base + x] if y > 0 else 0
+                c = recon[prev_base + x - bpp] if (y > 0 and x >= bpp) else 0
+                recon[base + x] = (row[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ImageFormatError(f"unknown PNG filter {f} on row {y}")
+    return recon
+
+
 def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
     """REAL pixel decode for 8-bit non-interlaced PNGs, stdlib only.
 
@@ -196,8 +238,9 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
 
     Honest-maximum scope (documented, raises UnsupportedImageError
     beyond it): bit depths 8 and 16 (16-bit planes reduce to their high
-    bytes), color types 0/2/3/4/6 (palette PNGs decode through their
-    PLTE lookup; palette is 8-bit-only per spec here), no interlace.
+    bytes; sub-byte depths unsupported), color types 0/2/3/4/6 (palette
+    PNGs decode through their PLTE lookup), both progressive layouts —
+    non-interlaced and Adam7-interlaced.
     The reference's payload decode is a GPU model runner
     (deepseek_ocr2_runner.py:122-177); PIL/ffmpeg-backed formats stay
     behind the backend interface in functions/multimodal.py.
@@ -237,8 +280,8 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
         )
     if color_type not in _PNG_CHANNELS and color_type != 3:
         raise UnsupportedImageError(f"unsupported PNG color type {color_type}")
-    if interlace != 0:
-        raise UnsupportedImageError("interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ImageFormatError(f"invalid PNG interlace method {interlace}")
     if width <= 0 or height <= 0:
         raise ImageFormatError(f"non-positive PNG dimensions {width}x{height}")
     if color_type == 3:
@@ -262,40 +305,39 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ImageFormatError(f"bad IDAT stream: {exc}") from exc
-    if len(raw) != height * (stride + 1):
-        raise ImageFormatError(
-            f"IDAT size {len(raw)} != expected {height * (stride + 1)}"
-        )
 
-    recon = bytearray(height * stride)
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        row = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
-        base = y * stride
-        prev_base = base - stride
-        if f == 0:  # None
-            recon[base:base + stride] = row
-        elif f == 1:  # Sub
-            for x in range(stride):
-                a = recon[base + x - bpp] if x >= bpp else 0
-                recon[base + x] = (row[x] + a) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                b = recon[prev_base + x] if y > 0 else 0
-                recon[base + x] = (row[x] + b) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = recon[base + x - bpp] if x >= bpp else 0
-                b = recon[prev_base + x] if y > 0 else 0
-                recon[base + x] = (row[x] + (a + b) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = recon[base + x - bpp] if x >= bpp else 0
-                b = recon[prev_base + x] if y > 0 else 0
-                c = recon[prev_base + x - bpp] if (y > 0 and x >= bpp) else 0
-                recon[base + x] = (row[x] + _paeth(a, b, c)) & 0xFF
-        else:
-            raise ImageFormatError(f"unknown PNG filter {f} on row {y}")
+    if interlace == 0:
+        if len(raw) != height * (stride + 1):
+            raise ImageFormatError(
+                f"IDAT size {len(raw)} != expected {height * (stride + 1)}"
+            )
+        recon = _unfilter(raw, height, stride, bpp)
+    else:
+        # Adam7: seven sequential sub-images, each filtered like a
+        # standalone image of its own width, scattered back onto the
+        # full-resolution grid.
+        recon = bytearray(height * stride)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7_PASSES:
+            wp = (width - x0 + xs - 1) // xs if width > x0 else 0
+            hp = (height - y0 + ys - 1) // ys if height > y0 else 0
+            if wp == 0 or hp == 0:
+                continue
+            pstride = wp * bpp
+            need = hp * (pstride + 1)
+            sub = raw[off:off + need]
+            if len(sub) != need:
+                raise ImageFormatError("truncated interlaced IDAT stream")
+            off += need
+            prec = _unfilter(sub, hp, pstride, bpp)
+            for j in range(hp):
+                dy = (y0 + j * ys) * stride
+                for i in range(wp):
+                    src = j * pstride + i * bpp
+                    dst = dy + (x0 + i * xs) * bpp
+                    recon[dst:dst + bpp] = prec[src:src + bpp]
+        if off != len(raw):
+            raise ImageFormatError("trailing bytes after interlaced passes")
 
     if bit_depth == 16:
         recon = recon[0::2]  # big-endian high bytes ≈ 8-bit samples

@@ -581,10 +581,10 @@ def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
         + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + chunk(b"IEND", b"")
     )
-    # interlaced PNG: valid but out of decoder scope → fake fallback
+    # 1-bit gray PNG: valid but out of decoder scope → fake fallback
     png_i = (
         im.PNG_MAGIC
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 1, 0, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + chunk(b"IEND", b"")
     )
@@ -604,7 +604,7 @@ def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
     assert rows[0]["feature"][15] == pytest.approx(1.0)  # white pixel
     assert rows[1]["status"] == "failed"             # corrupt → failure row
     assert "ImageFormatError" in rows[1]["error"]
-    assert rows[2]["status"] == "completed"          # interlaced → fake fallback
+    assert rows[2]["status"] == "completed"          # 1-bit depth → fake fallback
     assert len(rows[2]["feature"]) == 16
 
 
@@ -619,7 +619,7 @@ def test_png_histogram_arbitrary_bins_and_zero_pixels():
     with _pytest.raises(im.ImageFormatError):
         im.png_luminance_histogram(im.build_png(4, 4), bins=0)
     with _pytest.raises(im.UnsupportedImageError):
-        # interlaced PNG: valid but out of scope
+        # sub-byte depth PNG: valid but out of scope
         import struct
         import zlib
 
@@ -627,11 +627,11 @@ def test_png_histogram_arbitrary_bins_and_zero_pixels():
             return (struct.pack(">I", len(body)) + tag + body
                     + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
-        png_i = (im.PNG_MAGIC
-                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
-                 + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
-                 + chunk(b"IEND", b""))
-        im.decode_png_luminance(png_i)
+        png1 = (im.PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 1, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                + chunk(b"IEND", b""))
+        im.decode_png_luminance(png1)
 
     # 16-bit gray decodes for real: high byte is the luminance
     import struct
@@ -691,3 +691,54 @@ def test_ivf_persisted_index_matches_inline_and_prunes(spark, embeddings, tmp_pa
     dirs = {d for d in os.listdir(os.path.join(idx, "vectors"))
             if d.startswith("cluster_id=")}
     assert len(dirs) <= 8
+
+
+def test_png_adam7_interlaced_decodes_identically():
+    """Adam7-interlaced PNGs decode to the same pixels as the
+    non-interlaced encoding of the same image (per-pass unfiltering +
+    scatter), across awkward sizes where passes go empty."""
+    import struct
+    import zlib
+
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    def build_interlaced(w, h, seed, color_type):
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        raw = bytearray()
+        for x0, y0, xs, ys in im._ADAM7_PASSES:
+            wp = (w - x0 + xs - 1) // xs if w > x0 else 0
+            hp = (h - y0 + ys - 1) // ys if h > y0 else 0
+            if wp == 0 or hp == 0:
+                continue
+            for j in range(hp):
+                raw.append(0)
+                for i in range(wp):
+                    v = (seed + (y0 + j * ys) * w + (x0 + i * xs)) % 256
+                    raw += bytes([v] * ch)
+        return (im.PNG_MAGIC
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    for w, h in [(1, 1), (3, 2), (8, 8), (13, 7)]:
+        for ct in (0, 2, 4, 6):
+            plain = im.decode_png_luminance(im.build_png(w, h, seed=3,
+                                                         color_type=ct))[2]
+            inter = im.decode_png_luminance(build_interlaced(w, h, 3, ct))[2]
+            assert bytes(plain) == bytes(inter), (w, h, ct)
+    # truncated interlaced stream rejects
+    import pytest as _pytest
+
+    good = build_interlaced(8, 8, 3, 0)
+    bad = (im.PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1))
+           + chunk(b"IDAT", zlib.compress(
+               zlib.decompress(good[41:-12-8]) if False else b"\x00\x01"))
+           + chunk(b"IEND", b""))
+    with _pytest.raises(im.ImageFormatError):
+        im.decode_png_luminance(bad)
