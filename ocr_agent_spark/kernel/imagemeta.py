@@ -236,11 +236,12 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
     byte per pixel (BT.601 integer luma for color; first channel for
     gray). Returns (width, height, luminance_bytes).
 
-    Honest-maximum scope (documented, raises UnsupportedImageError
-    beyond it): bit depths 8 and 16 (16-bit planes reduce to their high
-    bytes; sub-byte depths unsupported), color types 0/2/3/4/6 (palette
-    PNGs decode through their PLTE lookup), both progressive layouts —
-    non-interlaced and Adam7-interlaced.
+    Full-scope PNG: every legal bit depth (1/2/4/8/16 — sub-byte
+    planes unpack MSB-first and scale, 16-bit planes reduce to their
+    high bytes), every color type (0/2/3/4/6; palette PNGs decode
+    through their PLTE lookup), both progressive layouts
+    (non-interlaced and Adam7). Illegal depth/type combinations and
+    corrupt bodies raise ImageFormatError.
     The reference's payload decode is a GPU model runner
     (deepseek_ocr2_runner.py:122-177); PIL/ffmpeg-backed formats stay
     behind the backend interface in functions/multimodal.py.
@@ -274,9 +275,12 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
         pos += 12 + length  # len + tag + crc
     if width is None or not idat:
         raise ImageFormatError("PNG missing IHDR or IDAT")
-    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
-        raise UnsupportedImageError(
-            f"unsupported PNG bit depth {bit_depth} (color type {color_type})"
+    if bit_depth not in (1, 2, 4, 8, 16) or (
+        bit_depth == 16 and color_type == 3
+    ) or (bit_depth < 8 and color_type not in (0, 3)):
+        # depths 1/2/4 are only legal for gray and palette (PNG spec)
+        raise ImageFormatError(
+            f"invalid PNG bit depth {bit_depth} for color type {color_type}"
         )
     if color_type not in _PNG_CHANNELS and color_type != 3:
         raise UnsupportedImageError(f"unsupported PNG color type {color_type}")
@@ -296,11 +300,13 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
     else:
         pal_lum = None
         ch = _PNG_CHANNELS[color_type]
-    # Filter offsets are in BYTES PER PIXEL (spec: "bpp"), which for
-    # 16-bit samples is 2x the channel count; 16-bit planes reduce to
-    # their big-endian high bytes after unfiltering (8-bit luminance).
-    bpp = ch * (bit_depth // 8)
-    stride = width * bpp
+    # Filter offsets are in BYTES PER PIXEL rounded UP to one byte
+    # (spec: "bpp"): 2x the channel count for 16-bit samples, 1 for
+    # packed sub-byte depths. 16-bit planes reduce to their big-endian
+    # high bytes after unfiltering; sub-byte planes unpack MSB-first
+    # and scale to 8 bits.
+    bpp = max(1, ch * (bit_depth // 8))
+    stride = (width * ch * bit_depth + 7) // 8
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -341,6 +347,22 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
 
     if bit_depth == 16:
         recon = recon[0::2]  # big-endian high bytes ≈ 8-bit samples
+    elif bit_depth < 8:
+        # unpack MSB-first packed samples row by row (rows are padded
+        # to a byte boundary), scaling gray to 8-bit; palette indices
+        # pass through unscaled.
+        spp = 8 // bit_depth                      # samples per byte
+        mask = (1 << bit_depth) - 1
+        scale = 255 // mask if color_type == 0 else 1
+        unpacked = bytearray(width * height)
+        for y in range(height):
+            row = recon[y * stride:(y + 1) * stride]
+            for x in range(width):
+                byte = row[x // spp]
+                shift = 8 - bit_depth * (x % spp + 1)
+                unpacked[y * width + x] = ((byte >> shift) & mask) * scale
+        recon = unpacked
+        stride = width
 
     if color_type == 3:
         try:

@@ -559,11 +559,11 @@ def test_multimodal_headers_png_feature_is_real_histogram(spark):
     assert (rows[0]["out_width"], rows[0]["out_height"]) == (16, 16)
 
 
-def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
-    """code-review r3: a spec-valid PNG outside the pixel decoder's
-    scope (16-bit depth) must stay a completed row with fake features;
-    a palette PNG decodes FOR REAL through its PLTE; only corrupt
-    payloads become failure rows."""
+def test_multimodal_headers_every_legal_png_decodes_for_real(spark):
+    """Every legal PNG shape decodes for real (palette via PLTE,
+    sub-byte via bit unpacking); only corrupt payloads become failure
+    rows. (The UnsupportedImageError→fake-fallback path remains for
+    future scope limits but no legal PNG triggers it today.)"""
     import struct
     import zlib
 
@@ -581,7 +581,7 @@ def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
         + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + chunk(b"IEND", b"")
     )
-    # 1-bit gray PNG: valid but out of decoder scope → fake fallback
+    # 1-bit gray PNG: single black pixel — decodes for real now
     png_i = (
         im.PNG_MAGIC
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 1, 0, 0, 0, 0))
@@ -604,8 +604,8 @@ def test_multimodal_headers_unsupported_png_falls_back_not_fails(spark):
     assert rows[0]["feature"][15] == pytest.approx(1.0)  # white pixel
     assert rows[1]["status"] == "failed"             # corrupt → failure row
     assert "ImageFormatError" in rows[1]["error"]
-    assert rows[2]["status"] == "completed"          # 1-bit depth → fake fallback
-    assert len(rows[2]["feature"]) == 16
+    assert rows[2]["status"] == "completed"          # 1-bit → REAL decode
+    assert rows[2]["feature"][0] == pytest.approx(1.0)  # black pixel
 
 
 def test_png_histogram_arbitrary_bins_and_zero_pixels():
@@ -618,8 +618,8 @@ def test_png_histogram_arbitrary_bins_and_zero_pixels():
 
     with _pytest.raises(im.ImageFormatError):
         im.png_luminance_histogram(im.build_png(4, 4), bins=0)
-    with _pytest.raises(im.UnsupportedImageError):
-        # sub-byte depth PNG: valid but out of scope
+    with _pytest.raises(im.ImageFormatError):
+        # ILLEGAL shape per spec (16-bit palette) rejects
         import struct
         import zlib
 
@@ -627,11 +627,12 @@ def test_png_histogram_arbitrary_bins_and_zero_pixels():
             return (struct.pack(">I", len(body)) + tag + body
                     + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
-        png1 = (im.PNG_MAGIC
-                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 1, 0, 0, 0, 0))
-                + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
-                + chunk(b"IEND", b""))
-        im.decode_png_luminance(png1)
+        bad = (im.PNG_MAGIC
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+               + chunk(b"PLTE", b"\x00\x00\x00")
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+               + chunk(b"IEND", b""))
+        im.decode_png_luminance(bad)
 
     # 16-bit gray decodes for real: high byte is the luminance
     import struct
@@ -742,3 +743,44 @@ def test_png_adam7_interlaced_decodes_identically():
            + chunk(b"IEND", b""))
     with _pytest.raises(im.ImageFormatError):
         im.decode_png_luminance(bad)
+
+
+def test_png_subbyte_depths_decode():
+    """1/2/4-bit gray and sub-byte palette PNGs decode with MSB-first
+    unpacking and 8-bit scaling."""
+    import struct
+    import zlib
+
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    def build(w, h, depth, values, color_type=0, plte=b""):
+        spp = 8 // depth
+        stride = (w * depth + 7) // 8
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            rowbytes = bytearray(stride)
+            for x in range(w):
+                shift = 8 - depth * (x % spp + 1)
+                rowbytes[x // spp] |= values[y * w + x] << shift
+            raw += rowbytes
+        png = im.PNG_MAGIC + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0))
+        if plte:
+            png += chunk(b"PLTE", plte)
+        return png + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+    vals = [(x + y) % 2 for y in range(2) for x in range(5)]
+    assert list(im.decode_png_luminance(build(5, 2, 1, vals))[2]) == \
+        [v * 255 for v in vals]
+    vals = [x % 4 for x in range(6)]
+    assert list(im.decode_png_luminance(build(6, 1, 2, vals))[2]) == \
+        [v * 85 for v in vals]
+    plte = b"\x00\x00\x00\xff\xff\xff\xff\x00\x00"
+    assert list(im.decode_png_luminance(
+        build(5, 1, 4, [0, 1, 2, 1, 0], color_type=3, plte=plte))[2]) == \
+        [0, 255, 76, 255, 0]
