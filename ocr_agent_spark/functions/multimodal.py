@@ -8,12 +8,12 @@ but image **metadata** decoding is real (stdlib header parsing):
 
 - ``decode_backend="headers"`` (default) → REAL container sniff +
   width/height from PNG/JPEG/GIF/BMP headers (kernel/imagemeta.py);
-  malformed image payloads become failure rows. For PNGs the feature
+  malformed image payloads become failure rows. For PNGs (every legal
+  shape: all depths, palette, Adam7) and uncompressed BMPs the feature
   vector is also REAL: a 16-bin luminance histogram from a full stdlib
-  pixel decode (zlib IDAT inflate + unfilter,
-  ``imagemeta.png_luminance_histogram``). JPEG/GIF/BMP feature vectors
-  remain deterministic fakes (pixel decode needs PIL), and audio/video
-  metadata stays faked (needs ffmpeg).
+  pixel decode (``imagemeta.image_luminance_histogram``). JPEG/GIF
+  feature vectors remain deterministic fakes (their pixel decode needs
+  PIL), and audio/video metadata stays faked (needs ffmpeg).
 - ``decode_backend="fake"``  → everything faked, keyed on payload
   bytes (stable hashes → stable "pixels") — plumbing-only mode.
 - ``decode_backend="none"``  → NotImplementedError per row, surfaced as
@@ -97,8 +97,8 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ocr_agent_spark.kernel.imagemeta import (
             UnsupportedImageError,
+            image_luminance_histogram,
             parse_image_dimensions,
-            png_luminance_histogram,
         )
 
         cols = ["media_id", "kind", "status", "error", "feature", "format",
@@ -121,27 +121,23 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                         if decode_backend == "headers":
                             fmt, src_w, src_h = parse_image_dimensions(data)
                             res = None
-                            if fmt == "png":
-                                # REAL pixel decode (stdlib zlib inflate
-                                # + unfilter): the feature is the actual
-                                # 16-bin luminance histogram. A spec-
-                                # valid PNG outside the decoder's scope
-                                # (palette, 16-bit, interlaced) is NOT a
-                                # failure — it falls back to the fake
-                                # features like the PIL-needing
-                                # containers (JPEG/GIF/BMP) do. A
-                                # CORRUPT body (bad IDAT, truncated
-                                # chunks) still raises → failure row,
-                                # same D2 contract as a malformed PDF.
-                                try:
-                                    res = {
-                                        "feature": png_luminance_histogram(data),
-                                        "out_width": src_w,
-                                        "out_height": src_h,
-                                        "n_frames": 1,
-                                    }
-                                except UnsupportedImageError:
-                                    res = None
+                            # REAL pixel decode where stdlib allows —
+                            # PNG (every legal shape) and uncompressed
+                            # BMP — yielding the actual 16-bin luminance
+                            # histogram. Containers needing PIL (JPEG,
+                            # GIF/LZW) raise UnsupportedImageError and
+                            # fall back to fake features; a CORRUPT body
+                            # raises ImageFormatError → failure row,
+                            # same D2 contract as a malformed PDF.
+                            try:
+                                res = {
+                                    "feature": image_luminance_histogram(data),
+                                    "out_width": src_w,
+                                    "out_height": src_h,
+                                    "n_frames": 1,
+                                }
+                            except UnsupportedImageError:
+                                res = None
                             if res is None:
                                 res = _fake_image_decode(data, resize_to)
                         else:
@@ -183,7 +179,7 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
     import random
 
     from ocr_agent_spark.kernel.imagemeta import (
-        build_bmp_header,
+        build_bmp,
         build_gif_header,
         build_jpeg_header,
         build_png,
@@ -193,7 +189,7 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
         lambda w, h, i: build_png(min(w, 64), min(h, 64), seed=i),
         lambda w, h, i: build_jpeg_header(w, h),
         lambda w, h, i: build_gif_header(w, h),
-        lambda w, h, i: build_bmp_header(w, h),
+        lambda w, h, i: build_bmp(min(w, 64), min(h, 64), seed=i),
     ]
     rows = []
     kinds = ["image", "audio", "video"]
@@ -204,8 +200,8 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
             w = rng.randint(100, 4000)
             h = rng.randint(100, 3000)
             payload = builders[(i // 3) % 4](w, h, i)
-            if payload.startswith(b"\x89PNG"):
-                w, h = min(w, 64), min(h, 64)  # build_png clamps pixel count
+            if payload.startswith(b"\x89PNG") or payload.startswith(b"BM"):
+                w, h = min(w, 64), min(h, 64)  # pixel builders clamp size
             rows.append((i, kind, payload, "image/fixture", w, h, None))
         else:
             payload = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))

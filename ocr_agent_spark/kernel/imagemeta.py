@@ -397,3 +397,123 @@ def png_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
     for v in lum:
         counts[v * bins // 256] += 1
     return [c / total for c in counts]
+
+
+def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
+    """REAL pixel decode for uncompressed (BI_RGB) BMPs, stdlib only.
+
+    Supports the common shapes: 8-bit palette, 24-bit BGR, 32-bit BGRA,
+    plus 1/4-bit palette (MSB-first packed). Rows are 4-byte aligned
+    and stored bottom-up unless the header height is negative
+    (top-down). Compressed BMPs (RLE/bitfields) raise
+    UnsupportedImageError; malformed ones ImageFormatError.
+    """
+    if data[:2] != b"BM":
+        raise ImageFormatError("not a BMP")
+    try:
+        pixel_off = struct.unpack("<I", data[10:14])[0]
+        hdr_size = struct.unpack("<I", data[14:18])[0]
+        width, h_signed = struct.unpack("<ii", data[18:26])
+        bit_count = struct.unpack("<H", data[28:30])[0]
+        compression = struct.unpack("<I", data[30:34])[0]
+    except struct.error as exc:
+        raise ImageFormatError("truncated BMP header") from exc
+    height = abs(h_signed)
+    top_down = h_signed < 0
+    if width <= 0 or height == 0:
+        raise ImageFormatError(f"non-positive BMP dimensions {width}x{h_signed}")
+    if compression != 0:
+        raise UnsupportedImageError(f"compressed BMP (method {compression})")
+    if bit_count not in (1, 4, 8, 24, 32):
+        raise UnsupportedImageError(f"unsupported BMP bit count {bit_count}")
+
+    pal_lum: bytes | None = None
+    if bit_count <= 8:
+        n_colors = struct.unpack("<I", data[46:50])[0] or (1 << bit_count)
+        pal = data[14 + hdr_size:14 + hdr_size + 4 * n_colors]
+        if len(pal) < 4 * n_colors:
+            raise ImageFormatError("truncated BMP palette")
+        # BGRA quads
+        pal_lum = bytes(
+            (299 * pal[i + 2] + 587 * pal[i + 1] + 114 * pal[i]) // 1000
+            for i in range(0, 4 * n_colors, 4)
+        )
+
+    row_bytes = (width * bit_count + 31) // 32 * 4
+    need = pixel_off + row_bytes * height
+    if len(data) < need:
+        raise ImageFormatError(f"BMP pixel data truncated ({len(data)} < {need})")
+
+    lum = bytearray(width * height)
+    for j in range(height):
+        src_row = j if top_down else height - 1 - j
+        base = pixel_off + src_row * row_bytes
+        out = j * width
+        if bit_count == 24 or bit_count == 32:
+            step = bit_count // 8
+            for x in range(width):
+                b_, g, r = data[base + x * step:base + x * step + 3]
+                lum[out + x] = (299 * r + 587 * g + 114 * b_) // 1000
+        elif bit_count == 8:
+            for x in range(width):
+                idx = data[base + x]
+                if idx >= len(pal_lum):
+                    raise ImageFormatError("BMP palette index out of range")
+                lum[out + x] = pal_lum[idx]
+        else:  # 1 / 4 bit packed, MSB first
+            spp = 8 // bit_count
+            mask = (1 << bit_count) - 1
+            for x in range(width):
+                byte = data[base + x // spp]
+                shift = 8 - bit_count * (x % spp + 1)
+                idx = (byte >> shift) & mask
+                if idx >= len(pal_lum):
+                    raise ImageFormatError("BMP palette index out of range")
+                lum[out + x] = pal_lum[idx]
+    return width, height, lum
+
+
+def image_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
+    """Container-dispatched REAL luminance histogram (PNG or BMP).
+
+    The shared entry point for the multimodal ``headers`` backend:
+    PNG → ``decode_png_luminance``, BMP → ``decode_bmp_luminance``;
+    JPEG/GIF raise UnsupportedImageError (their pixel decode needs
+    PIL / an LZW+DCT implementation out of scope here) so callers fall
+    back to fake features.
+    """
+    fmt = sniff_image_format(data)
+    if fmt == "png":
+        width, height, lum = decode_png_luminance(data)
+    elif fmt == "bmp":
+        width, height, lum = decode_bmp_luminance(data)
+    else:
+        raise UnsupportedImageError(f"no pixel decoder for {fmt}")
+    total = width * height
+    if total == 0 or bins <= 0:
+        raise ImageFormatError(
+            f"cannot histogram {width}x{height} image into {bins} bins"
+        )
+    counts = [0] * bins
+    for v in lum:
+        counts[v * bins // 256] += 1
+    return [c / total for c in counts]
+
+
+def build_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A complete, spec-valid 8-bit grayscale BMP (palette + pixels).
+
+    Deterministic (seed + i) ramp, bottom-up rows, 4-byte row padding —
+    the pixel-bearing fixture counterpart of ``build_bmp_header``
+    (which remains header-only for header-parse tests)."""
+    row_bytes = (width + 3) // 4 * 4
+    pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
+    body = bytearray()
+    for j in range(height - 1, -1, -1):
+        row = bytes((seed + j * width + x) % 256 for x in range(width))
+        body += row + b"\x00" * (row_bytes - width)
+    off = 14 + 40 + len(pal)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+                       len(body), 0, 0, 256, 0)
+    return (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + info + pal + bytes(body))

@@ -784,3 +784,32 @@ def test_png_subbyte_depths_decode():
     assert list(im.decode_png_luminance(
         build(5, 1, 4, [0, 1, 2, 1, 0], color_type=3, plte=plte))[2]) == \
         [0, 255, 76, 255, 0]
+
+
+def test_multimodal_headers_bmp_feature_is_real_histogram(spark):
+    """Uncompressed BMPs decode for real through the dispatching
+    histogram; compressed BMPs fall back to fake features."""
+    import struct
+
+    # 2x1 24-bit: one black, one white pixel (bottom-up single row)
+    w, h = 2, 1
+    row = bytes([0, 0, 0, 255, 255, 255]) + b"\x00\x00"  # pad to 8
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(row), 0, 0, 0, 0)
+    bmp = b"BM" + struct.pack("<IHHI", 54 + len(row), 0, 0, 54) + info + row
+    # same but compression=1 (RLE8): unsupported → fake fallback
+    info_rle = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 1, len(row), 0, 0, 0, 0)
+    bmp_rle = b"BM" + struct.pack("<IHHI", 54 + len(row), 0, 0, 54) + info_rle + row
+
+    media = spark.createDataFrame(
+        [(0, "image", bmp, "image/bmp", 2, 1, None),
+         (1, "image", bmp_rle, "image/bmp", 2, 1, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in
+            multimodal.extract_media_features(media, decode_backend="headers").collect()}
+    assert rows[0]["status"] == "completed"
+    assert rows[0]["feature"][0] == pytest.approx(0.5)   # black pixel
+    assert rows[0]["feature"][15] == pytest.approx(0.5)  # white pixel
+    assert rows[1]["status"] == "completed"              # RLE → fake fallback
+    assert len(rows[1]["feature"]) == 16
+    assert rows[1]["feature"] != rows[0]["feature"]
