@@ -9,11 +9,12 @@ but image **metadata** decoding is real (stdlib header parsing):
 - ``decode_backend="headers"`` (default) → REAL container sniff +
   width/height from PNG/JPEG/GIF/BMP headers (kernel/imagemeta.py);
   malformed image payloads become failure rows. For PNGs (every legal
-  shape: all depths, palette, Adam7) and uncompressed BMPs the feature
-  vector is also REAL: a 16-bin luminance histogram from a full stdlib
-  pixel decode (``imagemeta.image_luminance_histogram``). JPEG/GIF
-  feature vectors remain deterministic fakes (their pixel decode needs
-  PIL), and audio/video metadata stays faked (needs ffmpeg).
+  shape: all depths, palette, Adam7), uncompressed BMPs, and GIFs
+  (pure-Python LZW, first frame, interlace) the feature vector is also
+  REAL: a 16-bin luminance histogram from a full stdlib pixel decode
+  (``imagemeta.image_luminance_histogram``). Only JPEG features remain
+  deterministic fakes (entropy-coded DCT needs PIL), and audio/video
+  metadata stays faked (needs ffmpeg).
 - ``decode_backend="fake"``  → everything faked, keyed on payload
   bytes (stable hashes → stable "pixels") — plumbing-only mode.
 - ``decode_backend="none"``  → NotImplementedError per row, surfaced as
@@ -180,7 +181,7 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
 
     from ocr_agent_spark.kernel.imagemeta import (
         build_bmp,
-        build_gif_header,
+        build_gif,
         build_jpeg_header,
         build_png,
     )
@@ -188,7 +189,7 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
     builders = [
         lambda w, h, i: build_png(min(w, 64), min(h, 64), seed=i),
         lambda w, h, i: build_jpeg_header(w, h),
-        lambda w, h, i: build_gif_header(w, h),
+        lambda w, h, i: build_gif(min(w, 64), min(h, 64), seed=i),
         lambda w, h, i: build_bmp(min(w, 64), min(h, 64), seed=i),
     ]
     rows = []
@@ -200,7 +201,7 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
             w = rng.randint(100, 4000)
             h = rng.randint(100, 3000)
             payload = builders[(i // 3) % 4](w, h, i)
-            if payload.startswith(b"\x89PNG") or payload.startswith(b"BM"):
+            if not payload.startswith(b"\xff\xd8"):
                 w, h = min(w, 64), min(h, 64)  # pixel builders clamp size
             rows.append((i, kind, payload, "image/fixture", w, h, None))
         else:

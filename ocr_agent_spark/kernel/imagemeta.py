@@ -474,19 +474,22 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
 
 
 def image_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
-    """Container-dispatched REAL luminance histogram (PNG or BMP).
+    """Container-dispatched REAL luminance histogram (PNG, BMP, GIF).
 
     The shared entry point for the multimodal ``headers`` backend:
-    PNG → ``decode_png_luminance``, BMP → ``decode_bmp_luminance``;
-    JPEG/GIF raise UnsupportedImageError (their pixel decode needs
-    PIL / an LZW+DCT implementation out of scope here) so callers fall
-    back to fake features.
+    PNG → ``decode_png_luminance``, BMP → ``decode_bmp_luminance``,
+    GIF → ``decode_gif_luminance`` (first frame); JPEG raises
+    UnsupportedImageError (entropy-coded DCT decode needs PIL — the one
+    container stdlib can't reasonably cover) so callers fall back to
+    fake features.
     """
     fmt = sniff_image_format(data)
     if fmt == "png":
         width, height, lum = decode_png_luminance(data)
     elif fmt == "bmp":
         width, height, lum = decode_bmp_luminance(data)
+    elif fmt == "gif":
+        width, height, lum = decode_gif_luminance(data)
     else:
         raise UnsupportedImageError(f"no pixel decoder for {fmt}")
     total = width * height
@@ -517,3 +520,188 @@ def build_bmp(width: int, height: int, seed: int = 0) -> bytes:
                        len(body), 0, 0, 256, 0)
     return (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
             + info + pal + bytes(body))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    max_pixels: int) -> bytearray:
+    """GIF-variant LZW: variable-width codes LSB-first, clear/end codes,
+    dictionary growth to 12 bits. Stops at ``max_pixels`` outputs."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+
+    def reset():
+        return (
+            {i: bytes([i]) for i in range(clear)},
+            min_code_size + 1,
+            end + 1,
+        )
+
+    table, width, next_code = reset()
+    prev: bytes | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table, width, next_code = reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ImageFormatError(f"bad LZW code {code}")
+            out += entry
+            if len(out) >= max_pixels:
+                return out[:max_pixels]
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    raise ImageFormatError("LZW stream ended without end code")
+
+
+def decode_gif_luminance(data: bytes) -> tuple[int, int, bytearray]:
+    """REAL pixel decode for the FIRST frame of a GIF (stdlib only).
+
+    Full GIF87a/89a coverage: global/local color tables, pure-Python
+    LZW, 4-pass row interlace. Returns the first frame's dimensions and
+    its luminance plane (later animation frames are ignored — the
+    feature path wants one representative image)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageFormatError("not a GIF")
+    try:
+        flags = data[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 ** ((flags & 0x07) + 1)
+            gct = data[pos:pos + 3 * n]
+            if len(gct) < 3 * n:
+                raise ImageFormatError("truncated GIF global color table")
+            pos += 3 * n
+        while pos < len(data):
+            block = data[pos]
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                _, _, fw, fh, iflags = struct.unpack(
+                    "<HHHHB", data[pos + 1:pos + 10])
+                pos += 10
+                ct = gct
+                if iflags & 0x80:
+                    n = 2 ** ((iflags & 0x07) + 1)
+                    ct = data[pos:pos + 3 * n]
+                    if len(ct) < 3 * n:
+                        raise ImageFormatError("truncated GIF local color table")
+                    pos += 3 * n
+                if ct is None:
+                    raise ImageFormatError("GIF frame without a color table")
+                mcs = data[pos]
+                pos += 1
+                lzw = bytearray()
+                while data[pos] != 0:
+                    size = data[pos]
+                    lzw += data[pos + 1:pos + 1 + size]
+                    pos += 1 + size
+                if fw <= 0 or fh <= 0:
+                    raise ImageFormatError("non-positive GIF frame size")
+                idx = _gif_lzw_decode(bytes(lzw), mcs, fw * fh)
+                if len(idx) < fw * fh:
+                    raise ImageFormatError("GIF frame pixel data truncated")
+                pal_lum = bytes(
+                    (299 * ct[i] + 587 * ct[i + 1] + 114 * ct[i + 2]) // 1000
+                    for i in range(0, len(ct), 3)
+                )
+                lum = bytearray(fw * fh)
+                if iflags & 0x40:  # 4-pass interlace
+                    src = 0
+                    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                        for y in range(start, fh, step):
+                            for x in range(fw):
+                                i = idx[src * fw + x]
+                                if i >= len(pal_lum):
+                                    raise ImageFormatError(
+                                        "GIF index out of color table")
+                                lum[y * fw + x] = pal_lum[i]
+                            src += 1
+                else:
+                    for p in range(fw * fh):
+                        i = idx[p]
+                        if i >= len(pal_lum):
+                            raise ImageFormatError("GIF index out of color table")
+                        lum[p] = pal_lum[i]
+                return fw, fh, lum
+            elif block == 0x3B:  # trailer
+                break
+            else:
+                raise ImageFormatError(f"unknown GIF block 0x{block:02x}")
+    except IndexError:
+        raise ImageFormatError("truncated GIF stream") from None
+    raise ImageFormatError("GIF without an image frame")
+
+
+def build_gif(width: int, height: int, seed: int = 0,
+              interlace: bool = False) -> bytes:
+    """A complete, spec-valid single-frame grayscale GIF89a.
+
+    Pixels are the deterministic (seed + i) ramp. The LZW stream uses
+    the classic "uncompressed GIF" encoding: every pixel emitted as a
+    literal 9-bit code with a clear code every 250 symbols so the code
+    width never grows — trivially valid input for any decoder."""
+    lsd_flags = 0x80 | 0x07  # GCT present, 256 entries
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, lsd_flags, 0, 0)
+    for v in range(256):
+        out += bytes([v, v, v])
+    iflags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+    out += b"\x08"  # min code size 8 → 9-bit codes
+
+    if interlace:
+        order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(start, height, step)]
+    else:
+        order = list(range(height))
+    pixels = [
+        (seed + y * width + x) % 256 for y in order for x in range(width)
+    ]
+
+    bitbuf = bits = 0
+    codes = bytearray()
+
+    def emit(code: int, width_bits: int = 9) -> None:
+        nonlocal bitbuf, bits
+        bitbuf |= code << bits
+        bits += width_bits
+        while bits >= 8:
+            codes.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bits -= 8
+
+    emit(256)  # initial clear
+    for n, v in enumerate(pixels):
+        if n and n % 250 == 0:
+            emit(256)
+        emit(v)
+    emit(257)  # end
+    if bits:
+        codes.append(bitbuf & 0xFF)
+    for i in range(0, len(codes), 255):
+        chunk_ = codes[i:i + 255]
+        out += bytes([len(chunk_)]) + chunk_
+    out += b"\x00\x3b"
+    return bytes(out)

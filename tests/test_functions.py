@@ -813,3 +813,40 @@ def test_multimodal_headers_bmp_feature_is_real_histogram(spark):
     assert rows[1]["status"] == "completed"              # RLE → fake fallback
     assert len(rows[1]["feature"]) == 16
     assert rows[1]["feature"] != rows[0]["feature"]
+
+
+def test_gif_pixel_decode_roundtrip_and_multimodal():
+    """GIF decodes for real: pure-Python LZW over sub-blocks, local or
+    global color table, 4-pass interlace."""
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    exp = bytes((9 + i) % 256 for i in range(13 * 7))
+    for interlace in (False, True):
+        w, h, lum = im.decode_gif_luminance(
+            im.build_gif(13, 7, seed=9, interlace=interlace))
+        assert (w, h) == (13, 7)
+        assert bytes(lum) == exp, interlace
+    import pytest as _pytest
+
+    with _pytest.raises(im.ImageFormatError):
+        im.decode_gif_luminance(b"GIF89a" + b"\x00" * 7)  # no frame
+    # descriptor claims 100x100 but the LZW stream holds 64 pixels
+    bad = bytearray(im.build_gif(8, 8))
+    desc = 6 + 7 + 768  # header + LSD + 256-entry GCT → 0x2C descriptor
+    assert bad[desc] == 0x2C
+    bad[desc + 5:desc + 9] = (100).to_bytes(2, "little") * 2
+    with _pytest.raises(im.ImageFormatError):
+        im.decode_gif_luminance(bytes(bad))
+
+
+def test_multimodal_headers_gif_feature_is_real_histogram(spark):
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    gif = im.build_gif(16, 16, seed=0)  # full 0..255 ramp → uniform
+    media = spark.createDataFrame(
+        [(0, "image", gif, "image/gif", 16, 16, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_media_features(media, decode_backend="headers").collect()
+    assert rows[0]["status"] == "completed"
+    assert rows[0]["feature"] == [pytest.approx(1 / 16)] * 16
