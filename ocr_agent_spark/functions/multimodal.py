@@ -123,11 +123,12 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                             fmt, src_w, src_h = parse_image_dimensions(data)
                             res = None
                             # REAL pixel decode where stdlib allows —
-                            # PNG (every legal shape) and uncompressed
-                            # BMP — yielding the actual 16-bin luminance
-                            # histogram. Containers needing PIL (JPEG,
-                            # GIF/LZW) raise UnsupportedImageError and
-                            # fall back to fake features; a CORRUPT body
+                            # PNG (every legal shape), uncompressed BMP,
+                            # GIF (pure-Python LZW, first frame) —
+                            # yielding the actual 16-bin luminance
+                            # histogram. Shapes needing PIL (JPEG, RLE
+                            # BMP) raise UnsupportedImageError and fall
+                            # back to fake features; a CORRUPT body
                             # raises ImageFormatError → failure row,
                             # same D2 contract as a malformed PDF.
                             try:

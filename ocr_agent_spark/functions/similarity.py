@@ -228,8 +228,9 @@ def build_ivf_index(embeddings: DataFrame, path: str,
 
     Layout::
 
-        <path>/centroids.json            # tiny: n_clusters × dim floats
-        <path>/vectors/cluster_id=<j>/   # vectors PARTITIONED by cluster
+        <path>/current                       # pointer: active version id
+        <path>/<ver>/centroids.json          # tiny: n_clusters × dim floats
+        <path>/<ver>/vectors/cluster_id=<j>/ # PARTITIONED by cluster
 
     The expensive parts — the quantizer sample, the k-means, and the
     one full assignment pass over the vectors — are paid exactly once;
@@ -242,21 +243,46 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     """
     import json
     import os
+    import uuid
 
     centroids = _quantizer_centroids(
         embeddings, id_col, vec_col, n_clusters, sample_size, seed
     )
+    # Versioned build + atomic pointer flip: centroids and assignments
+    # land together under a fresh version dir, and readers only follow
+    # the `current` pointer once both are fully written — a rebuild
+    # that dies midway can never pair new cluster assignments with
+    # stale centroids (which would silently probe wrong partitions).
+    version = uuid.uuid4().hex[:12]
+    vdir = os.path.join(path, version)
     assigned = (
         ivf_assign(embeddings, centroids, vec_col)
         .withColumnRenamed("_cluster", "cluster_id")
     )
-    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
-        os.path.join(path, "vectors")
+    assigned.write.mode("errorifexists").partitionBy("cluster_id").parquet(
+        os.path.join(vdir, "vectors")
     )
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "centroids.json"), "w") as fh:
+    with open(os.path.join(vdir, "centroids.json"), "w") as fh:
         json.dump(centroids, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    tmp = os.path.join(path, f".current-{version}")
+    with open(tmp, "w") as fh:
+        fh.write(version)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, "current"))
     return centroids
+
+
+def _ivf_index_dir(path: str) -> str:
+    import os
+
+    pointer = os.path.join(path, "current")
+    if not os.path.exists(pointer):
+        raise FileNotFoundError(f"no IVF index at {path!r} (missing 'current')")
+    with open(pointer) as fh:
+        return os.path.join(path, fh.read().strip())
 
 
 def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
@@ -271,10 +297,11 @@ def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
     import json
     import os
 
-    with open(os.path.join(path, "centroids.json")) as fh:
+    vdir = _ivf_index_dir(path)
+    with open(os.path.join(vdir, "centroids.json")) as fh:
         centroids = json.load(fh)
     probe = _probe_clusters(centroids, query_vec, n_probe)
-    vectors = spark.read.parquet(os.path.join(path, "vectors")).filter(
+    vectors = spark.read.parquet(os.path.join(vdir, "vectors")).filter(
         F.col("cluster_id").isin(probe)
     )
     return cosine_topk(vectors.drop("cluster_id"), query_vec, k, id_col, vec_col)

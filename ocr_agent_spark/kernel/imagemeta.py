@@ -31,8 +31,8 @@ class ImageFormatError(ValueError):
 
 class UnsupportedImageError(ImageFormatError):
     """Spec-VALID image outside this decoder's documented scope
-    (e.g. palette/16-bit/interlaced PNG) — callers may fall back to a
-    weaker feature path; only genuinely malformed payloads should
+    (e.g. a JPEG body, an RLE-compressed BMP) — callers may fall back
+    to a weaker feature path; only genuinely malformed payloads should
     become failure rows."""
 
 
@@ -229,7 +229,7 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
 
 
 def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
-    """REAL pixel decode for 8-bit non-interlaced PNGs, stdlib only.
+    """REAL pixel decode for every legal PNG shape, stdlib only.
 
     Inflates the IDAT stream with zlib and inverts all five PNG row
     filters (None/Sub/Up/Average/Paeth), then projects to one luminance
@@ -304,65 +304,90 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
     # (spec: "bpp"): 2x the channel count for 16-bit samples, 1 for
     # packed sub-byte depths. 16-bit planes reduce to their big-endian
     # high bytes after unfiltering; sub-byte planes unpack MSB-first
-    # and scale to 8 bits.
+    # and scale to 8 bits. Row strides (full image AND each Adam7
+    # pass) are in PACKED bits rounded up to a byte boundary.
     bpp = max(1, ch * (bit_depth // 8))
     stride = (width * ch * bit_depth + 7) // 8
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as exc:
-        raise ImageFormatError(f"bad IDAT stream: {exc}") from exc
+    spp = 8 // bit_depth if bit_depth < 8 else 1   # samples per byte
+    mask = (1 << bit_depth) - 1
 
+    # Expected inflated size, computed BEFORE inflating: bounds the
+    # decompression (zip-bomb guard — a tiny IDAT declaring a huge
+    # image rejects instead of allocating gigabytes) and validates the
+    # stream length exactly.
     if interlace == 0:
-        if len(raw) != height * (stride + 1):
-            raise ImageFormatError(
-                f"IDAT size {len(raw)} != expected {height * (stride + 1)}"
-            )
-        recon = _unfilter(raw, height, stride, bpp)
+        passes = [(0, 0, 1, 1, width, height, stride)]
     else:
-        # Adam7: seven sequential sub-images, each filtered like a
-        # standalone image of its own width, scattered back onto the
-        # full-resolution grid.
-        recon = bytearray(height * stride)
-        off = 0
+        passes = []
         for x0, y0, xs, ys in _ADAM7_PASSES:
             wp = (width - x0 + xs - 1) // xs if width > x0 else 0
             hp = (height - y0 + ys - 1) // ys if height > y0 else 0
-            if wp == 0 or hp == 0:
-                continue
-            pstride = wp * bpp
+            if wp and hp:
+                passes.append(
+                    (x0, y0, xs, ys, wp, hp, (wp * ch * bit_depth + 7) // 8)
+                )
+    expected = sum(hp * (pstride + 1) for *_, hp, pstride in passes)
+    if expected > len(idat) * 1032 + 64:  # deflate max expansion ≈ 1032:1
+        raise ImageFormatError(
+            f"declared PNG size ({expected} B raw) exceeds what "
+            f"{len(idat)} B of IDAT can inflate to"
+        )
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ImageFormatError(f"bad IDAT stream: {exc}") from exc
+    if len(raw) != expected:
+        raise ImageFormatError(
+            f"IDAT size {len(raw)}+ != expected {expected}"
+        )
+
+    if interlace == 0:
+        packed = _unfilter(raw, height, stride, bpp)
+        if bit_depth < 8:
+            # unpack MSB-first packed samples row by row (rows are
+            # padded to a byte boundary); palette indices unscaled.
+            recon = bytearray(width * height)
+            for y in range(height):
+                row = packed[y * stride:(y + 1) * stride]
+                for x in range(width):
+                    shift = 8 - bit_depth * (x % spp + 1)
+                    recon[y * width + x] = (row[x // spp] >> shift) & mask
+        else:
+            recon = packed
+    else:
+        # Adam7: seven sequential sub-images, each filtered like a
+        # standalone image of its own (packed) width, scattered back
+        # onto the full-resolution grid — sample-wise for sub-byte
+        # depths, byte-group-wise otherwise.
+        recon = bytearray(
+            width * height if bit_depth < 8 else height * stride
+        )
+        off = 0
+        for x0, y0, xs, ys, wp, hp, pstride in passes:
             need = hp * (pstride + 1)
             sub = raw[off:off + need]
-            if len(sub) != need:
-                raise ImageFormatError("truncated interlaced IDAT stream")
             off += need
             prec = _unfilter(sub, hp, pstride, bpp)
-            for j in range(hp):
-                dy = (y0 + j * ys) * stride
-                for i in range(wp):
-                    src = j * pstride + i * bpp
-                    dst = dy + (x0 + i * xs) * bpp
-                    recon[dst:dst + bpp] = prec[src:src + bpp]
-        if off != len(raw):
-            raise ImageFormatError("trailing bytes after interlaced passes")
+            if bit_depth < 8:
+                for j in range(hp):
+                    dy = (y0 + j * ys) * width
+                    prow = prec[j * pstride:(j + 1) * pstride]
+                    for i in range(wp):
+                        shift = 8 - bit_depth * (i % spp + 1)
+                        recon[dy + x0 + i * xs] = (prow[i // spp] >> shift) & mask
+            else:
+                for j in range(hp):
+                    dy = (y0 + j * ys) * stride
+                    for i in range(wp):
+                        src = j * pstride + i * bpp
+                        dst = dy + (x0 + i * xs) * bpp
+                        recon[dst:dst + bpp] = prec[src:src + bpp]
 
     if bit_depth == 16:
         recon = recon[0::2]  # big-endian high bytes ≈ 8-bit samples
-    elif bit_depth < 8:
-        # unpack MSB-first packed samples row by row (rows are padded
-        # to a byte boundary), scaling gray to 8-bit; palette indices
-        # pass through unscaled.
-        spp = 8 // bit_depth                      # samples per byte
-        mask = (1 << bit_depth) - 1
-        scale = 255 // mask if color_type == 0 else 1
-        unpacked = bytearray(width * height)
-        for y in range(height):
-            row = recon[y * stride:(y + 1) * stride]
-            for x in range(width):
-                byte = row[x // spp]
-                shift = 8 - bit_depth * (x % spp + 1)
-                unpacked[y * width + x] = ((byte >> shift) & mask) * scale
-        recon = unpacked
-        stride = width
+    elif bit_depth < 8 and color_type == 0:
+        scale = 255 // mask  # gray samples scale to 8-bit
+        recon = bytearray(v * scale for v in recon)
 
     if color_type == 3:
         try:
@@ -383,20 +408,24 @@ def decode_png_luminance(data: bytes) -> tuple[int, int, bytearray]:
     return width, height, lum
 
 
-def png_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
-    """Normalized ``bins``-bucket luminance histogram of a PNG's pixels.
-
-    The real feature vector for the multimodal ``headers`` backend:
-    sums to 1.0, bucket i covers luminance [i*256/bins, (i+1)*256/bins).
-    """
-    width, height, lum = decode_png_luminance(data)
+def _luminance_histogram(width: int, height: int, lum: bytearray,
+                         bins: int) -> list[float]:
+    """Shared binning: sums to 1.0, bucket i covers
+    [i*256/bins, (i+1)*256/bins)."""
     total = width * height
     if total == 0 or bins <= 0:
-        raise ImageFormatError(f"cannot histogram {width}x{height} PNG into {bins} bins")
+        raise ImageFormatError(
+            f"cannot histogram {width}x{height} image into {bins} bins"
+        )
     counts = [0] * bins
     for v in lum:
         counts[v * bins // 256] += 1
     return [c / total for c in counts]
+
+
+def png_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
+    """Normalized ``bins``-bucket luminance histogram of a PNG's pixels."""
+    return _luminance_histogram(*decode_png_luminance(data), bins)
 
 
 def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
@@ -427,8 +456,14 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
     if bit_count not in (1, 4, 8, 24, 32):
         raise UnsupportedImageError(f"unsupported BMP bit count {bit_count}")
 
+    if hdr_size < 40:
+        raise UnsupportedImageError(
+            f"BMP header variant (size {hdr_size}) unsupported"
+        )
     pal_lum: bytes | None = None
     if bit_count <= 8:
+        if len(data) < 50:
+            raise ImageFormatError("truncated BMP info header")
         n_colors = struct.unpack("<I", data[46:50])[0] or (1 << bit_count)
         pal = data[14 + hdr_size:14 + hdr_size + 4 * n_colors]
         if len(pal) < 4 * n_colors:
@@ -485,22 +520,14 @@ def image_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
     """
     fmt = sniff_image_format(data)
     if fmt == "png":
-        width, height, lum = decode_png_luminance(data)
+        decoded = decode_png_luminance(data)
     elif fmt == "bmp":
-        width, height, lum = decode_bmp_luminance(data)
+        decoded = decode_bmp_luminance(data)
     elif fmt == "gif":
-        width, height, lum = decode_gif_luminance(data)
+        decoded = decode_gif_luminance(data)
     else:
         raise UnsupportedImageError(f"no pixel decoder for {fmt}")
-    total = width * height
-    if total == 0 or bins <= 0:
-        raise ImageFormatError(
-            f"cannot histogram {width}x{height} image into {bins} bins"
-        )
-    counts = [0] * bins
-    for v in lum:
-        counts[v * bins // 256] += 1
-    return [c / total for c in counts]
+    return _luminance_histogram(*decoded, bins)
 
 
 def build_bmp(width: int, height: int, seed: int = 0) -> bytes:
@@ -619,6 +646,16 @@ def decode_gif_luminance(data: bytes) -> tuple[int, int, bytearray]:
                     pos += 1 + size
                 if fw <= 0 or fh <= 0:
                     raise ImageFormatError("non-positive GIF frame size")
+                # Decompression-bomb guard: a 12-bit-capped GIF LZW
+                # table caps entry length ≈ 4096, so n input bytes can
+                # emit at most n * 8/13 codes * 4096 output bytes (<
+                # n * 2521). A descriptor declaring more pixels than
+                # that rejects before any allocation.
+                if fw * fh > len(lzw) * 2521:
+                    raise ImageFormatError(
+                        f"declared GIF frame ({fw}x{fh}) exceeds what "
+                        f"{len(lzw)} B of LZW data can decode to"
+                    )
                 idx = _gif_lzw_decode(bytes(lzw), mcs, fw * fh)
                 if len(idx) < fw * fh:
                     raise ImageFormatError("GIF frame pixel data truncated")

@@ -672,7 +672,24 @@ def test_ivf_persisted_index_matches_inline_and_prunes(spark, embeddings, tmp_pa
     centroids = similarity.build_ivf_index(embeddings, idx, n_clusters=8,
                                            sample_size=256)
     assert len(centroids) == 8
-    assert os.path.exists(os.path.join(idx, "centroids.json"))
+    assert os.path.exists(os.path.join(idx, "current"))
+
+    # rebuild is atomic: a rebuild that dies before the pointer flip
+    # leaves queries on the OLD consistent version
+    import json
+    with open(os.path.join(idx, "current")) as fh:
+        v1 = fh.read().strip()
+    similarity.build_ivf_index(embeddings.limit(50), idx, n_clusters=4,
+                               sample_size=64)
+    with open(os.path.join(idx, "current")) as fh:
+        v2 = fh.read().strip()
+    assert v2 != v1
+    with open(os.path.join(idx, v2, "centroids.json")) as fh:
+        assert len(json.load(fh)) == 4
+    # flip back to v1 (simulating "rebuild never completed"): queries
+    # see the original full index again
+    with open(os.path.join(idx, "current"), "w") as fh:
+        fh.write(v1)
 
     inline = [(r["neighbor_id"], round(r["cosine"], 6)) for r in
               similarity.ivf_cosine_topk(embeddings, qvec, k=5, n_clusters=8,
@@ -689,7 +706,7 @@ def test_ivf_persisted_index_matches_inline_and_prunes(spark, embeddings, tmp_pa
     assert scan_lines, plan[:2000]
     assert any("cluster_id" in ln for ln in scan_lines), scan_lines
     # and only the probed cluster dirs exist in the slice it reads
-    dirs = {d for d in os.listdir(os.path.join(idx, "vectors"))
+    dirs = {d for d in os.listdir(os.path.join(idx, v1, "vectors"))
             if d.startswith("cluster_id=")}
     assert len(dirs) <= 8
 
@@ -735,11 +752,9 @@ def test_png_adam7_interlaced_decodes_identically():
     # truncated interlaced stream rejects
     import pytest as _pytest
 
-    good = build_interlaced(8, 8, 3, 0)
     bad = (im.PNG_MAGIC
            + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1))
-           + chunk(b"IDAT", zlib.compress(
-               zlib.decompress(good[41:-12-8]) if False else b"\x00\x01"))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x01"))
            + chunk(b"IEND", b""))
     with _pytest.raises(im.ImageFormatError):
         im.decode_png_luminance(bad)
