@@ -865,3 +865,73 @@ def test_multimodal_headers_gif_feature_is_real_histogram(spark):
     rows = multimodal.extract_media_features(media, decode_backend="headers").collect()
     assert rows[0]["status"] == "completed"
     assert rows[0]["feature"] == [pytest.approx(1 / 16)] * 16
+
+
+def test_png_subbyte_adam7_and_bomb_guards():
+    """code-review r3b: interlaced sub-byte PNGs use packed-bit pass
+    strides and sample-wise scatter; declared-size bombs reject in O(1)
+    for both PNG and GIF."""
+    import struct
+    import zlib
+
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    def build_subbyte_interlaced(w, h, depth, values):
+        spp = 8 // depth
+        raw = bytearray()
+        for x0, y0, xs, ys in im._ADAM7_PASSES:
+            wp = (w - x0 + xs - 1) // xs if w > x0 else 0
+            hp = (h - y0 + ys - 1) // ys if h > y0 else 0
+            if wp == 0 or hp == 0:
+                continue
+            pstride = (wp * depth + 7) // 8
+            for j in range(hp):
+                raw.append(0)
+                rowbytes = bytearray(pstride)
+                for i in range(wp):
+                    v = values[(y0 + j * ys) * w + (x0 + i * xs)]
+                    shift = 8 - depth * (i % spp + 1)
+                    rowbytes[i // spp] |= v << shift
+                raw += rowbytes
+        return (im.PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    for depth in (1, 2, 4):
+        mask = (1 << depth) - 1
+        for w, h in [(1, 1), (16, 16), (13, 7)]:
+            vals = [(x + y) & mask for y in range(h) for x in range(w)]
+            _, _, lum = im.decode_png_luminance(
+                build_subbyte_interlaced(w, h, depth, vals))
+            assert list(lum) == [v * (255 // mask) for v in vals], (depth, w, h)
+
+    import time
+
+    import pytest as _pytest
+
+    png_bomb = (im.PNG_MAGIC
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+                + chunk(b"IEND", b""))
+    t0 = time.monotonic()
+    with _pytest.raises(im.ImageFormatError, match="exceeds"):
+        im.decode_png_luminance(png_bomb)
+    assert time.monotonic() - t0 < 1.0
+
+    gif_bomb = bytearray(im.build_gif(4, 4))
+    desc = 6 + 7 + 768
+    gif_bomb[desc + 5:desc + 9] = (60000).to_bytes(2, "little") * 2
+    t0 = time.monotonic()
+    with _pytest.raises(im.ImageFormatError, match="exceeds"):
+        im.decode_gif_luminance(bytes(gif_bomb))
+    assert time.monotonic() - t0 < 1.0
+
+    # truncated BMP header rejects as ImageFormatError, not struct.error
+    bm44 = im.build_bmp(4, 4)[:44]
+    with _pytest.raises(im.ImageFormatError):
+        im.decode_bmp_luminance(bm44)
