@@ -76,6 +76,28 @@ class SnapshotStore:
 
     # -- write path ---------------------------------------------------------
 
+    def _publish(self, manifest: dict, seq: int) -> None:
+        """Atomic CAS manifest publish (write+fsync temp, hard-link)."""
+        target = os.path.join(self.snap_dir, f"snap-{seq:06d}.json")
+        tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"snapshot seq={seq} already published (concurrent "
+                    f"writer?); re-read the latest manifest and retry"
+                ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass  # a hard kill may still strand a .tmp; reads ignore it
+
     def commit(self, df: DataFrame, run_id: str | None = None) -> str:
         """Write ``df`` under a fresh run dir, then atomically publish it."""
         run_id = run_id or uuid.uuid4().hex[:12]
@@ -105,26 +127,86 @@ class SnapshotStore:
         # visible. The store is still documented single-writer
         # (reference's one-job gate, main.rs:1287-1292) — the guard
         # turns concurrent misuse into a loud failure.
-        target = os.path.join(self.snap_dir, f"snap-{seq:06d}.json")
-        tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
-        try:
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            try:
-                os.link(tmp, target)
-            except FileExistsError:
-                raise CommitConflictError(
-                    f"snapshot seq={seq} already published (concurrent "
-                    f"writer?); re-read the latest manifest and retry"
-                ) from None
-        finally:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass  # a hard kill may still strand a .tmp; reads ignore it
+        self._publish(manifest, seq)
         return run_id
+
+    def compact(self, spark: SparkSession, num_files: int | None = None) -> str:
+        """Rewrite the live table into ONE run dir and publish it.
+
+        The maintenance half of the snapshot design (Iceberg's
+        rewrite_data_files analogue): a long-lived table accumulates one
+        run dir per batch commit — the streaming sink commits one per
+        MICRO-BATCH — and at scale the file count, not the byte count,
+        comes to dominate planning and open() cost on every read.
+        Compaction reads the current table once, writes it back as a
+        single run (``num_files`` output files; default = current
+        shuffle parallelism via AQE coalescing), and publishes a
+        manifest listing only that run. History is preserved: older
+        manifests still reference the old run dirs (time travel works
+        until ``expire_snapshots`` reclaims them). Readers are never
+        disturbed — the publish is the same atomic CAS as any commit.
+
+        Returns the compacted run_id. No-op error if the table is empty.
+        """
+        # Base BOTH the data read and the published seq on one manifest
+        # snapshot: if a commit lands while the rewrite runs, the CAS on
+        # seq+1 fails loudly instead of publishing a compaction that
+        # silently drops the interleaved commit's rows.
+        prev = self.latest_manifest()
+        if prev is None or not prev["runs"]:
+            raise ValueError("nothing to compact: table is empty")
+        df = spark.read.parquet(
+            *[os.path.join(self.data_dir, r) for r in prev["runs"]]
+        )
+        if num_files is not None:
+            df = df.coalesce(num_files)
+        run_id = f"compact-{uuid.uuid4().hex[:12]}"
+        run_dir = os.path.join(self.data_dir, run_id)
+        df.write.mode("errorifexists").parquet(run_dir)
+
+        seq = prev["seq"] + 1
+        manifest = {
+            "seq": seq,
+            "runs": [run_id],
+            "run_id": run_id,
+            "committed_unix_ms": int(time.time() * 1000),
+            "compacted_from": list(prev["runs"]),
+        }
+        self._publish(manifest, seq)
+        return run_id
+
+    def expire_snapshots(self, keep_latest: int = 1) -> list[str]:
+        """Drop manifests older than the newest ``keep_latest`` and
+        delete run dirs no surviving manifest references.
+
+        The retention half of compaction (Iceberg's expire_snapshots):
+        time travel costs disk until you let it go. Never touches a dir
+        referenced by any KEPT manifest, so the latest table state (and
+        any kept history) stays fully readable. Returns deleted run ids.
+        """
+        import shutil
+
+        if keep_latest < 1:
+            raise ValueError("keep_latest must be >= 1")
+        names = self._manifests()
+        if len(names) <= keep_latest:
+            return []
+        drop, keep = names[:-keep_latest], names[-keep_latest:]
+        live: set[str] = set()
+        for name in keep:
+            with open(os.path.join(self.snap_dir, name)) as fh:
+                live.update(json.load(fh)["runs"])
+        deleted = []
+        for name in drop:
+            with open(os.path.join(self.snap_dir, name)) as fh:
+                for run in json.load(fh)["runs"]:
+                    if run not in live:
+                        run_dir = os.path.join(self.data_dir, run)
+                        if os.path.exists(run_dir):
+                            shutil.rmtree(run_dir)
+                        deleted.append(run)
+            os.unlink(os.path.join(self.snap_dir, name))
+        return sorted(set(deleted))
 
     def reset(self) -> None:
         """Destructive reset (S12): drop all snapshots and data.
