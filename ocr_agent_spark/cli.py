@@ -155,6 +155,32 @@ def cmd_reset(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Fold the extraction + lineage tables into one run dir each and,
+    with --expire, reclaim snapshots beyond the retention window.
+
+    Maintenance for long-lived job roots (a streaming watcher commits
+    one run dir per micro-batch; reads slow down with file count, not
+    byte count). Beyond the reference's surface — it has no equivalent
+    because its store is one SQLite file.
+    """
+    from ocr_agent_spark.pipeline import extraction_store, lineage_store
+
+    spark = _spark(args.cores)
+    for store_fn in (extraction_store, lineage_store):
+        store = store_fn(args.job_root)
+        if store.latest_manifest() is None:
+            continue
+        run_id = store.compact(spark, num_files=args.num_files)
+        expired = (
+            store.expire_snapshots(keep_latest=args.keep_snapshots)
+            if args.expire else []
+        )
+        print(f"{os.path.basename(store.root)}: compacted -> {run_id}"
+              + (f", expired {len(expired)} run dirs" if args.expire else ""))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="ocr_agent_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -179,12 +205,22 @@ def main(argv: list[str] | None = None) -> int:
     p_reset.add_argument("--yes", action="store_true")
     common(p_reset)
 
+    p_compact = sub.add_parser(
+        "compact", help="Fold committed tables into one run dir each"
+    )
+    p_compact.add_argument("--num-files", type=int, default=None)
+    p_compact.add_argument("--expire", action="store_true",
+                           help="also drop snapshots beyond the window")
+    p_compact.add_argument("--keep-snapshots", type=int, default=1)
+    common(p_compact)
+
     args = parser.parse_args(argv)
     return {
         "enqueue": cmd_enqueue,
         "run": cmd_run,
         "status": cmd_status,
         "reset": cmd_reset,
+        "compact": cmd_compact,
     }[args.command](args)
 
 

@@ -31,6 +31,18 @@ def test_cli_lifecycle(spark, tmp_path, capsys):
     assert main(["run", "--job-root", job_root]) == 0
     assert "processed=0 skipped=30" in capsys.readouterr().out
 
+    # compact folds both stores to one run dir each; status + resume
+    # semantics unchanged afterwards
+    assert main(["compact", "--job-root", job_root, "--expire",
+                 "--num-files", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "extracted: compacted ->" in out and "lineage: compacted ->" in out
+    assert len(os.listdir(os.path.join(job_root, "extracted", "data"))) == 1
+    assert main(["run", "--job-root", job_root]) == 0
+    assert "processed=0 skipped=30" in capsys.readouterr().out
+    assert main(["status", "--job-root", job_root]) == 0
+    assert "progress: 100.00%" in capsys.readouterr().out
+
     # reset requires confirmation, then empties the store
     assert main(["reset", "--job-root", job_root]) == 1
     assert main(["reset", "--job-root", job_root, "--yes"]) == 0
