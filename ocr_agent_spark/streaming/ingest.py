@@ -196,6 +196,12 @@ def run_streaming_extraction_committed(
     crash BETWEEN write and manifest publish is discarded and rewritten
     (the standard idempotent-foreachBatch recipe).
 
+    Maintenance: every micro-batch publishes its own run dir, so a
+    long-lived watcher accumulates files; fold them periodically with
+    ``SnapshotStore.compact`` + ``expire_snapshots`` (CLI:
+    ``python -m ocr_agent_spark compact``) — resume and merge semantics
+    are layout-independent (tested).
+
     Returns the run_ids committed by this drain (empty on a no-op).
     """
     import shutil
