@@ -116,6 +116,7 @@ def cmd_run(args) -> int:
 
 def cmd_status(args) -> int:
     from ocr_agent_spark.operators.metrics import (
+        lineage_report,
         progress_and_eta,
         status_histogram,
     )
@@ -136,6 +137,12 @@ def cmd_status(args) -> int:
             f"progress: {eta['progress']:.2%}  "
             f"avg_ms_per_doc: {eta['avg_ms_per_doc']:.2f}"
         )
+        for r in lineage_report(lineage).collect():
+            print(
+                f"run {r['run_id']}: {r['docs']} docs, {r['bytes']} B, "
+                f"{r['partitions']} partitions, {r['wall_ms']} ms, "
+                f"{r['docs_per_sec']} docs/s"
+            )
     return 0
 
 

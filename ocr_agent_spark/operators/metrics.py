@@ -114,3 +114,31 @@ def heavy_hitter_hosts(pages: DataFrame, threshold_fraction: float = 0.05) -> Da
         .filter(F.col("doc_count") > threshold_fraction * total)
         .orderBy(F.desc("doc_count"))
     )
+
+
+def lineage_report(lineage: DataFrame) -> DataFrame:
+    """Per-run throughput report from the committed lineage rows (A7).
+
+    One row per run_id: partitions, docs, bytes, wall time (max over
+    partitions — they run concurrently), and docs/s. The operational
+    view a 1000-executor job is monitored by; the reference's analogue
+    is the per-job stats block (main.rs:800-844), which this extends
+    with byte and rate columns. Tiny output — one row per run.
+    """
+    return (
+        lineage.groupBy("run_id")
+        .agg(
+            F.count(F.lit(1)).alias("partitions"),
+            F.sum("doc_count").alias("docs"),
+            F.sum("byte_count").alias("bytes"),
+            F.max("wall_time_ms").alias("wall_ms"),
+        )
+        .withColumn(
+            "docs_per_sec",
+            F.round(
+                F.col("docs") / (F.greatest(F.col("wall_ms"), F.lit(1)) / 1000.0),
+                2,
+            ),
+        )
+        .orderBy("run_id")
+    )
