@@ -592,7 +592,14 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
             if prev is not None and next_code < 4096:
                 table[next_code] = prev + entry[:1]
                 next_code += 1
-                if next_code == (1 << width) and width < 12:
+                # Grow ONE CODE EARLY: the decoder's table add lags the
+                # encoder's by exactly one (nothing is added for the
+                # first code after a clear), so when the decoder's
+                # next_code hits (1<<width)-1 the ENCODER is already at
+                # 1<<width and has switched — the classic GIF-LZW sync
+                # detail, caught by the differential test against a
+                # real table-growing compressor.
+                if next_code == (1 << width) - 1 and width < 12:
                     width += 1
             prev = entry
     raise ImageFormatError("LZW stream ended without end code")

@@ -935,3 +935,73 @@ def test_png_subbyte_adam7_and_bomb_guards():
     bm44 = im.build_bmp(4, 4)[:44]
     with _pytest.raises(im.ImageFormatError):
         im.decode_bmp_luminance(bm44)
+
+
+def test_gif_lzw_differential_with_real_compressor():
+    """_gif_lzw_decode against an independent table-growing LZW
+    compressor (dictionary growth, width increases, KwKwK sequences,
+    12-bit cap + mid-stream clear) — build_gif's literal-only encoding
+    never exercises those decoder paths."""
+    import random
+
+    from ocr_agent_spark.kernel.imagemeta import _gif_lzw_decode
+
+    def lzw_compress(data: bytes, mcs: int) -> bytes:
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        out_bits = []
+
+        def emit(code, width):
+            out_bits.append((code, width))
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, width = end + 1, mcs + 1
+        emit(clear, width)
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], width)
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) - 1 and width < 12:
+                    width += 1
+            else:  # table full: clear and restart (exercises mid-stream reset)
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code, width = end + 1, mcs + 1
+            w = bytes([ch])
+        if w:
+            emit(table[w], width)
+        emit(end, width)
+
+        acc = bits = 0
+        packed = bytearray()
+        for code, wd in out_bits:
+            acc |= code << bits
+            bits += wd
+            while bits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            packed.append(acc & 0xFF)
+        return bytes(packed)
+
+    rng = random.Random("lzw-diff")
+    cases = [
+        b"",
+        b"\x00" * 5000,                                   # KwKwK-heavy
+        bytes(rng.randrange(4) for _ in range(3000)),     # small alphabet
+        bytes(rng.randrange(256) for _ in range(8000)),   # fills the table
+        b"abababababab" * 400,
+    ]
+    for mcs in (2, 4, 8):
+        alphabet = 1 << mcs
+        for data in cases:
+            clipped = bytes(b % alphabet for b in data)
+            packed = lzw_compress(clipped, mcs)
+            got = _gif_lzw_decode(packed, mcs, len(clipped))
+            assert bytes(got) == clipped, (mcs, len(clipped))
