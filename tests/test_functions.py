@@ -1005,3 +1005,20 @@ def test_gif_lzw_differential_with_real_compressor():
             packed = lzw_compress(clipped, mcs)
             got = _gif_lzw_decode(packed, mcs, len(clipped))
             assert bytes(got) == clipped, (mcs, len(clipped))
+
+
+def test_multimodal_headers_no_failures_at_volume(spark):
+    """120 mixed media items (all four image containers, audio, video)
+    through the headers backend: zero failure rows, and every REAL
+    decode (png/gif/bmp) yields a normalized histogram."""
+    media = multimodal.fake_media_table(spark, n=120)
+    rows = multimodal.extract_media_features(media, decode_backend="headers").collect()
+    assert len(rows) == 120
+    bad = [r for r in rows if r["status"] != "completed"]
+    assert not bad, [(r["media_id"], r["error"]) for r in bad[:3]]
+    fmt_seen = set()
+    for r in rows:
+        if r["format"] in ("png", "gif", "bmp"):
+            fmt_seen.add(r["format"])
+            assert sum(r["feature"]) == pytest.approx(1.0, abs=1e-6), r["media_id"]
+    assert fmt_seen == {"png", "gif", "bmp"}
