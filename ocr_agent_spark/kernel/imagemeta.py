@@ -592,14 +592,15 @@ def _gif_lzw_decode(data: bytes, min_code_size: int,
             if prev is not None and next_code < 4096:
                 table[next_code] = prev + entry[:1]
                 next_code += 1
-                # Grow ONE CODE EARLY: the decoder's table add lags the
-                # encoder's by exactly one (nothing is added for the
-                # first code after a clear), so when the decoder's
-                # next_code hits (1<<width)-1 the ENCODER is already at
-                # 1<<width and has switched — the classic GIF-LZW sync
-                # detail, caught by the differential test against a
-                # real table-growing compressor.
-                if next_code == (1 << width) - 1 and width < 12:
+                # Width-growth sync with real encoders (giflib/Pillow/
+                # browsers): the ENCODER tests next_code >= 2^width
+                # BEFORE its table add, the decoder tests AFTER its own
+                # add — the decoder's one-entry lag cancels exactly, so
+                # the post-add condition is next_code == 2^width.
+                # Verified two ways: differential vs a giflib-ordered
+                # compressor AND by decoding real-world GIFs (idlelib
+                # icons) in tests/test_functions.py.
+                if next_code == (1 << width) and width < 12:
                     width += 1
             prev = entry
     raise ImageFormatError("LZW stream ended without end code")

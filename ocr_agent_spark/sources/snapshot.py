@@ -172,7 +172,16 @@ class SnapshotStore:
             "committed_unix_ms": int(time.time() * 1000),
             "compacted_from": list(prev["runs"]),
         }
-        self._publish(manifest, seq)
+        try:
+            self._publish(manifest, seq)
+        except CommitConflictError:
+            # The rewrite is a FULL copy of the table — on a lost race
+            # it must not linger as an unreferenced orphan (each retry
+            # under contention would leak another table copy).
+            import shutil
+
+            shutil.rmtree(run_dir, ignore_errors=True)
+            raise
         return run_id
 
     def expire_snapshots(self, keep_latest: int = 1) -> list[str]:
@@ -196,17 +205,22 @@ class SnapshotStore:
         for name in keep:
             with open(os.path.join(self.snap_dir, name)) as fh:
                 live.update(json.load(fh)["runs"])
-        deleted = []
+        # Manifests go FIRST, data second: a crash mid-expire then
+        # leaves only benign orphan dirs (invisible to readers), never a
+        # surviving manifest pointing at deleted data — the module's
+        # no-partial-state-visible invariant.
+        dead: set[str] = set()
         for name in drop:
             with open(os.path.join(self.snap_dir, name)) as fh:
-                for run in json.load(fh)["runs"]:
-                    if run not in live:
-                        run_dir = os.path.join(self.data_dir, run)
-                        if os.path.exists(run_dir):
-                            shutil.rmtree(run_dir)
-                        deleted.append(run)
+                dead.update(json.load(fh)["runs"])
             os.unlink(os.path.join(self.snap_dir, name))
-        return sorted(set(deleted))
+        deleted = []
+        for run in sorted(dead - live):
+            run_dir = os.path.join(self.data_dir, run)
+            if os.path.exists(run_dir):
+                shutil.rmtree(run_dir)
+            deleted.append(run)
+        return deleted
 
     def reset(self) -> None:
         """Destructive reset (S12): drop all snapshots and data.

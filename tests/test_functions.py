@@ -964,10 +964,13 @@ def test_gif_lzw_differential_with_real_compressor():
                 continue
             emit(table[w], width)
             if next_code < 4096:
+                # giflib ordering: test BEFORE the add — the code about
+                # to be assigned must fit the CURRENT width; the width
+                # bump takes effect for the next emitted code.
+                if next_code >= (1 << width) and width < 12:
+                    width += 1
                 table[wc] = next_code
                 next_code += 1
-                if next_code - 1 == (1 << width) - 1 and width < 12:
-                    width += 1
             else:  # table full: clear and restart (exercises mid-stream reset)
                 emit(clear, width)
                 table = {bytes([i]): i for i in range(clear)}
@@ -1022,3 +1025,24 @@ def test_multimodal_headers_no_failures_at_volume(spark):
             fmt_seen.add(r["format"])
             assert sum(r["feature"]) == pytest.approx(1.0, abs=1e-6), r["media_id"]
     assert fmt_seen == {"png", "gif", "bmp"}
+
+
+def test_gif_decode_real_world_files():
+    """Ground truth: GIFs produced by real encoders (idlelib's icons,
+    shipped with CPython) must decode — this is the test that catches a
+    width-growth desync that a same-author encoder/decoder pair can
+    mirror-hide (code-review r3c)."""
+    import glob
+
+    from ocr_agent_spark.kernel.imagemeta import decode_gif_luminance
+
+    gifs = sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/python*/idlelib/Icons/*.gif"
+    ))
+    if not gifs:
+        pytest.skip("no real-world GIFs available on this host")
+    for path in gifs:
+        with open(path, "rb") as fh:
+            data = fh.read()
+        w, h, lum = decode_gif_luminance(data)
+        assert w > 0 and h > 0 and len(lum) == w * h, path

@@ -108,3 +108,6 @@ def test_compact_conflicts_with_interleaved_commit(spark, multi_run_store):
         with pytest.raises(CommitConflictError):
             store.compact(spark)
     assert store.read(spark).count() == 21  # nothing lost
+    # the losing rewrite's full-table copy was cleaned up, not leaked
+    assert not [d for d in os.listdir(store.data_dir)
+                if d.startswith("compact-")]
