@@ -429,13 +429,16 @@ def png_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
 
 
 def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
-    """REAL pixel decode for uncompressed (BI_RGB) BMPs, stdlib only.
+    """REAL pixel decode for uncompressed BMPs, stdlib only.
 
-    Supports the common shapes: 8-bit palette, 24-bit BGR, 32-bit BGRA,
-    plus 1/4-bit palette (MSB-first packed). Rows are 4-byte aligned
-    and stored bottom-up unless the header height is negative
-    (top-down). Compressed BMPs (RLE/bitfields) raise
-    UnsupportedImageError; malformed ones ImageFormatError.
+    Supports BI_RGB in the common shapes — 8-bit palette, 24-bit BGR,
+    32-bit BGRA, 1/4-bit palette (MSB-first packed) — plus
+    BI_BITFIELDS 16/32-bit (channel masks read from the V4/V5 header or
+    the post-BITMAPINFOHEADER mask block; each channel extracted by its
+    mask and scaled to 8 bits). Rows are 4-byte aligned and stored
+    bottom-up unless the header height is negative (top-down). RLE
+    compression raises UnsupportedImageError; malformed payloads
+    ImageFormatError.
     """
     if data[:2] != b"BM":
         raise ImageFormatError("not a BMP")
@@ -451,10 +454,25 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
     top_down = h_signed < 0
     if width <= 0 or height == 0:
         raise ImageFormatError(f"non-positive BMP dimensions {width}x{h_signed}")
-    if compression != 0:
+    masks: tuple[int, int, int] | None = None
+    if compression == 3:  # BI_BITFIELDS
+        if bit_count not in (16, 32):
+            raise ImageFormatError(
+                f"BI_BITFIELDS with bit count {bit_count} is invalid"
+            )
+        mask_off = 54 if hdr_size >= 52 else 14 + hdr_size
+        try:
+            masks = struct.unpack("<III", data[mask_off:mask_off + 12])
+        except struct.error as exc:
+            raise ImageFormatError("truncated BMP bitfield masks") from exc
+        if not all(masks):
+            raise ImageFormatError(f"degenerate BMP channel masks {masks}")
+    elif compression != 0:
         raise UnsupportedImageError(f"compressed BMP (method {compression})")
-    if bit_count not in (1, 4, 8, 24, 32):
+    if bit_count not in (1, 4, 8, 16, 24, 32):
         raise UnsupportedImageError(f"unsupported BMP bit count {bit_count}")
+    if bit_count == 16 and masks is None:
+        masks = (0x7C00, 0x03E0, 0x001F)  # BI_RGB 16-bit default: 5-5-5
 
     if hdr_size < 40:
         raise UnsupportedImageError(
@@ -479,12 +497,30 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
     if len(data) < need:
         raise ImageFormatError(f"BMP pixel data truncated ({len(data)} < {need})")
 
+    if masks is not None:
+        # Per-channel extraction plans: (shift, max_value) from each mask.
+        chan = []
+        for m in masks:
+            shift = (m & -m).bit_length() - 1
+            chan.append((shift, m >> shift))
+
     lum = bytearray(width * height)
     for j in range(height):
         src_row = j if top_down else height - 1 - j
         base = pixel_off + src_row * row_bytes
         out = j * width
-        if bit_count == 24 or bit_count == 32:
+        if masks is not None:  # 16/32-bit bitfields (incl. 5-5-5 BI_RGB)
+            step = bit_count // 8
+            for x in range(width):
+                pix = int.from_bytes(
+                    data[base + x * step:base + (x + 1) * step], "little"
+                )
+                r, g, b_ = (
+                    ((pix & m) >> sh) * 255 // mx
+                    for m, (sh, mx) in zip(masks, chan)
+                )
+                lum[out + x] = (299 * r + 587 * g + 114 * b_) // 1000
+        elif bit_count == 24 or bit_count == 32:
             step = bit_count // 8
             for x in range(width):
                 b_, g, r = data[base + x * step:base + x * step + 3]

@@ -1046,3 +1046,31 @@ def test_gif_decode_real_world_files():
             data = fh.read()
         w, h, lum = decode_gif_luminance(data)
         assert w > 0 and h > 0 and len(lum) == w * h, path
+
+
+def test_image_decode_real_world_corpus():
+    """Ground truth at volume: every real PNG/GIF/BMP shipped with this
+    host's system packages and Python installs must decode (these were
+    produced by real encoders — the check a same-author fixture
+    encoder cannot mirror-hide from)."""
+    import glob
+
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    pngs = (glob.glob("/usr/share/**/*.png", recursive=True)[:150]
+            + glob.glob("/root/.pyenv/versions/3.11*/lib/**/*.png",
+                        recursive=True)[:50])
+    gifs = glob.glob("/root/.pyenv/versions/3.11*/lib/**/*.gif",
+                     recursive=True)[:50]
+    bmps = glob.glob("/root/.pyenv/versions/*/lib/**/*.bmp",
+                     recursive=True)[:10]
+    if not (pngs or gifs or bmps):
+        pytest.skip("no real-world images on this host")
+    for paths, decode in ((pngs, im.decode_png_luminance),
+                          (gifs, im.decode_gif_luminance),
+                          (bmps, im.decode_bmp_luminance)):
+        for path in paths:
+            with open(path, "rb") as fh:
+                data = fh.read()
+            w, h, lum = decode(data)
+            assert w > 0 and h > 0 and len(lum) == w * h, path
