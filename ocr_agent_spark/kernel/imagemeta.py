@@ -467,6 +467,14 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
             raise ImageFormatError("truncated BMP bitfield masks") from exc
         if not all(masks):
             raise ImageFormatError(f"degenerate BMP channel masks {masks}")
+    elif compression in (1, 2):  # RLE8 / RLE4 — handled after palette load
+        if (compression == 1 and bit_count != 8) or (
+            compression == 2 and bit_count != 4
+        ):
+            raise ImageFormatError(
+                f"RLE{8 if compression == 1 else 4} with bit count "
+                f"{bit_count} is invalid"
+            )
     elif compression != 0:
         raise UnsupportedImageError(f"compressed BMP (method {compression})")
     if bit_count not in (1, 4, 8, 16, 24, 32):
@@ -491,6 +499,58 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
             (299 * pal[i + 2] + 587 * pal[i + 1] + 114 * pal[i]) // 1000
             for i in range(0, 4 * n_colors, 4)
         )
+
+    if compression in (1, 2):
+        # RLE decode straight to the luminance plane: runs of palette
+        # indices, escapes 0=end-of-line 1=end-of-bitmap 2=delta(dx,dy),
+        # absolute mode for literal spans (word-aligned). RLE BMPs are
+        # bottom-up by spec.
+        if top_down:
+            raise ImageFormatError("top-down RLE BMP is invalid")
+        lum = bytearray(width * height)
+
+        def put(row: int, col: int, idx: int) -> None:
+            if idx >= len(pal_lum):
+                raise ImageFormatError("BMP palette index out of range")
+            if col < width and row < height:
+                lum[(height - 1 - row) * width + col] = pal_lum[idx]
+
+        pos, x, y = pixel_off, 0, 0
+        try:
+            while True:
+                count, val = data[pos], data[pos + 1]
+                pos += 2
+                if count > 0:  # encoded run
+                    for i in range(count):
+                        if compression == 1:
+                            put(y, x, val)
+                        else:
+                            put(y, x, (val >> 4) if i % 2 == 0 else (val & 0xF))
+                        x += 1
+                elif val == 0:  # end of line
+                    x, y = 0, y + 1
+                elif val == 1:  # end of bitmap
+                    break
+                elif val == 2:  # delta
+                    x += data[pos]
+                    y += data[pos + 1]
+                    pos += 2
+                else:  # absolute mode: val literal indices
+                    if compression == 1:
+                        for i in range(val):
+                            put(y, x, data[pos + i])
+                            x += 1
+                        pos += val + (val & 1)  # word-aligned
+                    else:
+                        for i in range(val):
+                            b = data[pos + i // 2]
+                            put(y, x, (b >> 4) if i % 2 == 0 else (b & 0xF))
+                            x += 1
+                        nbytes = (val + 1) // 2
+                        pos += nbytes + (nbytes & 1)
+        except IndexError:
+            raise ImageFormatError("truncated BMP RLE stream") from None
+        return width, height, lum
 
     row_bytes = (width * bit_count + 31) // 32 * 4
     need = pixel_off + row_bytes * height

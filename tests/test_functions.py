@@ -1074,3 +1074,99 @@ def test_image_decode_real_world_corpus():
                 data = fh.read()
             w, h, lum = decode(data)
             assert w > 0 and h > 0 and len(lum) == w * h, path
+
+
+def test_bmp_rle8_decode():
+    """RLE8 BMPs decode identically to the same pixels stored raw:
+    encoded runs, absolute spans (word-aligned), EOL/EOF/delta escapes."""
+    import random
+    import struct
+
+    from ocr_agent_spark.kernel.imagemeta import decode_bmp_luminance
+
+    def bmp_rle8(w, h, rows_idx):
+        pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
+        stream = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up storage
+            x = 0
+            row = rows_idx[y]
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 2:
+                    stream += bytes([run, row[x]])
+                    x += run
+                else:
+                    span = [row[x]]
+                    x += 1
+                    while (x < w and (x + 1 >= w or row[x] != row[x + 1])
+                           and len(span) < 255):
+                        span.append(row[x])
+                        x += 1
+                    if len(span) >= 3:
+                        stream += bytes([0, len(span)]) + bytes(span)
+                        if len(span) & 1:
+                            stream += b"\x00"
+                    else:
+                        for v in span:
+                            stream += bytes([1, v])
+            stream += b"\x00\x00"
+        stream += b"\x00\x01"
+        off = 14 + 40 + len(pal)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                           len(stream), 0, 0, 256, 0)
+        return (b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+                + info + pal + bytes(stream))
+
+    rng = random.Random(7)
+    w, h = 23, 9
+    rows = [[rng.choice([0, 0, 0, 40, 200, rng.randrange(256)])
+             for _ in range(w)] for _ in range(h)]
+    w2, h2, lum = decode_bmp_luminance(bmp_rle8(w, h, rows))
+    # identity grayscale palette → luma == index
+    assert (w2, h2) == (w, h)
+    assert bytes(lum) == bytes(rows[y][x] for y in range(h) for x in range(w))
+
+    # delta escape skips (stays 0): run at (0,0..2), delta(+2,+2), run at y=2
+    pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
+    stream = (bytes([3, 5]) + b"\x00\x02" + bytes([2, 2])
+              + bytes([2, 9]) + b"\x00\x01")
+    off = 14 + 40 + len(pal)
+    info = struct.pack("<IiiHHIIiiII", 40, 8, 3, 1, 8, 1, len(stream),
+                       0, 0, 256, 0)
+    bmp = (b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+           + info + pal + stream)
+    _, _, lum3 = decode_bmp_luminance(bmp)
+    grid = [list(lum3[r * 8:(r + 1) * 8]) for r in range(3)]
+    assert grid[2][:3] == [5, 5, 5]   # bottom row (y=0)
+    assert grid[0][5:7] == [9, 9]     # after delta → (x=5, y=2) = top row
+    # truncated RLE stream rejects
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        decode_bmp_luminance(bmp[:-4])
+    from ocr_agent_spark.kernel.imagemeta import ImageFormatError
+    assert isinstance(ei.value, ImageFormatError)
+
+
+def test_bmp_rle4_decode():
+    """RLE4: runs alternate high/low nibbles; absolute spans pack two
+    indices per byte, padded to word boundaries."""
+    import struct
+
+    from ocr_agent_spark.kernel.imagemeta import decode_bmp_luminance
+
+    pal = b"".join(bytes([v * 17, v * 17, v * 17, 0]) for v in range(16))
+    # one row, 7 px: run of 4 alternating 0xA,0x2 → A 2 A 2; absolute 3
+    # nibbles 1,5,F (2 bytes data + 2 pad to word boundary)
+    stream = (bytes([4, 0xA2]) + bytes([0, 3, 0x15, 0xF0]) + b"\x00\x00"
+              + b"\x00\x01")
+    off = 14 + 40 + len(pal)
+    info = struct.pack("<IiiHHIIiiII", 40, 7, 1, 1, 4, 2, len(stream),
+                       0, 0, 16, 0)
+    bmp = (b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+           + info + pal + stream)
+    w, h, lum = decode_bmp_luminance(bmp)
+    assert (w, h) == (7, 1)
+    assert list(lum) == [v * 17 for v in (0xA, 0x2, 0xA, 0x2, 0x1, 0x5, 0xF)]
