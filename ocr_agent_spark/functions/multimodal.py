@@ -9,12 +9,13 @@ but image **metadata** decoding is real (stdlib header parsing):
 - ``decode_backend="headers"`` (default) → REAL container sniff +
   width/height from PNG/JPEG/GIF/BMP headers (kernel/imagemeta.py);
   malformed image payloads become failure rows. For PNGs (every legal
-  shape: all depths, palette, Adam7), uncompressed BMPs, and GIFs
-  (pure-Python LZW, first frame, interlace) the feature vector is also
-  REAL: a 16-bin luminance histogram from a full stdlib pixel decode
-  (``imagemeta.image_luminance_histogram``). Only JPEG features remain
-  deterministic fakes (entropy-coded DCT needs PIL), and audio/video
-  metadata stays faked (needs ffmpeg).
+  shape: all depths, palette, Adam7), BMPs (raw, bitfields, RLE8/4),
+  and GIFs (pure-Python LZW, first frame, interlace) the feature vector
+  is also REAL: a 16-bin luminance histogram from a full stdlib pixel
+  decode (``imagemeta.image_luminance_histogram``) — validated against
+  every real PNG/GIF/BMP shipped on this host. Only JPEG features
+  remain deterministic fakes (entropy-coded DCT needs PIL), and
+  audio/video metadata stays faked (needs ffmpeg).
 - ``decode_backend="fake"``  → everything faked, keyed on payload
   bytes (stable hashes → stable "pixels") — plumbing-only mode.
 - ``decode_backend="none"``  → NotImplementedError per row, surfaced as
@@ -126,9 +127,10 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                             # PNG (every legal shape), uncompressed BMP,
                             # GIF (pure-Python LZW, first frame) —
                             # yielding the actual 16-bin luminance
-                            # histogram. Shapes needing PIL (JPEG, RLE
-                            # BMP) raise UnsupportedImageError and fall
-                            # back to fake features; a CORRUPT body
+                            # histogram. Shapes needing PIL (JPEG,
+                            # exotic BMP headers) raise
+                            # UnsupportedImageError and fall back to
+                            # fake features; a CORRUPT body
                             # raises ImageFormatError → failure row,
                             # same D2 contract as a malformed PDF.
                             try:
