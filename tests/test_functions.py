@@ -802,8 +802,9 @@ def test_png_subbyte_depths_decode():
 
 
 def test_multimodal_headers_bmp_feature_is_real_histogram(spark):
-    """Uncompressed BMPs decode for real through the dispatching
-    histogram; compressed BMPs fall back to fake features."""
+    """BMPs decode for real through the dispatching histogram; a
+    spec-INVALID header combination (RLE8 declared on a 24-bit image)
+    is a malformed payload → failure row (D2), not a silent fake."""
     import struct
 
     # 2x1 24-bit: one black, one white pixel (bottom-up single row)
@@ -811,7 +812,7 @@ def test_multimodal_headers_bmp_feature_is_real_histogram(spark):
     row = bytes([0, 0, 0, 255, 255, 255]) + b"\x00\x00"  # pad to 8
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(row), 0, 0, 0, 0)
     bmp = b"BM" + struct.pack("<IHHI", 54 + len(row), 0, 0, 54) + info + row
-    # same but compression=1 (RLE8): unsupported → fake fallback
+    # same but compression=1 (RLE8) on 24-bit: invalid per spec
     info_rle = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 1, len(row), 0, 0, 0, 0)
     bmp_rle = b"BM" + struct.pack("<IHHI", 54 + len(row), 0, 0, 54) + info_rle + row
 
@@ -825,9 +826,8 @@ def test_multimodal_headers_bmp_feature_is_real_histogram(spark):
     assert rows[0]["status"] == "completed"
     assert rows[0]["feature"][0] == pytest.approx(0.5)   # black pixel
     assert rows[0]["feature"][15] == pytest.approx(0.5)  # white pixel
-    assert rows[1]["status"] == "completed"              # RLE → fake fallback
-    assert len(rows[1]["feature"]) == 16
-    assert rows[1]["feature"] != rows[0]["feature"]
+    assert rows[1]["status"] == "failed"                 # invalid combo
+    assert "ImageFormatError" in rows[1]["error"]
 
 
 def test_gif_pixel_decode_roundtrip_and_multimodal():
