@@ -12,8 +12,8 @@ but image **metadata** decoding is real (stdlib header parsing):
   shape: all depths, palette, Adam7), BMPs (raw, bitfields, RLE8/4),
   and GIFs (pure-Python LZW, first frame, interlace) the feature vector
   is also REAL: a 16-bin luminance histogram from a full stdlib pixel
-  decode (``imagemeta.image_luminance_histogram``) — validated against
-  every real PNG/GIF/BMP shipped on this host. Only JPEG features
+  decode (``imagemeta.image_luminance_histogram``) — validated against a
+  deterministic sample of real-encoder PNG/GIF/BMP files on this host. Only JPEG features
   remain deterministic fakes (entropy-coded DCT needs PIL), and
   audio/video metadata stays faked (needs ffmpeg).
 - ``decode_backend="fake"``  → everything faked, keyed on payload

@@ -466,7 +466,12 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
         except struct.error as exc:
             raise ImageFormatError("truncated BMP bitfield masks") from exc
         if not all(masks):
-            raise ImageFormatError(f"degenerate BMP channel masks {masks}")
+            # a zeroed channel mask is unusual but PIL-decodable — out
+            # of scope here, not malformed: fall back, don't fail rows
+            raise UnsupportedImageError(
+                f"BMP channel masks {tuple(hex(m) for m in masks)} "
+                f"unsupported"
+            )
     elif compression in (1, 2):  # RLE8 / RLE4 — handled after palette load
         if (compression == 1 and bit_count != 8) or (
             compression == 2 and bit_count != 4
@@ -507,6 +512,15 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
         # bottom-up by spec.
         if top_down:
             raise ImageFormatError("top-down RLE BMP is invalid")
+        # Allocation-bomb guard (mirror of the raw path's `need` check):
+        # a 2-byte RLE pair paints at most 255 pixels, so the stream
+        # bounds what the declared plane can plausibly be — a 1 KB file
+        # declaring 40000x40000 rejects before the 1.6 GB bytearray.
+        if width * height > max((len(data) - pixel_off), 0) * 130 + 4096:
+            raise ImageFormatError(
+                f"declared RLE BMP size {width}x{height} exceeds what "
+                f"{len(data) - pixel_off} B of RLE data can paint"
+            )
         lum = bytearray(width * height)
 
         def put(row: int, col: int, idx: int) -> None:
@@ -558,11 +572,11 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
         raise ImageFormatError(f"BMP pixel data truncated ({len(data)} < {need})")
 
     if masks is not None:
-        # Per-channel extraction plans: (shift, max_value) from each mask.
-        chan = []
-        for m in masks:
-            shift = (m & -m).bit_length() - 1
-            chan.append((shift, m >> shift))
+        # Per-channel extraction plans, unrolled: (mask, shift, max).
+        (rm, rs, rx), (gm, gs, gx), (bm, bs, bx) = (
+            (m, (m & -m).bit_length() - 1, m >> ((m & -m).bit_length() - 1))
+            for m in masks
+        )
 
     lum = bytearray(width * height)
     for j in range(height):
@@ -575,10 +589,9 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
                 pix = int.from_bytes(
                     data[base + x * step:base + (x + 1) * step], "little"
                 )
-                r, g, b_ = (
-                    ((pix & m) >> sh) * 255 // mx
-                    for m, (sh, mx) in zip(masks, chan)
-                )
+                r = ((pix & rm) >> rs) * 255 // rx
+                g = ((pix & gm) >> gs) * 255 // gx
+                b_ = ((pix & bm) >> bs) * 255 // bx
                 lum[out + x] = (299 * r + 587 * g + 114 * b_) // 1000
         elif bit_count == 24 or bit_count == 32:
             step = bit_count // 8
