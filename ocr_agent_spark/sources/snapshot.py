@@ -139,9 +139,9 @@ class SnapshotStore:
         MICRO-BATCH — and at scale the file count, not the byte count,
         comes to dominate planning and open() cost on every read.
         Compaction reads the current table once, writes it back as a
-        single run (``num_files`` output files; default = current
-        shuffle parallelism via AQE coalescing), and publishes a
-        manifest listing only that run. History is preserved: older
+        single run (``num_files`` output files via coalesce; default
+        keeps the read's scan partitioning), and publishes a manifest
+        listing only that run. History is preserved: older
         manifests still reference the old run dirs (time travel works
         until ``expire_snapshots`` reclaims them). Readers are never
         disturbed — the publish is the same atomic CAS as any commit.
