@@ -435,6 +435,41 @@ def _corpus_clean_keep(spark, sf):
     ).select("doc_id")
 
 
+_PII_SUFFIX = " contact bob@example.com or +1 555-123-4567 at 192.168.0.1"
+
+
+def _pii_redaction(spark, sf):
+    # Scrubbing pass before a corpus ships: emails/IPs/phones → typed
+    # tags. PII is PLANTED via rows derived from the corpus itself
+    # (UNION ALL reproducible in DuckDB) so the redaction is
+    # non-vacuous; the base rows prove clean text passes through
+    # byte-identical.
+    from ocr_agent_spark.functions.text import redact_pii
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PII_SUFFIX)).alias("text"),
+    )
+    base = d.select("doc_id", "text").unionAll(planted)
+    return base.select("doc_id", redact_pii("text").alias("redacted"))
+
+
+def _benchmark_contamination(spark, sf):
+    # Decontamination: find corpus docs sharing >= 4 distinct 3-gram
+    # shingles with a benchmark set (planted: the benchmark IS five
+    # corpus docs, so contamination is certain and exact).
+    from ocr_agent_spark.functions.text import benchmark_contamination, tokens
+
+    d = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 200) & (F.size(tokens("text")) >= 3)
+    ).select("doc_id", "text")
+    bench = _t(spark, sf, "documents").filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    return benchmark_contamination(d, bench, min_common=4)
+
+
 def _q1_pricing_summary(spark, sf):
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -831,10 +866,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_page_fanout": _u3_page_fanout,
         "f6_page_header": _f6_page_header_impl,
         "f1_ext_classify": _f1_ext_classify,
-        "f7_normalize": _f7_normalize,
         "f8_sanitize": _f8_sanitize,
-        "f9_md_extension": _f9_md_extension,
         "f15_result_coalesce": _f15_result_coalesce,
+        # round-3 training-data additions (must stay in-window)
+        "pii_redaction": _pii_redaction,
+        "benchmark_contamination": _benchmark_contamination,
         # streaming-shape gap-fill (§2.9)
         "st6_tumbling_window": _st6_tumbling_window,
         # custom operators the reference lacks (gap-fill, brief-named)
@@ -847,6 +883,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # beyond the driver's 50-query sweep window by design.
         "w6_lag_delta": _w6_lag_delta,
         "w7_rolling_sum": _w7_rolling_sum,
+        "f7_normalize": _f7_normalize,
+        "f9_md_extension": _f9_md_extension,
         "f10_epoch": _f10_epoch,
         "f13_mime_map": _f13_mime_map,
         "set_union_nations": _set_union_nations,
@@ -1276,6 +1314,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN (
                 SELECT doc_id FROM comp WHERE doc_id != component
             )
+        """,
+        # PII scrub: identical regexp_replace chain (patterns are
+        # RE2-compatible — no backreferences/lookaround — so Java and
+        # RE2 agree); DuckDB needs the 'g' flag for replace-all.
+        "pii_redaction": r"""
+            WITH base AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 50
+                UNION ALL
+                SELECT doc_id + 500000,
+                       text || ' contact bob@example.com or ' ||
+                       '+1 555-123-4567 at 192.168.0.1'
+                FROM documents WHERE doc_id < 10
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g'),
+                       '\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{3,4}\b',
+                       '<PHONE>', 'g') AS redacted
+            FROM base
+        """,
+        # Decontamination: distinct shared 3-gram shingles per
+        # (doc, bench) pair, same shingle definition as the jaccard
+        # oracles (ordered token slices, DISTINCT per doc).
+        "benchmark_contamination": r"""
+            WITH docs AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 200
+                  AND len(regexp_split_to_array(trim(lower(text)),
+                          '\s+')) >= 3
+            ),
+            bench AS (
+                SELECT doc_id + 900000 AS bench_id, text
+                FROM documents WHERE doc_id < 5
+            ),
+            dsh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                      FROM docs),
+                     unnest(generate_series(1, len(t) - 2)) AS g(i)
+            ),
+            bsh AS (
+                SELECT DISTINCT bench_id, array_to_string(t[i:i+2], ' ') AS shingle
+                FROM (SELECT bench_id,
+                             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                      FROM bench),
+                     unnest(generate_series(1, len(t) - 2)) AS g(i)
+            )
+            SELECT doc_id, bench_id,
+                   COUNT(DISTINCT shingle) AS common_shingles
+            FROM dsh JOIN bsh USING (shingle)
+            GROUP BY 1, 2
+            HAVING COUNT(DISTINCT shingle) >= 4
         """,
         # SimHash with the md5 token-hash primitive: DuckDB reproduces
         # the identical 64-bit signature (nibble-wise bit extraction,

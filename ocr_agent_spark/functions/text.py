@@ -273,3 +273,61 @@ def rolling_fingerprint_udf():
         return texts.map(fingerprint)
 
     return _udf
+
+
+# PII patterns chosen to be ENGINE-PORTABLE: no backreferences or
+# lookaround, so Java regex (Spark) and RE2 (DuckDB) agree — the same
+# property doc_fingerprint gets from md5. Order matters: emails before
+# the bare-domain-ish phone pattern can touch their digits.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]\d{3,4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(col: str | Column = "text") -> Column:
+    """Replace emails / IPv4s / phone-shaped numbers with typed tags.
+
+    The scrubbing pass a training-data pipeline runs before publishing
+    a corpus. Pure JVM regexp_replace chain (whole-stage codegen, no
+    Python); patterns are RE2-compatible so the DuckDB oracle applies
+    the identical chain. Deliberately conservative — recall over
+    precision is a policy knob, and at 100 TB a second pass with a
+    different pattern set is just another column expression.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, tag)
+    return c
+
+
+def benchmark_contamination(docs, bench, n: int = 3,
+                            min_common: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """Docs sharing ≥ ``min_common`` distinct n-gram shingles with any
+    benchmark document — the decontamination check run before a corpus
+    ships (benchmark questions leaking into training data inflate
+    scores silently).
+
+    Plan: both sides explode to (id, shingle) via the shared
+    ``dedup.shingle_table``; the join is shingle-keyed (benchmark side
+    is tiny → AQE broadcasts it), then one partial-agg groupBy counts
+    distinct shared shingles per (doc, bench) pair. Nothing all-pairs:
+    cost is linear in shingles + collisions, same shape as the jaccard
+    verify stage. Output: (doc_id, bench_id, common_shingles).
+    """
+    from ocr_agent_spark.functions.dedup import shingle_table
+
+    doc_sh = shingle_table(docs, id_col, text_col, n)
+    bench_sh = (
+        shingle_table(bench, id_col, text_col, n)
+        .withColumnRenamed("doc_id", "bench_id")
+    )
+    return (
+        doc_sh.join(bench_sh, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count_distinct("shingle").alias("common_shingles"))
+        .filter(F.col("common_shingles") >= min_common)
+    )

@@ -35,7 +35,8 @@ MUST_BE_SWEPT = {
     "near_dedup_keep", "simhash_signatures", "lsh_cosine_topk",
     "ivf_cosine_topk", "minhash_near_dups", "extract_synthetic_pages",
     "merged_artifact_hash", "corpus_clean_keep", "s2_triage_counts",
-    "host_histogram", "f15_result_coalesce",
+    "host_histogram", "f15_result_coalesce", "pii_redaction",
+    "benchmark_contamination",
 }
 
 

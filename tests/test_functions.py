@@ -1242,3 +1242,28 @@ def test_bmp_bitfields_deterministic():
             + info + pal + stream)
     with _pytest.raises(ImageFormatError, match="exceeds"):
         decode_bmp_luminance(bomb)
+
+
+def test_redact_pii_and_contamination(spark):
+    rows = [
+        (0, "reach me at jane.doe+spam@corp.example.org today"),
+        (1, "server 10.0.0.1 answered, call +44 020 7946 0958 now"),
+        (2, "perfectly clean text with no identifiers at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["t"] for r in
+           d.select("doc_id", text.redact_pii("text").alias("t")).collect()}
+    assert got[0] == "reach me at <EMAIL> today"
+    assert got[1] == "server <IP> answered, call <PHONE> now"
+    assert got[2] == rows[2][1]  # clean text passes through untouched
+
+    bench = spark.createDataFrame(
+        [(100, "perfectly clean text with no identifiers at all")],
+        "doc_id long, text string",
+    )
+    hits = text.benchmark_contamination(d, bench, min_common=3).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in hits} == {(2, 100)}
+    assert all(r["common_shingles"] >= 3 for r in hits)
+    # unrelated docs don't hit
+    assert not text.benchmark_contamination(
+        d.filter(F.col("doc_id") < 2), bench, min_common=3).collect()
