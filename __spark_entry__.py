@@ -742,13 +742,25 @@ def _embedding_near_dups_exact(spark, sf):
 
 
 def _multimodal_features(spark, sf):
+    """Rows-only (r3 fix): the driver canonicalizes rows-only results by
+    pandas sort_values over ALL columns, which crashes on array-typed
+    cells (unhashable list) — so project the 16-float feature vector to
+    one scalar CSV string here. The library API keeps the real array."""
     from ocr_agent_spark.functions.multimodal import (
         extract_media_features,
         fake_media_table,
     )
 
     media = fake_media_table(spark, n=48)
-    return extract_media_features(media, decode_backend="headers", num_partitions=8)
+    feats = extract_media_features(media, decode_backend="headers", num_partitions=8)
+    return feats.select(
+        "media_id", "kind", "status", "error",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_number(x, 6))
+        ).alias("feature_csv"),
+        "feature_source", "format",
+        "src_width", "src_height", "out_width", "out_height", "n_frames",
+    )
 
 
 def _rolling_fingerprints(spark, sf):

@@ -42,7 +42,8 @@ MEDIA_SCHEMA = (
 
 FEATURES_SCHEMA = (
     "media_id long, kind string, status string, error string, "
-    "feature array<float>, format string, src_width int, src_height int, "
+    "feature array<float>, feature_source string, format string, "
+    "src_width int, src_height int, "
     "out_width int, out_height int, n_frames int"
 )
 
@@ -91,6 +92,13 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
     REAL stdlib header parse (kernel/imagemeta.py); a payload that is
     not a parseable image becomes a failure row (D2), like a malformed
     PDF in the extraction stage.
+
+    ``feature_source`` says per row whether ``feature`` came from a
+    real pixel decode (``"real"``: PNG/BMP/GIF luminance histogram) or
+    a deterministic stand-in (``"fake"``: JPEG, audio, video — no
+    PIL/ffmpeg in this environment). Downstream consumers at corpus
+    scale should filter ``feature_source = 'real'`` rather than
+    reverse-engineering which formats decode.
     """
     spark = media.sparkSession
     if num_partitions is None:
@@ -103,7 +111,8 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
             parse_image_dimensions,
         )
 
-        cols = ["media_id", "kind", "status", "error", "feature", "format",
+        cols = ["media_id", "kind", "status", "error", "feature",
+                "feature_source", "format",
                 "src_width", "src_height", "out_width", "out_height", "n_frames"]
         for batch in batches:
             rows: dict[str, list] = {c: [] for c in cols}
@@ -119,6 +128,7 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                         )
                     data = bytes(payload)
                     fmt = src_w = src_h = None
+                    source = "fake"
                     if kind == "image":
                         if decode_backend == "headers":
                             fmt, src_w, src_h = parse_image_dimensions(data)
@@ -140,6 +150,7 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                                     "out_height": src_h,
                                     "n_frames": 1,
                                 }
+                                source = "real"
                             except UnsupportedImageError:
                                 res = None
                             if res is None:
@@ -155,6 +166,7 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                     rows["status"].append("completed")
                     rows["error"].append(None)
                     rows["feature"].append(res["feature"])
+                    rows["feature_source"].append(source)
                     rows["format"].append(fmt)
                     rows["src_width"].append(src_w)
                     rows["src_height"].append(src_h)
@@ -164,7 +176,8 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                 except Exception as exc:
                     rows["status"].append("failed")
                     rows["error"].append(repr(exc))
-                    for c in ("feature", "format", "src_width", "src_height",
+                    for c in ("feature", "feature_source", "format",
+                              "src_width", "src_height",
                               "out_width", "out_height", "n_frames"):
                         rows[c].append(None)
             yield pd.DataFrame(rows)

@@ -473,6 +473,34 @@ def test_multimodal_headers_decodes_real_dimensions(spark):
             assert rows[i]["status"] == "completed"
 
 
+def test_multimodal_feature_source_column(spark):
+    """100 TB consumers filter fake-feature rows on feature_source, not
+    format internals: PNG/GIF/BMP decode for real, JPEG (no PIL) and
+    audio/video (no ffmpeg) are deterministic stand-ins; failures null."""
+    media = multimodal.fake_media_table(spark, n=24).unionByName(
+        spark.createDataFrame(
+            [(900, "image", b"corrupt bytes", "image/x", 9, 9, None)],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+    )
+    rows = {r["media_id"]: r for r in
+            multimodal.extract_media_features(media, decode_backend="headers").collect()}
+    assert rows[900]["feature_source"] is None  # failure row
+    for i, r in rows.items():
+        if i == 900:
+            continue
+        if r["format"] in ("png", "gif", "bmp"):
+            assert r["feature_source"] == "real", (i, r["format"])
+        else:  # jpeg header-only, audio, video
+            assert r["feature_source"] == "fake", (i, r["format"])
+    assert {r["feature_source"] for r in rows.values()} == {"real", "fake", None}
+    # the fake backend never claims real features
+    fake_rows = multimodal.extract_media_features(
+        media.filter("media_id < 24"), decode_backend="fake"
+    ).collect()
+    assert {r["feature_source"] for r in fake_rows} == {"fake"}
+
+
 def test_multimodal_headers_rejects_malformed_image(spark):
     media = spark.createDataFrame(
         [(0, "image", b"this is not an image", "image/x", 10, 10, None)],

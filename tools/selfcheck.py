@@ -67,6 +67,18 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
+            # Replicate the driver's rows-only canonicalization exactly:
+            # it pandas-sort_values over ALL columns before hashing, which
+            # raises TypeError on array/map/struct cells (unhashable list)
+            # — r3's one red row shipped because selfcheck skipped this.
+            try:
+                if len(sdf.columns):
+                    sdf.sort_values(by=list(sdf.columns), kind="mergesort")
+            except Exception as exc:
+                print(f"FAIL  {name}: rows-only canonicalization error "
+                      f"(driver would record err): {exc!r}")
+                n_fail += 1
+                continue
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
             n_rowsonly += 1
             continue
