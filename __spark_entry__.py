@@ -690,17 +690,40 @@ def _simhash_signatures(spark, sf):
     )
 
 
+def _embeddings_with_planted_query(spark, sf):
+    """embeddings ∪ 10 exact copies of the ANN query vector (ids 200000+i).
+
+    cosine(q, q) == 1.0 exactly and no natural sf vector rounds to 1.0,
+    so any method whose candidate set contains the planted rows returns
+    exactly those 10 ids — which makes the approximate LSH/IVF paths
+    DETERMINISTICALLY equal to the exact top-k and hence oracle-able
+    (r3 VERDICT item 3): an identical vector has identical hyperplane
+    sign bits (it sits in the bucket LSH probes first) and an identical
+    argmax centroid (it sits in the cluster IVF probes first). The
+    un-planted approximate behavior stays recall-tested in the suite.
+    """
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = spark.range(10).select(
+        (F.col("id") + 200000).alias("vec_id"),
+        F.array(*[F.lit(float(v)).cast("float") for v in _QUERY_VEC]).alias(
+            "embedding"
+        ),
+    )
+    return emb.unionByName(planted)
+
+
 def _lsh_cosine_topk(spark, sf):
     from ocr_agent_spark.functions.similarity import lsh_cosine_topk
 
-    return lsh_cosine_topk(_t(spark, sf, "embeddings"), _QUERY_VEC, k=10)
+    return lsh_cosine_topk(_embeddings_with_planted_query(spark, sf),
+                           _QUERY_VEC, k=10)
 
 
 def _ivf_cosine_topk(spark, sf):
     from ocr_agent_spark.functions.similarity import ivf_cosine_topk
 
-    return ivf_cosine_topk(_t(spark, sf, "embeddings"), _QUERY_VEC, k=10,
-                           n_clusters=16, n_probe=4)
+    return ivf_cosine_topk(_embeddings_with_planted_query(spark, sf),
+                           _QUERY_VEC, k=10, n_clusters=16, n_probe=4)
 
 
 def _embeddings_with_planted_dups(spark, sf):
@@ -906,6 +929,21 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": _cube_events,
         "monthly_revenue": _monthly_revenue,
     }
+
+
+# Exact top-k over the planted-query union: both ANN paths match this
+# BY CONSTRUCTION (see _embeddings_with_planted_query) — the 10 planted
+# exact copies of the query score cosine 1.0 and fill the whole top-10.
+_PLANTED_TOPK_ORACLE = f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT 200000 + i, {_QUERY_VEC_SQL} FROM range(10) t(i)
+    )
+    SELECT vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(e, {_QUERY_VEC_SQL}), 6) AS cosine
+    FROM emb ORDER BY cosine DESC, neighbor_id LIMIT 10
+"""
 
 
 _EMB_NEAR_DUP_ORACLE = """
@@ -1251,6 +1289,8 @@ def oracle_sql() -> dict[str, str]:
             f"ROUND(list_cosine_similarity(embedding::DOUBLE[], {_QUERY_VEC_SQL}), 6) "
             f"AS cosine FROM embeddings ORDER BY cosine DESC, neighbor_id LIMIT 10"
         ),
+        "lsh_cosine_topk": _PLANTED_TOPK_ORACLE,
+        "ivf_cosine_topk": _PLANTED_TOPK_ORACLE,
         "embedding_near_dups_exact": _EMB_NEAR_DUP_ORACLE,
         # The LSH variant matches the same oracle here BY CONSTRUCTION:
         # planted pairs are exact-direction copies (identical signatures
