@@ -267,7 +267,8 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, max_iterations: int = 20,
-                         strict: bool = True) -> DataFrame:
+                         strict: bool = True,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Components of the (id_a, id_b) pair graph via label propagation.
 
     The iterative min-label algorithm (GraphX-free connected
@@ -280,13 +281,17 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
     shallow (stars/cliques → 2-3 rounds), but a 1000-hop chain now
     needs ~10 rounds, not 1000.
 
-    Each round's labels are ``localCheckpoint``-ed, not merely cached:
-    the jump step references the round's intermediate twice, so without
-    a true lineage CUT the analyzed plan doubles per round (cache
-    substitution happens at planning time but the logical tree keeps
-    the full history) — measured as analyzer OOM by round ~10. On a
-    production cluster prefer reliable ``checkpoint()`` (HDFS) for the
-    same cut with executor-loss tolerance.
+    Each round's labels are lineage-CUT, not merely cached: the jump
+    step references the round's intermediate twice, so without a true
+    cut the analyzed plan doubles per round (cache substitution happens
+    at planning time but the logical tree keeps the full history) —
+    measured as analyzer OOM by round ~10. The cut is
+    ``localCheckpoint`` by default (executor-memory blocks — fine on
+    local mode, but a lost executor loses the blocks with NO lineage to
+    recompute them, killing the job). Pass ``checkpoint_dir`` (an
+    HDFS/S3 path on a cluster) to use reliable ``checkpoint()``
+    instead: same cut, rounds survive executor loss. At 100 TB always
+    set it.
 
     If the loop exhausts ``max_iterations`` before converging (a chain
     longer than the budget), the labels are WRONG for the unconverged
@@ -299,6 +304,19 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
     exactly the class the driver records rows-only checks for.
     """
     from ocr_agent_spark.cache import persist_tracked
+
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        # setCheckpointDir is session-global; only (re)point it when the
+        # caller asked for the reliable path.
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
 
     edges = persist_tracked(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -334,9 +352,9 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
         jump = stepped.select(
             F.col("doc_id").alias("component"), F.col("component").alias("_cc")
         )
-        # Lineage cut (see docstring): eager localCheckpoint materializes
+        # Lineage cut (see docstring): eager checkpoint materializes
         # the round AND truncates the plan to the checkpointed blocks.
-        new_labels = (
+        new_labels = cut(
             stepped.join(jump, "component", "left")
             .select(
                 "doc_id",
@@ -344,7 +362,6 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
                     F.col("component"), F.coalesce(F.col("_cc"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -373,7 +390,8 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
 
 def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                n: int = 3, num_hashes: int = 32, bands: int = 8,
-               threshold: float = 0.8) -> DataFrame:
+               threshold: float = 0.8,
+               checkpoint_dir: str | None = None) -> DataFrame:
     """Remove near-duplicates: MinHash+LSH pairs → connected components
     → keep the min-id document per component (plus all untouched docs).
 
@@ -383,7 +401,7 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """
     pairs = minhash_near_duplicates(docs, id_col, text_col, n, num_hashes,
                                     bands, threshold)
-    components = connected_components(pairs)
+    components = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     losers = components.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(
         losers, docs[id_col] == losers["doc_id"], "left_anti"

@@ -168,6 +168,27 @@ def test_connected_components_long_chain_log_convergence(spark):
     assert vals == {0}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the per-round lineage cut to reliable
+    checkpoint() (executor-loss-safe on a cluster): same labels, and the
+    checkpoint files actually land under the given directory."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comps = {r["doc_id"]: r["component"]
+             for r in dedup.connected_components(
+                 pairs, checkpoint_dir=ckpt).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing under checkpoint_dir"
+
+
 def test_connected_components_nonconvergence_raises(spark):
     import pytest as _pytest
 
