@@ -24,6 +24,27 @@ import sys
 
 EXIT_CODE_NOTHING_ENQUEUED = 2
 
+DEFAULT_MATH_DELIMITER_STYLE = "dollar"
+MATH_DELIMITER_STYLES = ("dollar", "latex")
+
+
+def effective_math_delimiter_style(flag_value: str | None) -> str:
+    """Resolve the math delimiter style: explicit flag > environment >
+    default, with the reference's unknown-value fallback.
+
+    Mirrors MarkdownPostProcessingSettings.from_environment
+    (reference config.py:110-122): OCR_AGENT_MATH_DELIMITER_STYLE is
+    stripped + lowercased, and an unknown value falls back to the safe
+    default rather than erroring — so a spark-submit driver with env
+    passthrough (the reference's docker pattern) configures the style
+    with no CLI change.
+    """
+    if flag_value is not None:
+        return flag_value
+    raw = os.getenv("OCR_AGENT_MATH_DELIMITER_STYLE",
+                    DEFAULT_MATH_DELIMITER_STYLE).strip().lower()
+    return raw if raw in MATH_DELIMITER_STYLES else DEFAULT_MATH_DELIMITER_STYLE
+
 
 def _spark(cores: int | None):
     from ocr_agent_spark.session import build_spark
@@ -97,15 +118,19 @@ def cmd_run(args) -> int:
     with open(manifest) as fh:
         paths = json.load(fh)["paths"]
 
+    style = effective_math_delimiter_style(args.math_delimiter_style)
     spark = _spark(args.cores)
     pages = spark.read.parquet(*paths)
     try:
-        result = run_extraction_job(spark, pages, args.job_root)
+        result = run_extraction_job(
+            spark, pages, args.job_root,
+            settings={"math_delimiter_style": style},
+        )
     except EmptyInputError:
         print("nothing to process", file=sys.stderr)
         return EXIT_CODE_NOTHING_ENQUEUED
     merged_path = os.path.join(args.job_root, "output.md")
-    merge_job(spark, args.job_root, style=args.math_delimiter_style,
+    merge_job(spark, args.job_root, style=style,
               merged_path=merged_path, return_text=False)
     print(
         f"processed={result.pages_processed} "
@@ -201,8 +226,10 @@ def main(argv: list[str] | None = None) -> int:
     common(p_enq)
 
     p_run = sub.add_parser("run", help="Extract pending pages and merge")
-    p_run.add_argument("--math-delimiter-style", default="dollar",
-                       choices=["dollar", "latex"])
+    p_run.add_argument("--math-delimiter-style", default=None,
+                       choices=list(MATH_DELIMITER_STYLES),
+                       help="default: $OCR_AGENT_MATH_DELIMITER_STYLE, "
+                            f"else '{DEFAULT_MATH_DELIMITER_STYLE}'")
     common(p_run)
 
     p_status = sub.add_parser("status", help="Show status counts + ETA")

@@ -77,13 +77,14 @@ def run_extraction_job(
     output_root: str,
     run_id: str | None = None,
     num_partitions: int | None = None,
+    settings: dict | None = None,
 ) -> RunResult:
     # cache_scope: release only the intermediates THIS job persisted —
     # a caller's own tracked caches (e.g. an unmaterialized dedup
     # result) survive the job (ADVICE r2).
     with cache_scope():
         return _run_extraction_job(
-            spark, pages, output_root, run_id, num_partitions
+            spark, pages, output_root, run_id, num_partitions, settings
         )
 
 
@@ -93,6 +94,7 @@ def _run_extraction_job(
     output_root: str,
     run_id: str | None = None,
     num_partitions: int | None = None,
+    settings: dict | None = None,
 ) -> RunResult:
     run_id = run_id or uuid.uuid4().hex[:12]
     store = extraction_store(output_root)
@@ -126,7 +128,7 @@ def _run_extraction_job(
     # Snapshot-commit the extraction output, then derive lineage from
     # the committed files (re-read, not recompute — the expensive
     # kernel runs exactly once).
-    store.commit(extracted, run_id=run_id)
+    store.commit(extracted, run_id=run_id, settings=settings)
     committed = spark.read.parquet(os.path.join(store.data_dir, run_id))
     lineage_store(output_root).commit(
         lineage_from_extracted(committed, run_id), run_id=run_id

@@ -98,8 +98,16 @@ class SnapshotStore:
             except OSError:
                 pass  # a hard kill may still strand a .tmp; reads ignore it
 
-    def commit(self, df: DataFrame, run_id: str | None = None) -> str:
-        """Write ``df`` under a fresh run dir, then atomically publish it."""
+    def commit(self, df: DataFrame, run_id: str | None = None,
+               settings: dict | None = None) -> str:
+        """Write ``df`` under a fresh run dir, then atomically publish it.
+
+        ``settings`` (optional, JSON-serializable) is recorded verbatim
+        in the manifest — the per-job settings record the reference
+        keeps in job.json (gui/src-tauri/src/main.rs:68-106), so a
+        resumed run can check it is not silently merging output
+        produced under a different config (e.g. math delimiter style).
+        """
         run_id = run_id or uuid.uuid4().hex[:12]
         run_dir = os.path.join(self.data_dir, run_id)
         if os.path.exists(run_dir):
@@ -115,6 +123,12 @@ class SnapshotStore:
             "run_id": run_id,
             "committed_unix_ms": int(time.time() * 1000),
         }
+        if settings is not None:
+            manifest["settings"] = settings
+        elif prev and "settings" in prev:
+            # Settings are sticky across commits until overridden — a
+            # resume that doesn't restate them inherits the record.
+            manifest["settings"] = prev["settings"]
         # CAS publish, atomic AND exclusive: the manifest is fully
         # written + fsynced to a temp name first, then HARD-LINKED to
         # the sequenced name. os.link fails with EEXIST if another
@@ -172,6 +186,8 @@ class SnapshotStore:
             "committed_unix_ms": int(time.time() * 1000),
             "compacted_from": list(prev["runs"]),
         }
+        if "settings" in prev:  # maintenance must not drop the job config
+            manifest["settings"] = prev["settings"]
         try:
             self._publish(manifest, seq)
         except CommitConflictError:

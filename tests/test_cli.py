@@ -51,6 +51,49 @@ def test_cli_lifecycle(spark, tmp_path, capsys):
     assert "empty" in capsys.readouterr().out
 
 
+def test_cli_env_var_configures_math_style_and_manifest_records_it(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """Env-config parity (reference config.py:115-122): the docker /
+    spark-submit pattern sets OCR_AGENT_MATH_DELIMITER_STYLE instead of
+    a CLI flag; the effective style lands in the snapshot manifest so a
+    resume can see what config produced the committed output."""
+    from ocr_agent_spark.cli import effective_math_delimiter_style
+    from ocr_agent_spark.pipeline import extraction_store
+
+    # resolution order: flag > env (normalized) > default; unknown → default
+    monkeypatch.setenv("OCR_AGENT_MATH_DELIMITER_STYLE", "  LaTeX ")
+    assert effective_math_delimiter_style(None) == "latex"
+    assert effective_math_delimiter_style("dollar") == "dollar"
+    monkeypatch.setenv("OCR_AGENT_MATH_DELIMITER_STYLE", "bogus")
+    assert effective_math_delimiter_style(None) == "dollar"
+    monkeypatch.delenv("OCR_AGENT_MATH_DELIMITER_STYLE")
+    assert effective_math_delimiter_style(None) == "dollar"
+
+    pages = str(tmp_path / "pages")
+    write_pages_parquet(pages, 8)
+    job_root = str(tmp_path / "jobenv")
+    monkeypatch.setenv("OCR_AGENT_MATH_DELIMITER_STYLE", "latex")
+    assert main(["enqueue", pages, "--job-root", job_root]) == 0
+    assert main(["run", "--job-root", job_root]) == 0
+    capsys.readouterr()
+    manifest = extraction_store(job_root).latest_manifest()
+    assert manifest["settings"] == {"math_delimiter_style": "latex"}
+
+    # sticky per-job settings (reference main.rs:68-106): a later commit
+    # that doesn't restate them inherits the record, and maintenance
+    # (compaction) doesn't drop it either
+    from ocr_agent_spark.sources.snapshot import SnapshotStore
+
+    toy = SnapshotStore(str(tmp_path / "toy_store"))
+    toy.commit(spark.range(3), run_id="first",
+               settings={"math_delimiter_style": "latex"})
+    toy.commit(spark.range(2), run_id="second")
+    assert toy.latest_manifest()["settings"] == {"math_delimiter_style": "latex"}
+    toy.compact(spark, num_files=1)
+    assert toy.latest_manifest()["settings"] == {"math_delimiter_style": "latex"}
+
+
 def test_cli_empty_input_exit_code(spark, tmp_path):
     missing = str(tmp_path / "nope")
     job_root = str(tmp_path / "job2")
