@@ -445,6 +445,19 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
     try:
         pixel_off = struct.unpack("<I", data[10:14])[0]
         hdr_size = struct.unpack("<I", data[14:18])[0]
+    except struct.error as exc:
+        raise ImageFormatError("truncated BMP header") from exc
+    # Gate the header variant BEFORE interpreting BITMAPINFOHEADER
+    # field offsets: an OS/2 BITMAPCOREHEADER (hdr_size 12) stores
+    # 16-bit dims at 18 and has no compression field at 30 — parsing
+    # those offsets first reads garbage and can misclassify a
+    # valid-but-unsupported file as malformed (failure row instead of
+    # the documented fake-feature fallback).
+    if hdr_size < 40:
+        raise UnsupportedImageError(
+            f"BMP header variant (size {hdr_size}) unsupported"
+        )
+    try:
         width, h_signed = struct.unpack("<ii", data[18:26])
         bit_count = struct.unpack("<H", data[28:30])[0]
         compression = struct.unpack("<I", data[30:34])[0]
@@ -487,10 +500,6 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
     if bit_count == 16 and masks is None:
         masks = (0x7C00, 0x03E0, 0x001F)  # BI_RGB 16-bit default: 5-5-5
 
-    if hdr_size < 40:
-        raise UnsupportedImageError(
-            f"BMP header variant (size {hdr_size}) unsupported"
-        )
     pal_lum: bytes | None = None
     if bit_count <= 8:
         if len(data) < 50:
@@ -764,11 +773,15 @@ def decode_gif_luminance(data: bytes) -> tuple[int, int, bytearray]:
                 if fw <= 0 or fh <= 0:
                     raise ImageFormatError("non-positive GIF frame size")
                 # Decompression-bomb guard: a 12-bit-capped GIF LZW
-                # table caps entry length ≈ 4096, so n input bytes can
-                # emit at most n * 8/13 codes * 4096 output bytes (<
-                # n * 2521). A descriptor declaring more pixels than
-                # that rejects before any allocation.
-                if fw * fh > len(lzw) * 2521:
+                # table caps entry length at 4096 px, and with deferred
+                # clear codes a fully-built table sustains one 12-bit
+                # code (≤4096 px) per 1.5 bytes ⇒ ceil(4096*8/12) =
+                # 2731 px/byte; +4096 slack covers the first code of a
+                # pathological stream. A descriptor declaring more
+                # pixels than that rejects before any allocation —
+                # anything under the bound decodes-or-truncates safely
+                # because _gif_lzw_decode caps output at fw*fh.
+                if fw * fh > len(lzw) * 2731 + 4096:
                     raise ImageFormatError(
                         f"declared GIF frame ({fw}x{fh}) exceeds what "
                         f"{len(lzw)} B of LZW data can decode to"

@@ -95,6 +95,29 @@ def _rows_in_files(uris: set[str]) -> int | None:
     return total
 
 
+def _pre_drain_rowcount(spark: SparkSession, before_paths: set[str],
+                        before_count: int | None) -> int:
+    """Pre-drain row total when footers weren't readable in-process.
+
+    Reads the pre-drain file list through Spark (which has the remote
+    filesystem connectors). Files may ALSO be unreadable because they
+    no longer exist — compaction mid-drain is one of the stated causes
+    of the footer fallback — so a failed Spark read falls back to the
+    pre-paid ``before_count`` instead of throwing after an otherwise
+    successful drain (ADVICE r3). Raises only when there is genuinely
+    no pre-drain evidence left.
+    """
+    try:
+        return (
+            spark.read.parquet(*sorted(before_paths)).count()
+            if before_paths else 0
+        )
+    except Exception:
+        if before_count is None:
+            raise
+        return before_count
+
+
 def run_streaming_extraction(
     spark: SparkSession,
     input_dir: str,
@@ -166,12 +189,8 @@ def run_streaming_extraction(
         if delta is not None:
             return delta
         # Footers unreadable from this process (e.g. remote sink fs):
-        # recover via Spark, which does have the filesystem connectors —
-        # count the pre-drain files directly, full output minus that.
-        pre = (
-            spark.read.parquet(*sorted(before_paths)).count()
-            if before_paths else 0
-        )
+        # recover via Spark, which does have the filesystem connectors.
+        pre = _pre_drain_rowcount(spark, before_paths, before_count)
         return _count_output_rows(spark, output_dir) - pre
     return _count_output_rows(spark, output_dir) - (before_count or 0)
 

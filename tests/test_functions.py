@@ -986,6 +986,73 @@ def test_png_subbyte_adam7_and_bomb_guards():
         im.decode_bmp_luminance(bm44)
 
 
+def test_gif_bomb_bound_admits_max_lzw_ratio_and_bmp_core_header_unsupported():
+    """ADVICE r4 fixes. (1) Real GIF LZW with deferred clear codes
+    sustains 4096 px per 12-bit code ≈ 2731 px/byte — a declared size
+    between the old 2521×  bound and the corrected 2731×+slack bound
+    must pass the bomb guard (failing later as genuinely truncated),
+    not be pre-rejected as a bomb. (2) An OS/2 BITMAPCOREHEADER BMP is
+    valid-but-unsupported (→ fake-feature fallback), and must not have
+    its fields parsed at BITMAPINFOHEADER offsets first."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from ocr_agent_spark.kernel import imagemeta as im
+
+    gif = bytearray(im.build_gif(16, 16, seed=3))
+    desc = 6 + 7 + 768  # header + LSD + GCT (build_gif layout)
+    # walk the sub-blocks to learn the actual LZW byte count
+    pos = desc + 10 + 1  # image descriptor + min-code-size byte
+    lzw_len = 0
+    while gif[pos] != 0:
+        lzw_len += gif[pos]
+        pos += 1 + gif[pos]
+    assert lzw_len > 0
+    # declared pixels in (old bound, new bound]: old guard rejected this
+    target = lzw_len * 2600 + 2048
+    fw, fh = 1000, target // 1000
+    assert lzw_len * 2521 < fw * fh <= lzw_len * 2731 + 4096
+    gif[desc + 5:desc + 7] = fw.to_bytes(2, "little")
+    gif[desc + 7:desc + 9] = fh.to_bytes(2, "little")
+    with _pytest.raises(im.ImageFormatError, match="truncated"):
+        im.decode_gif_luminance(bytes(gif))  # reaches the decoder now
+    # far beyond the corrected bound still pre-rejects as a bomb
+    gif[desc + 5:desc + 9] = (60000).to_bytes(2, "little") * 2
+    with _pytest.raises(im.ImageFormatError, match="exceeds"):
+        im.decode_gif_luminance(bytes(gif))
+
+    core_bmp = (
+        b"BM" + _struct.pack("<IHHI", 26, 0, 0, 26)
+        + _struct.pack("<IHHHH", 12, 4, 4, 1, 24)
+    )
+    with _pytest.raises(im.UnsupportedImageError, match="variant"):
+        im.decode_bmp_luminance(core_bmp)
+
+
+def test_pre_drain_rowcount_falls_back_when_files_vanished(spark, tmp_path):
+    """ADVICE r4: the streaming remote-footer fallback re-reads the
+    pre-drain file list via Spark; if those files were removed
+    (compaction mid-drain), it must fall back to the pre-paid count
+    instead of throwing after a successful drain."""
+    import pytest as _pytest
+
+    from ocr_agent_spark.streaming.ingest import _pre_drain_rowcount
+
+    gone = {str(tmp_path / "vanished" / "part-0.parquet")}
+    assert _pre_drain_rowcount(spark, gone, before_count=7) == 7
+    with _pytest.raises(Exception):
+        _pre_drain_rowcount(spark, gone, before_count=None)
+    # readable paths still count exactly (no premature fallback)
+    live_dir = str(tmp_path / "live")
+    spark.range(5).coalesce(1).write.parquet(live_dir)
+    import glob as _glob
+
+    live = set(_glob.glob(live_dir + "/part-*.parquet"))
+    assert _pre_drain_rowcount(spark, live, before_count=999) == 5
+    assert _pre_drain_rowcount(spark, set(), before_count=None) == 0
+
+
 def test_gif_lzw_differential_with_real_compressor():
     """_gif_lzw_decode against an independent table-growing LZW
     compressor (dictionary growth, width increases, KwKwK sequences,
