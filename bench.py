@@ -92,12 +92,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    extra: dict = {}
+    # Median-of-N per query (default 3): this shared host shows ±50%
+    # noise windows lasting minutes (r3's merge read 3.27 s in the
+    # driver artifact vs a 1.3-1.5 s controlled in-session median-of-5
+    # in r4's A/B), so a single-shot timing records the weather, not
+    # the code. The medians are the headline; every raw run is kept in
+    # "runs" for transparency.
+    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
 
-    def timed(name: str, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def timed(name: str, fn, per_run_reset=None):
+        import statistics
+
+        out = None
+        runs: list[float] = []
+        for i in range(repeats):
+            if per_run_reset is not None and i > 0:
+                per_run_reset()
+            t0 = time.monotonic()
+            out = fn()
+            runs.append(round(time.monotonic() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
         return out
 
     # -- flagship extraction -------------------------------------------------
@@ -138,6 +155,7 @@ def main() -> None:
     timed(
         "dedup_minhash",
         lambda: minhash_near_duplicates(docs, threshold=0.5).count(),
+        per_run_reset=release_caches,
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [1.0 if i % 3 == 0 else (-0.5 if i % 3 == 1 else 0.25) for i in range(64)]
@@ -158,6 +176,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
+                "repeats": repeats,
                 "sf": sf,
                 "cpus": cpus,
                 **extra,
