@@ -10,12 +10,14 @@ but image **metadata** decoding is real (stdlib header parsing):
   width/height from PNG/JPEG/GIF/BMP headers (kernel/imagemeta.py);
   malformed image payloads become failure rows. For PNGs (every legal
   shape: all depths, palette, Adam7), BMPs (raw, bitfields, RLE8/4),
-  and GIFs (pure-Python LZW, first frame, interlace) the feature vector
-  is also REAL: a 16-bin luminance histogram from a full stdlib pixel
-  decode (``imagemeta.image_luminance_histogram``) — validated against a
-  deterministic sample of real-encoder PNG/GIF/BMP files on this host. Only JPEG features
-  remain deterministic fakes (entropy-coded DCT needs PIL), and
-  audio/video metadata stays faked (needs ffmpeg).
+  GIFs (pure-Python LZW, first frame, interlace) and baseline JPEGs
+  (kernel/jpegdecode.py: full Huffman + batched-numpy IDCT of the luma
+  plane) the feature vector is also REAL: a 16-bin luminance histogram
+  from a full pixel decode (``imagemeta.image_luminance_histogram``) —
+  validated against real-encoder files on this host for all four
+  formats. Progressive/arithmetic JPEGs fall back to fake features
+  (``feature_source='fake'``), and audio/video metadata stays faked
+  (needs ffmpeg).
 - ``decode_backend="fake"``  → everything faked, keyed on payload
   bytes (stable hashes → stable "pixels") — plumbing-only mode.
 - ``decode_backend="none"``  → NotImplementedError per row, surfaced as
@@ -94,11 +96,11 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
     PDF in the extraction stage.
 
     ``feature_source`` says per row whether ``feature`` came from a
-    real pixel decode (``"real"``: PNG/BMP/GIF luminance histogram) or
-    a deterministic stand-in (``"fake"``: JPEG, audio, video — no
-    PIL/ffmpeg in this environment). Downstream consumers at corpus
-    scale should filter ``feature_source = 'real'`` rather than
-    reverse-engineering which formats decode.
+    real pixel decode (``"real"``: PNG/BMP/GIF/baseline-JPEG luminance
+    histogram) or a deterministic stand-in (``"fake"``: progressive
+    JPEG, audio, video — no PIL/ffmpeg in this environment). Downstream
+    consumers at corpus scale should filter ``feature_source = 'real'``
+    rather than reverse-engineering which formats decode.
     """
     spark = media.sparkSession
     if num_partitions is None:
@@ -133,16 +135,17 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                         if decode_backend == "headers":
                             fmt, src_w, src_h = parse_image_dimensions(data)
                             res = None
-                            # REAL pixel decode where stdlib allows —
-                            # PNG (every legal shape), uncompressed BMP,
-                            # GIF (pure-Python LZW, first frame) —
-                            # yielding the actual 16-bin luminance
-                            # histogram. Shapes needing PIL (JPEG,
-                            # exotic BMP headers) raise
-                            # UnsupportedImageError and fall back to
-                            # fake features; a CORRUPT body
-                            # raises ImageFormatError → failure row,
-                            # same D2 contract as a malformed PDF.
+                            # REAL pixel decode: PNG (every legal
+                            # shape), BMP (raw/bitfields/RLE), GIF
+                            # (LZW, first frame), baseline JPEG
+                            # (jpegdecode.py) — the actual 16-bin
+                            # luminance histogram. Shapes needing
+                            # PIL (progressive JPEG, exotic BMP
+                            # headers) raise UnsupportedImageError
+                            # and fall back to fake features; a
+                            # CORRUPT body raises ImageFormatError
+                            # → failure row, same D2 contract as a
+                            # malformed PDF.
                             try:
                                 res = {
                                     "feature": image_luminance_histogram(data),
@@ -189,36 +192,32 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
 def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
     """Deterministic media fixture rows.
 
-    Image payloads are REAL container bytes (PNG/JPEG/GIF/BMP round-
-    robin, built stdlib-only by kernel/imagemeta.py) so the ``headers``
-    backend decodes genuine dimensions; audio/video stay seeded bytes.
+    Image payloads are REAL pixel-true container bytes (PNG/JPEG/GIF/
+    BMP round-robin, built by kernel/imagemeta.py + jpegdecode.py) so
+    the ``headers`` backend decodes genuine dimensions AND genuine
+    luminance features for every image row; audio/video stay seeded
+    bytes.
     """
     import random
 
     from ocr_agent_spark.kernel.imagemeta import (
         build_bmp,
         build_gif,
-        build_jpeg_header,
         build_png,
     )
+    from ocr_agent_spark.kernel.jpegdecode import build_jpeg
 
-    builders = [
-        lambda w, h, i: build_png(min(w, 64), min(h, 64), seed=i),
-        lambda w, h, i: build_jpeg_header(w, h),
-        lambda w, h, i: build_gif(min(w, 64), min(h, 64), seed=i),
-        lambda w, h, i: build_bmp(min(w, 64), min(h, 64), seed=i),
-    ]
+    builders = [build_png, build_jpeg, build_gif, build_bmp]
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         rng = random.Random(f"{seed}:media:{i}")
         kind = kinds[i % 3]
         if kind == "image":
-            w = rng.randint(100, 4000)
-            h = rng.randint(100, 3000)
-            payload = builders[(i // 3) % 4](w, h, i)
-            if not payload.startswith(b"\xff\xd8"):
-                w, h = min(w, 64), min(h, 64)  # pixel builders clamp size
+            # pixel builders are pure Python — clamp fixture sizes
+            w = min(rng.randint(100, 4000), 64)
+            h = min(rng.randint(100, 3000), 64)
+            payload = builders[(i // 3) % 4](w, h, seed=i)
             rows.append((i, kind, payload, "image/fixture", w, h, None))
         else:
             payload = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))

@@ -627,14 +627,14 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
 
 
 def image_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
-    """Container-dispatched REAL luminance histogram (PNG, BMP, GIF).
+    """Container-dispatched REAL luminance histogram (PNG, BMP, GIF, JPEG).
 
     The shared entry point for the multimodal ``headers`` backend:
     PNG → ``decode_png_luminance``, BMP → ``decode_bmp_luminance``,
-    GIF → ``decode_gif_luminance`` (first frame); JPEG raises
-    UnsupportedImageError (entropy-coded DCT decode needs PIL — the one
-    container stdlib can't reasonably cover) so callers fall back to
-    fake features.
+    GIF → ``decode_gif_luminance`` (first frame), JPEG →
+    ``jpegdecode.decode_jpeg_luminance`` (baseline sequential DCT;
+    progressive/arithmetic variants raise UnsupportedImageError so
+    callers fall back to fake features).
     """
     fmt = sniff_image_format(data)
     if fmt == "png":
@@ -643,6 +643,10 @@ def image_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
         decoded = decode_bmp_luminance(data)
     elif fmt == "gif":
         decoded = decode_gif_luminance(data)
+    elif fmt == "jpeg":
+        from ocr_agent_spark.kernel.jpegdecode import decode_jpeg_luminance
+
+        decoded = decode_jpeg_luminance(data)
     else:
         raise UnsupportedImageError(f"no pixel decoder for {fmt}")
     return _luminance_histogram(*decoded, bins)

@@ -1,0 +1,649 @@
+"""Baseline JPEG luminance decode — stdlib + numpy, no PIL.
+
+Closes the last fake-feature image class (VERDICT r3 "what's missing"
+#3): JPEG is the largest image class in a real crawl, and until r4 its
+features were deterministic stand-ins. This decodes the **Y (luma)
+plane** of baseline sequential-DCT JPEGs (SOF0/SOF1):
+
+- all components are entropy-decoded (the MCU bitstream interleaves
+  them, so chroma must be Huffman-decoded to advance the stream), but
+  dequantization + IDCT run **only for Y** — downstream consumers need
+  the luminance histogram, and luma in JFIF *is* Y (the same
+  299/587/114 weighting the PNG/BMP/GIF decoders apply);
+- Huffman decode uses a 16-bit peek table per Huffman table (canonical
+  code construction per ITU-T T.81 Annex C), restart markers reset DC
+  predictors per the spec, 0xFF00 byte stuffing is stripped;
+- the IDCT is the exact separable 8×8 transform, batched over every Y
+  block in one numpy einsum (no per-pixel Python);
+- progressive (SOF2), arithmetic-coded, hierarchical, lossless and
+  12-bit variants raise ``UnsupportedImageError`` so callers fall back
+  to fake features (the documented valid-but-unsupported contract);
+  malformed streams raise ``ImageFormatError`` (failure row).
+
+Reference parity note: the reference repo performs no image decoding at
+all (it shells out to an OCR model); this module exists for the
+training-data multimodal tier, validated against real libjpeg-encoded
+files on this host plus encoder round-trips (tests).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from ocr_agent_spark.kernel.imagemeta import (
+    ImageFormatError,
+    UnsupportedImageError,
+)
+
+# Zigzag scan: stream position k holds the coefficient at raster index
+# ZIGZAG[k] of the 8x8 block (ITU-T T.81 Figure 5).
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_SOF_BASELINE = (0xC0, 0xC1)
+_SOF_UNSUPPORTED = (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                    0xCD, 0xCE, 0xCF)
+
+
+def _build_huffman_peek(bits: bytes, values: bytes) -> list:
+    """16-bit peek table: table[peek16] = (symbol, code_length).
+
+    Canonical codes (T.81 Annex C): codes of each length are
+    consecutive, starting from (prev_start + prev_count) << 1.
+    """
+    table: list = [None] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(values):
+                raise ImageFormatError("DHT count/values mismatch")
+            sym = values[k]
+            k += 1
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            if hi > 65536:
+                raise ImageFormatError("DHT code overflow")
+            entry = (sym, length)
+            for i in range(lo, hi):
+                table[i] = entry
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over one restart segment (stuffing already
+    stripped). Peeks may look past the end (synthetic 1-bit padding,
+    matching T.81's final-byte padding convention), but *consuming* any
+    synthetic bit means the stream ended mid-block → truncated."""
+
+    __slots__ = ("data", "pos", "buf", "nbits", "overrun")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+        self.overrun = 0  # synthetic bits currently in the buffer tail
+
+    def _fill(self) -> None:
+        while self.nbits < 16:
+            if self.pos < len(self.data):
+                self.buf = (self.buf << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.buf = (self.buf << 8) | 0xFF
+                self.overrun += 8
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill()
+        return (self.buf >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        if self.nbits < self.overrun:  # consumed a synthetic bit
+            raise ImageFormatError("truncated JPEG entropy stream")
+        self.buf &= (1 << self.nbits) - 1
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        v = (self.buf >> (self.nbits - n)) & ((1 << n) - 1)
+        self.skip(n)
+        return v
+
+
+def _decode_symbol(reader: _BitReader, table: list) -> int:
+    entry = table[reader.peek16()]
+    if entry is None:
+        raise ImageFormatError("invalid JPEG Huffman code")
+    sym, length = entry
+    reader.skip(length)
+    return sym
+
+
+def _extend(v: int, t: int) -> int:
+    """DIFF/coefficient sign extension (T.81 F.2.2.1 EXTEND)."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_block(reader: _BitReader, dc_table: list, ac_table: list,
+                  pred: int, out: list | None) -> int:
+    """Entropy-decode one 8×8 block; returns the new DC predictor.
+
+    ``out`` is a 64-slot list that receives zigzag-order coefficients
+    (Y blocks), or None to decode-and-discard (chroma).
+    """
+    t = _decode_symbol(reader, dc_table)
+    if t > 11:
+        raise ImageFormatError(f"JPEG DC category {t} out of range")
+    dc = pred + _extend(reader.receive(t), t)
+    if out is not None:
+        out[0] = dc
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: skip 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ImageFormatError("JPEG AC run past end of block")
+        v = _extend(reader.receive(s), s)
+        if out is not None:
+            out[k] = v
+        k += 1
+    return dc
+
+
+def _split_entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded bytes from ``start``: strip 0xFF00 stuffing, split
+    at RSTn markers. Returns (segments, index of the terminating marker).
+    """
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break  # real marker (EOI / next segment) ends the scan
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
+    """(width, height, row-major 8-bit luminance) for a baseline JPEG."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ImageFormatError("not a JPEG (missing SOI)")
+
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], list] = {}  # (class, id) -> peek table
+    sof = None  # (w, h, comps)  comps: list[(cid, hsamp, vsamp, tq)]
+    dri = 0
+    i = 2
+    n = len(data)
+    while True:
+        if i + 4 > n:
+            raise ImageFormatError("truncated JPEG (no SOS)")
+        if data[i] != 0xFF:
+            raise ImageFormatError("JPEG marker desync")
+        marker = data[i + 1]
+        if marker == 0xD9:
+            raise ImageFormatError("JPEG EOI before any scan")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise ImageFormatError("truncated JPEG segment")
+        seg = data[i + 4:i + 2 + seg_len]
+        if marker in _SOF_UNSUPPORTED:
+            raise UnsupportedImageError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}: progressive/"
+                "arithmetic/hierarchical) unsupported"
+            )
+        if marker in _SOF_BASELINE:
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise UnsupportedImageError(f"{prec}-bit JPEG unsupported")
+            if h == 0:
+                raise UnsupportedImageError("DNL-deferred JPEG height")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ImageFormatError(f"JPEG sampling {hs}x{vs} invalid")
+                comps.append((cid, hs, vs, tq))
+            sof = (int(w), int(h), comps)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                bits = seg[p + 1:p + 17]
+                if len(bits) < 16:
+                    raise ImageFormatError("truncated DHT")
+                cnt = sum(bits)
+                values = seg[p + 17:p + 17 + cnt]
+                if len(values) < cnt:
+                    raise ImageFormatError("truncated DHT values")
+                htables[(tc_th >> 4, tc_th & 0x0F)] = _build_huffman_peek(
+                    bits, values
+                )
+                p += 17 + cnt
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq == 0:
+                    q = list(seg[p + 1:p + 65])
+                    p += 65
+                else:
+                    q = [
+                        struct.unpack(">H", seg[p + 1 + 2 * j:p + 3 + 2 * j])[0]
+                        for j in range(64)
+                    ]
+                    p += 129
+                if len(q) < 64:
+                    raise ImageFormatError("truncated DQT")
+                qtables[tq] = q
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            break
+        # APPn / COM / others: skipped
+        i += 2 + seg_len
+
+    if sof is None:
+        raise ImageFormatError("JPEG SOS before SOF")
+    w, h, comps = sof
+    ns = seg[0]
+    if ns != len(comps):
+        raise UnsupportedImageError(
+            "multi-scan (non-interleaved) baseline JPEG unsupported"
+        )
+    scan: list[tuple[int, int, int, list, list]] = []  # (hs, vs, tq, dc, ac)
+    for c in range(ns):
+        cs, td_ta = seg[1 + 2 * c], seg[2 + 2 * c]
+        for cid, hs, vs, tq in comps:
+            if cid == cs:
+                break
+        else:
+            raise ImageFormatError(f"SOS references unknown component {cs}")
+        td, ta = td_ta >> 4, td_ta & 0x0F
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ImageFormatError("SOS references missing Huffman table")
+        if tq not in qtables:
+            raise ImageFormatError("SOF references missing quant table")
+        scan.append((hs, vs, tq, htables[(0, td)], htables[(1, ta)]))
+
+    # The FIRST component is luma by JFIF convention (and for grayscale
+    # it is the only one).
+    y_hs, y_vs, y_tq = scan[0][0], scan[0][1], scan[0][2]
+    hmax = max(s[0] for s in scan)
+    vmax = max(s[1] for s in scan)
+
+    # Allocation-bomb guard (mirrors the PNG/GIF/BMP guards): every Y
+    # block costs ≥2 bits (DC symbol + EOB), so the entropy bytes bound
+    # the plausible pixel count before any plane allocates.
+    entropy_len = n - (i + 2 + seg_len)
+    y_blocks_total_min = (w * h) // 64
+    if y_blocks_total_min * 2 > entropy_len * 8 + 4096:
+        raise ImageFormatError(
+            f"declared JPEG size {w}x{h} exceeds what {entropy_len} B "
+            "of entropy data can encode"
+        )
+
+    segments, _ = _split_entropy_segments(data, i + 2 + seg_len)
+
+    if ns == 1:
+        # Non-interleaved single-component scan: MCU = one block,
+        # blocks in raster order over the component's own grid.
+        bw = (w * y_hs + 8 * hmax - 1) // (8 * hmax)
+        bh = (h * y_vs + 8 * vmax - 1) // (8 * vmax)
+        mcus = bw * bh
+        layout = [(0, 1, 1)]  # (scan index, h, v) per MCU
+        y_cols, y_rows = bw, bh
+    else:
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        mcus = mcus_x * mcus_y
+        layout = [(idx, s[0], s[1]) for idx, s in enumerate(scan)]
+        y_cols, y_rows = mcus_x * y_hs, mcus_y * y_vs
+
+    n_y_blocks = y_cols * y_rows
+    y_stream = np.zeros((n_y_blocks, 64), dtype=np.float32)
+    block_buf: list = [0] * 64
+
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(scan)
+    y_count = 0
+    for mcu in range(mcus):
+        if dri and mcu and mcu % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ImageFormatError("missing JPEG restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(scan)
+        for idx, chs, cvs in layout:
+            _, _, _, dc_t, ac_t = scan[idx]
+            for _ in range(chs * cvs):
+                if idx == 0:
+                    for z in range(64):
+                        block_buf[z] = 0
+                    preds[idx] = _decode_block(
+                        reader, dc_t, ac_t, preds[idx], block_buf
+                    )
+                    y_stream[y_count] = block_buf
+                    y_count += 1
+                else:
+                    preds[idx] = _decode_block(
+                        reader, dc_t, ac_t, preds[idx], None
+                    )
+
+    # Batched dequant → dezigzag → exact separable IDCT (numpy).
+    q = np.asarray(qtables[y_tq], dtype=np.float32)
+    dezig = np.zeros_like(y_stream)
+    dezig[:, list(ZIGZAG)] = y_stream * q
+    coeff = dezig.reshape(-1, 8, 8)
+    u = np.arange(8, dtype=np.float64)
+    x = np.arange(8, dtype=np.float64)
+    A = 0.5 * np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16)
+    A[0, :] *= 1 / np.sqrt(2)
+    pixels = np.einsum("ux,nuv,vy->nxy", A, coeff.astype(np.float64), A)
+    pixels = np.clip(np.round(pixels) + 128, 0, 255).astype(np.uint8)
+
+    # Reassemble the Y plane in decode order, crop, and (if luma is
+    # subsampled relative to hmax/vmax — legal but rare) upsample by
+    # integer replication to image resolution.
+    plane = np.zeros((y_rows * 8, y_cols * 8), dtype=np.uint8)
+    if ns == 1:
+        for b in range(n_y_blocks):
+            r, c = divmod(b, y_cols)
+            plane[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = pixels[b]
+    else:
+        b = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(y_vs):
+                    for bx in range(y_hs):
+                        r = (my * y_vs + by) * 8
+                        c = (mx * y_hs + bx) * 8
+                        plane[r:r + 8, c:c + 8] = pixels[b]
+                        b += 1
+    comp_w = (w * y_hs + hmax - 1) // hmax
+    comp_h = (h * y_vs + vmax - 1) // vmax
+    plane = plane[:comp_h, :comp_w]
+    if y_hs != hmax or y_vs != vmax:
+        plane = np.repeat(
+            np.repeat(plane, vmax // y_vs, axis=0), hmax // y_hs, axis=1
+        )[:h, :w]
+    return w, h, bytearray(plane.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# Encoder — real baseline JPEG bytes for fixtures and differential tests.
+# Uses the standard example Huffman tables (ITU-T T.81 Annex K); the
+# decoder above reads tables FROM THE FILE, so an encoder-side table
+# typo cannot silently "agree" with the decoder — it would desync.
+# ---------------------------------------------------------------------------
+
+_DC_LUM = (bytes((0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)),
+           bytes(range(12)))
+_DC_CHR = (bytes((0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)),
+           bytes(range(12)))
+_AC_LUM = (bytes((0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)), bytes((
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)))
+_AC_CHR = (bytes((0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)), bytes((
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)))
+
+
+def _encode_code_map(bits: bytes, values: bytes) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical construction (encoder side)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # spec: pad with 1-bits
+
+
+def _encode_block(writer: _BitWriter, zz: list[int], pred: int,
+                  dc_map: dict, ac_map: dict) -> int:
+    diff = zz[0] - pred
+    t = abs(diff).bit_length()
+    code, ln = dc_map[t]
+    writer.put(code, ln)
+    if t:
+        writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_map[0xF0]  # ZRL
+            writer.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_map[(run << 4) | s]
+        writer.put(code, ln)
+        writer.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_map[0x00]  # EOB
+        writer.put(code, ln)
+    return zz[0]
+
+
+def encode_jpeg_baseline(y, cb=None, cr=None, sampling: tuple[int, int] = (2, 2),
+                         quant: int = 1, restart_interval: int = 0) -> bytes:
+    """Real baseline JPEG bytes from planes (numpy 2-D uint8 arrays).
+
+    ``y`` full-resolution luma; ``cb``/``cr`` (optional, both or
+    neither) already at chroma resolution ceil(w/hs) x ceil(h/vs) for
+    ``sampling`` = luma's (hs, vs). ``quant``: uniform quantization
+    step (1 = near-lossless round-trip). Standard Annex K Huffman
+    tables; optional restart markers every ``restart_interval`` MCUs.
+    """
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    color = cb is not None
+    hs, vs = sampling if color else (1, 1)
+
+    u = np.arange(8, dtype=np.float64)
+    xg = np.arange(8, dtype=np.float64)
+    A = 0.5 * np.cos((2 * xg[None, :] + 1) * u[:, None] * np.pi / 16)
+    A[0, :] *= 1 / np.sqrt(2)
+    qtab = [quant] * 64
+
+    def blocks_of(plane, bw, bh):
+        ph, pw = plane.shape
+        padded = np.full((bh * 8, bw * 8), 0, dtype=np.float64)
+        padded[:ph, :pw] = plane.astype(np.float64)
+        # replicate edges into padding (keeps high-frequency energy low)
+        padded[ph:, :pw] = padded[ph - 1:ph, :pw]
+        padded[:, pw:] = padded[:, pw - 1:pw]
+        out = []
+        for r in range(bh):
+            for c in range(bw):
+                blk = padded[r * 8:r * 8 + 8, c * 8:c * 8 + 8] - 128.0
+                F = A @ blk @ A.T
+                zz = [int(round(F[divmod(ZIGZAG[k], 8)] / quant))
+                      for k in range(64)]
+                out.append(zz)
+        return out
+
+    mcus_x = (w + 8 * hs - 1) // (8 * hs)
+    mcus_y = (h + 8 * vs - 1) // (8 * vs)
+    y_blocks = blocks_of(y, mcus_x * hs, mcus_y * vs)
+    if color:
+        cb = np.asarray(cb, dtype=np.uint8)
+        cr = np.asarray(cr, dtype=np.uint8)
+        cb_blocks = blocks_of(cb, mcus_x, mcus_y)
+        cr_blocks = blocks_of(cr, mcus_x, mcus_y)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes(qtab))
+    nc = 3 if color else 1
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof += bytes([1, (hs << 4) | vs, 0])
+    if color:
+        sof += bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    seg(0xC0, sof)
+    for (cls, tid), (bits, vals) in (
+        ((0, 0), _DC_LUM), ((1, 0), _AC_LUM),
+        *((((0, 1), _DC_CHR), ((1, 1), _AC_CHR)) if color else ()),
+    ):
+        seg(0xC4, bytes([(cls << 4) | tid]) + bits + vals)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc, 1, 0x00])
+    if color:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    dc_lum = _encode_code_map(*_DC_LUM)
+    ac_lum = _encode_code_map(*_AC_LUM)
+    if color:
+        dc_chr = _encode_code_map(*_DC_CHR)
+        ac_chr = _encode_code_map(*_AC_CHR)
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.flush()
+            out.extend(writer.out)
+            writer = _BitWriter()
+            out.extend(b"\xff" + bytes([0xD0 + (rst % 8)]))
+            rst += 1
+            preds = [0, 0, 0]
+        my, mx = divmod(mcu, mcus_x)
+        for by in range(vs):
+            for bx in range(hs):
+                idx = (my * vs + by) * (mcus_x * hs) + (mx * hs + bx)
+                preds[0] = _encode_block(writer, y_blocks[idx], preds[0],
+                                         dc_lum, ac_lum)
+        if color:
+            preds[1] = _encode_block(writer, cb_blocks[mcu], preds[1],
+                                     dc_chr, ac_chr)
+            preds[2] = _encode_block(writer, cr_blocks[mcu], preds[2],
+                                     dc_chr, ac_chr)
+    writer.flush()
+    out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def build_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic REAL grayscale baseline JPEG (fixture builder) —
+    the pixel-true sibling of ``build_png``/``build_gif``/``build_bmp``."""
+    import numpy as np
+
+    idx = np.arange(width * height, dtype=np.int64)
+    pix = ((idx * 7 + seed * 13) % 256).astype(np.uint8).reshape(height, width)
+    return encode_jpeg_baseline(pix, quant=1)
