@@ -219,6 +219,9 @@ def decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
         if data[i] != 0xFF:
             raise ImageFormatError("JPEG marker desync")
         marker = data[i + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2: optional FF padding)
+            i += 1
+            continue
         if marker == 0xD9:
             raise ImageFormatError("JPEG EOI before any scan")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:

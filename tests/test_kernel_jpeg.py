@@ -139,6 +139,16 @@ def test_real_progressive_raises_unsupported():
         decode_jpeg_luminance(open(_HOST_JPEGS["f3.jpg"], "rb").read())
 
 
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes — the walk must not read a fill byte as a segment length."""
+    y = _ramp(8, 8, mult=3, off=0)
+    data = encode_jpeg_baseline(y, quant=1)
+    sof = data.index(b"\xff\xc0")
+    padded = data[:sof] + b"\xff\xff\xff" + data[sof:]
+    assert np.array_equal(_plane(padded), _plane(data))
+
+
 def test_truncated_entropy_raises_format_error():
     data = encode_jpeg_baseline(_ramp(16, 16), quant=1)
     # cut the stream mid-entropy (well after SOS, before EOI)
