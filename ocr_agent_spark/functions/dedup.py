@@ -266,6 +266,15 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
 
 
+def _hadoop_delete(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works for
+    whatever filesystem the path's scheme names (HDFS, S3A, local)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
 def connected_components(pairs: DataFrame, max_iterations: int = 20,
                          strict: bool = True,
                          checkpoint_dir: str | None = None) -> DataFrame:
@@ -291,7 +300,10 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
     recompute them, killing the job). Pass ``checkpoint_dir`` (an
     HDFS/S3 path on a cluster) to use reliable ``checkpoint()``
     instead: same cut, rounds survive executor loss. At 100 TB always
-    set it.
+    set it. Superseded rounds' checkpoint files are deleted as the loop
+    advances (Spark itself never cleans reliable checkpoints); the
+    FINAL round's files back the returned DataFrame, so delete
+    ``checkpoint_dir`` only after consuming or persisting the result.
 
     If the loop exhausts ``max_iterations`` before converging (a chain
     longer than the budget), the labels are WRONG for the unconverged
@@ -307,16 +319,39 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
 
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
-        # setCheckpointDir is session-global; only (re)point it when the
-        # caller asked for the reliable path.
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        # Reliable path. Spark never deletes reliable checkpoint files
+        # itself (cleanCheckpoints defaults to false), and a 20-round
+        # run would otherwise leave 20 full label-table copies on
+        # HDFS/S3 permanently — so each round checkpoints into its own
+        # subdirectory and the PREVIOUS round's subdir is deleted (via
+        # the Hadoop FileSystem API, so HDFS/S3A/local all work) once
+        # the new round has materialized. Only the FINAL round's files
+        # remain: the returned DataFrame reads from them, so the caller
+        # deletes checkpoint_dir after consuming/persisting the result.
+        _round_dirs: list[str] = []
+        _round_counter = [0]
 
         def cut(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            rd = f"{checkpoint_dir.rstrip('/')}/round-{_round_counter[0]}"
+            _round_counter[0] += 1
+            spark.sparkContext.setCheckpointDir(rd)
+            out = df.checkpoint(eager=True)
+            _round_dirs.append(rd)
+            return out
+
+        def gc_superseded() -> None:
+            # Called AFTER the convergence join consumed the previous
+            # round and `labels` was reassigned — only then are older
+            # rounds' files truly unreferenced.
+            while len(_round_dirs) > 1:
+                _hadoop_delete(spark, _round_dirs.pop(0))
     else:
 
         def cut(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
+
+        def gc_superseded() -> None:
+            return None
 
     edges = persist_tracked(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -371,6 +406,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
         )
         labels.unpersist()
         labels = new_labels
+        gc_superseded()
         if changed == 0:
             break
     edges.unpersist()

@@ -214,9 +214,7 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
         rng = random.Random(f"{seed}:media:{i}")
         kind = kinds[i % 3]
         if kind == "image":
-            # pixel builders are pure Python — clamp fixture sizes
-            w = min(rng.randint(100, 4000), 64)
-            h = min(rng.randint(100, 3000), 64)
+            w = h = 64  # pixel builders are pure Python — fixed small size
             payload = builders[(i // 3) % 4](w, h, seed=i)
             rows.append((i, kind, payload, "image/fixture", w, h, None))
         else:

@@ -201,7 +201,21 @@ def _split_entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
-    """(width, height, row-major 8-bit luminance) for a baseline JPEG."""
+    """(width, height, row-major 8-bit luminance) for a baseline JPEG.
+
+    Error contract (same as the PNG/BMP/GIF decoders): malformed
+    streams raise ImageFormatError, valid-but-unsupported shapes raise
+    UnsupportedImageError — never a raw struct/index error.
+    """
+    try:
+        return _decode_jpeg_luminance(data)
+    except (ImageFormatError, UnsupportedImageError):
+        raise
+    except (struct.error, IndexError, ValueError, KeyError) as exc:
+        raise ImageFormatError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -316,6 +330,15 @@ def decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
     y_hs, y_vs, y_tq = scan[0][0], scan[0][1], scan[0][2]
     hmax = max(s[0] for s in scan)
     vmax = max(s[1] for s in scan)
+    if hmax % y_hs or vmax % y_vs:
+        # Luma subsampled by a NON-INTEGER ratio vs the max factor
+        # (e.g. Y=3x3, C=4x4) — legal but exotic; integer replication
+        # can't reach image resolution, so fall back rather than
+        # return a luminance buffer shorter than width*height.
+        raise UnsupportedImageError(
+            f"non-integer luma upsample ratio {y_hs}x{y_vs} vs "
+            f"{hmax}x{vmax} unsupported"
+        )
 
     # Allocation-bomb guard (mirrors the PNG/GIF/BMP guards): every Y
     # block costs ≥2 bits (DC symbol + EOB), so the entropy bytes bound
@@ -413,6 +436,10 @@ def decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
         plane = np.repeat(
             np.repeat(plane, vmax // y_vs, axis=0), hmax // y_hs, axis=1
         )[:h, :w]
+    if plane.shape != (h, w):  # invariant: len(lum) == width*height
+        raise ImageFormatError(
+            f"decoded luma plane {plane.shape} != declared {h}x{w}"
+        )
     return w, h, bytearray(plane.tobytes())
 
 

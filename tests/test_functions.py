@@ -187,6 +187,11 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
     ]
     assert written, "reliable checkpoint wrote nothing under checkpoint_dir"
+    # superseded rounds are deleted as the loop advances (Spark never
+    # cleans reliable checkpoints itself) — only the final round's
+    # subdir may remain, so a 20-round run can't leave 20 table copies
+    rounds = [d for d in os.listdir(ckpt) if d.startswith("round-")]
+    assert len(rounds) == 1, rounds
 
 
 def test_connected_components_nonconvergence_raises(spark):

@@ -171,6 +171,40 @@ def test_declared_size_bomb_rejects_before_allocation():
     assert time.monotonic() - t0 < 1.0
 
 
+def test_malformed_segments_raise_format_error_not_struct_error():
+    """Error contract: short/garbled segment payloads must surface as
+    ImageFormatError, never raw struct.error/IndexError (review r4)."""
+    # SOF claiming seg_len=4 but needing 6+ payload bytes
+    with pytest.raises(ImageFormatError):
+        decode_jpeg_luminance(b"\xff\xd8\xff\xc0\x00\x04\x08\x00")
+    # truncated DRI payload
+    with pytest.raises(ImageFormatError):
+        decode_jpeg_luminance(b"\xff\xd8\xff\xdd\x00\x03\x01")
+    # SOS whose component list is cut short
+    data = bytearray(encode_jpeg_baseline(_ramp(8, 8), quant=1))
+    sos = data.index(b"\xff\xda")
+    broken = bytes(data[:sos]) + b"\xff\xda\x00\x03\x03"
+    with pytest.raises(ImageFormatError):
+        decode_jpeg_luminance(broken)
+
+
+def test_non_integer_luma_upsample_ratio_unsupported():
+    """Y=3x3 with chroma 4x4 is legal but integer replication cannot
+    reach image resolution — must fall back (Unsupported), not return a
+    short luminance buffer."""
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    cb = np.full((16, 16), 128, np.uint8)
+    data = bytearray(encode_jpeg_baseline(y, cb, cb, sampling=(1, 1), quant=1))
+    sof = data.index(b"\xff\xc0")
+    # component spec triplets start at SOF payload offset 6 (+4 marker/len)
+    data[sof + 11] = 0x33  # Y h,v = 3,3
+    data[sof + 14] = 0x44  # Cb h,v = 4,4
+    data[sof + 17] = 0x44  # Cr h,v = 4,4
+    with pytest.raises(UnsupportedImageError, match="non-integer"):
+        decode_jpeg_luminance(bytes(data))
+
+
 def test_garbage_and_header_only_are_format_errors():
     from ocr_agent_spark.kernel.imagemeta import build_jpeg_header
 
