@@ -10,14 +10,15 @@ but image **metadata** decoding is real (stdlib header parsing):
   width/height from PNG/JPEG/GIF/BMP headers (kernel/imagemeta.py);
   malformed image payloads become failure rows. For PNGs (every legal
   shape: all depths, palette, Adam7), BMPs (raw, bitfields, RLE8/4),
-  GIFs (pure-Python LZW, first frame, interlace) and baseline JPEGs
-  (kernel/jpegdecode.py: full Huffman + batched-numpy IDCT of the luma
-  plane) the feature vector is also REAL: a 16-bin luminance histogram
-  from a full pixel decode (``imagemeta.image_luminance_histogram``) —
+  GIFs (pure-Python LZW, first frame, interlace) and JPEGs — baseline
+  AND progressive (kernel/jpegdecode.py: full Huffman + T.81 Annex G
+  scan accumulation + batched-numpy IDCT of the luma plane) — the
+  feature vector is also REAL: a 16-bin luminance histogram from a
+  full pixel decode (``imagemeta.image_luminance_histogram``) —
   validated against real-encoder files on this host for all four
-  formats. Progressive/arithmetic JPEGs fall back to fake features
-  (``feature_source='fake'``), and audio/video metadata stays faked
-  (needs ffmpeg).
+  formats in both JPEG coding modes. Arithmetic-coded JPEGs fall back
+  to fake features (``feature_source='fake'``), and audio/video
+  metadata stays faked (needs ffmpeg).
 - ``decode_backend="fake"``  → everything faked, keyed on payload
   bytes (stable hashes → stable "pixels") — plumbing-only mode.
 - ``decode_backend="none"``  → NotImplementedError per row, surfaced as
@@ -96,11 +97,12 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
     PDF in the extraction stage.
 
     ``feature_source`` says per row whether ``feature`` came from a
-    real pixel decode (``"real"``: PNG/BMP/GIF/baseline-JPEG luminance
-    histogram) or a deterministic stand-in (``"fake"``: progressive
-    JPEG, audio, video — no PIL/ffmpeg in this environment). Downstream
-    consumers at corpus scale should filter ``feature_source = 'real'``
-    rather than reverse-engineering which formats decode.
+    real pixel decode (``"real"``: PNG/BMP/GIF/JPEG-baseline/
+    JPEG-progressive luminance histogram) or a deterministic stand-in
+    (``"fake"``: arithmetic-coded JPEG, audio, video — no PIL/ffmpeg in
+    this environment). Downstream consumers at corpus scale should
+    filter ``feature_source = 'real'`` rather than reverse-engineering
+    which formats decode.
     """
     spark = media.sparkSession
     if num_partitions is None:
@@ -137,15 +139,16 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                             res = None
                             # REAL pixel decode: PNG (every legal
                             # shape), BMP (raw/bitfields/RLE), GIF
-                            # (LZW, first frame), baseline JPEG
-                            # (jpegdecode.py) — the actual 16-bin
-                            # luminance histogram. Shapes needing
-                            # PIL (progressive JPEG, exotic BMP
-                            # headers) raise UnsupportedImageError
-                            # and fall back to fake features; a
-                            # CORRUPT body raises ImageFormatError
-                            # → failure row, same D2 contract as a
-                            # malformed PDF.
+                            # (LZW, first frame), JPEG baseline +
+                            # progressive (jpegdecode.py) — the
+                            # actual 16-bin luminance histogram.
+                            # Shapes needing PIL (arithmetic JPEG,
+                            # exotic BMP headers) raise
+                            # UnsupportedImageError and fall back
+                            # to fake features; a CORRUPT body
+                            # raises ImageFormatError → failure
+                            # row, same D2 contract as a malformed
+                            # PDF.
                             try:
                                 res = {
                                     "feature": image_luminance_histogram(data),

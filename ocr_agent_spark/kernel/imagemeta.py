@@ -632,9 +632,9 @@ def image_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
     The shared entry point for the multimodal ``headers`` backend:
     PNG → ``decode_png_luminance``, BMP → ``decode_bmp_luminance``,
     GIF → ``decode_gif_luminance`` (first frame), JPEG →
-    ``jpegdecode.decode_jpeg_luminance`` (baseline sequential DCT;
-    progressive/arithmetic variants raise UnsupportedImageError so
-    callers fall back to fake features).
+    ``jpegdecode.decode_jpeg_luminance`` (baseline sequential AND
+    progressive DCT; arithmetic-coded variants raise
+    UnsupportedImageError so callers fall back to fake features).
     """
     fmt = sniff_image_format(data)
     if fmt == "png":

@@ -1,29 +1,43 @@
-"""Baseline JPEG luminance decode — stdlib + numpy, no PIL.
+"""JPEG luminance decode (baseline AND progressive) — stdlib + numpy.
 
 Closes the last fake-feature image class (VERDICT r3 "what's missing"
 #3): JPEG is the largest image class in a real crawl, and until r4 its
 features were deterministic stand-ins. This decodes the **Y (luma)
-plane** of baseline sequential-DCT JPEGs (SOF0/SOF1):
+plane** of both sequential-DCT (SOF0/SOF1) and progressive-DCT (SOF2)
+JPEGs:
 
-- all components are entropy-decoded (the MCU bitstream interleaves
-  them, so chroma must be Huffman-decoded to advance the stream), but
-  dequantization + IDCT run **only for Y** — downstream consumers need
-  the luminance histogram, and luma in JFIF *is* Y (the same
-  299/587/114 weighting the PNG/BMP/GIF decoders apply);
+- baseline: all components are entropy-decoded (the MCU bitstream
+  interleaves them, so chroma must be Huffman-decoded to advance the
+  stream), but dequantization + IDCT run **only for Y** — downstream
+  consumers need the luminance histogram, and luma in JFIF *is* Y (the
+  same 299/587/114 weighting the PNG/BMP/GIF decoders apply);
+- progressive (T.81 Annex G): DC scans (interleaved or not) decode all
+  components; AC scans are single-component by spec, so **chroma AC
+  scans are skipped wholesale** (their entropy data is
+  segment-contained) — spectral-selection bands and
+  successive-approximation refinement passes (EOB runs, ZRL-with-
+  correction-bits, newly-significant insertion) accumulate into the Y
+  coefficient array;
 - Huffman decode uses a 16-bit peek table per Huffman table (canonical
   code construction per ITU-T T.81 Annex C), restart markers reset DC
-  predictors per the spec, 0xFF00 byte stuffing is stripped;
+  predictors and EOB runs per the spec, 0xFF00 byte stuffing stripped;
 - the IDCT is the exact separable 8×8 transform, batched over every Y
   block in one numpy einsum (no per-pixel Python);
-- progressive (SOF2), arithmetic-coded, hierarchical, lossless and
-  12-bit variants raise ``UnsupportedImageError`` so callers fall back
-  to fake features (the documented valid-but-unsupported contract);
-  malformed streams raise ``ImageFormatError`` (failure row).
+- arithmetic-coded, hierarchical, lossless and 12-bit variants raise
+  ``UnsupportedImageError`` so callers fall back to fake features (the
+  documented valid-but-unsupported contract); malformed streams raise
+  ``ImageFormatError`` (failure row).
+
+Ground truth: real libjpeg-encoded files on this host (baseline AND
+progressive), plus in-repo encoders for BOTH coding modes — the
+progressive encoder emits the same quantized coefficients as the
+baseline one, so progressive decode must equal baseline decode
+pixel-for-pixel (differential-tested across gray/4:4:4/4:2:2/4:2:0,
+spectral splits, successive approximation, EOB runs, restarts).
 
 Reference parity note: the reference repo performs no image decoding at
 all (it shells out to an OCR model); this module exists for the
-training-data multimodal tier, validated against real libjpeg-encoded
-files on this host plus encoder round-trips (tests).
+training-data multimodal tier.
 """
 
 from __future__ import annotations
@@ -45,7 +59,7 @@ ZIGZAG = (
 )
 
 _SOF_BASELINE = (0xC0, 0xC1)
-_SOF_UNSUPPORTED = (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+_SOF_UNSUPPORTED = (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                     0xCD, 0xCE, 0xCF)
 
 
@@ -215,42 +229,46 @@ def decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
         raise ImageFormatError(f"malformed JPEG stream: {exc!r}") from exc
 
 
-def _decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
-    import numpy as np
-
+def _parse_jpeg(data: bytes) -> dict:
+    """Walk the ENTIRE stream: tables, frame header, and every scan
+    (header + entropy segments). Huffman tables are bound to a scan at
+    its SOS position (progressive files redefine DHT between scans).
+    """
     if data[:2] != b"\xff\xd8":
         raise ImageFormatError("not a JPEG (missing SOI)")
-
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], list] = {}  # (class, id) -> peek table
-    sof = None  # (w, h, comps)  comps: list[(cid, hsamp, vsamp, tq)]
+    sof = None  # (w, h, comps); comps: list[(cid, hsamp, vsamp, tq)]
+    progressive = False
     dri = 0
+    scans: list[dict] = []
     i = 2
     n = len(data)
-    while True:
-        if i + 4 > n:
-            raise ImageFormatError("truncated JPEG (no SOS)")
+    while i + 2 <= n:
         if data[i] != 0xFF:
             raise ImageFormatError("JPEG marker desync")
         marker = data[i + 1]
         if marker == 0xFF:  # fill byte (T.81 B.1.1.2: optional FF padding)
             i += 1
             continue
-        if marker == 0xD9:
-            raise ImageFormatError("JPEG EOI before any scan")
+        if marker == 0xD9:  # EOI
+            break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
+        if i + 4 > n:
+            raise ImageFormatError("truncated JPEG segment")
         seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
         if seg_len < 2 or i + 2 + seg_len > n:
             raise ImageFormatError("truncated JPEG segment")
         seg = data[i + 4:i + 2 + seg_len]
         if marker in _SOF_UNSUPPORTED:
             raise UnsupportedImageError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}: progressive/"
-                "arithmetic/hierarchical) unsupported"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/hierarchical/"
+                "lossless) unsupported"
             )
-        if marker in _SOF_BASELINE:
+        if marker in _SOF_BASELINE or marker == 0xC2:
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise UnsupportedImageError(f"{prec}-bit JPEG unsupported")
@@ -298,38 +316,302 @@ def _decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
-            break
+            if sof is None:
+                raise ImageFormatError("JPEG SOS before SOF")
+            ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ImageFormatError("truncated SOS header")
+            scomps = []
+            for c in range(ns):
+                cs, td_ta = seg[1 + 2 * c], seg[2 + 2 * c]
+                for idx, (cid, hs, vs, tq) in enumerate(sof[2]):
+                    if cid == cs:
+                        break
+                else:
+                    raise ImageFormatError(
+                        f"SOS references unknown component {cs}"
+                    )
+                td, ta = td_ta >> 4, td_ta & 0x0F
+                # Tables resolve lazily: a DC-refinement scan reads no
+                # Huffman table at all, so absence only errors on use.
+                scomps.append({
+                    "idx": idx, "hs": hs, "vs": vs,
+                    "dc": htables.get((0, td)), "ac": htables.get((1, ta)),
+                })
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            segments, i = _split_entropy_segments(data, i + 2 + seg_len)
+            scans.append({
+                "comps": scomps, "ss": ss, "se": se,
+                "ah": ah_al >> 4, "al": ah_al & 0x0F,
+                "dri": dri, "segments": segments,
+            })
+            continue
         # APPn / COM / others: skipped
         i += 2 + seg_len
 
     if sof is None:
-        raise ImageFormatError("JPEG SOS before SOF")
-    w, h, comps = sof
-    ns = seg[0]
-    if ns != len(comps):
+        raise ImageFormatError("JPEG stream has no frame header")
+    if not scans:
+        raise ImageFormatError("JPEG stream has no scan")
+    return {"w": sof[0], "h": sof[1], "comps": sof[2],
+            "qtables": qtables, "scans": scans, "progressive": progressive}
+
+
+class _ScanCursor:
+    """Restart-aware segment/bit-reader cursor for one scan: advances to
+    the next RST segment every ``dri`` units, resetting predictors and
+    the EOB run per T.81."""
+
+    def __init__(self, scan: dict, n_comps: int):
+        self.segments = scan["segments"]
+        self.dri = scan["dri"]
+        self.seg_idx = 0
+        self.reader = _BitReader(self.segments[0])
+        self.preds = [0] * n_comps
+        self.eobrun = 0
+
+    def at_unit(self, unit: int) -> _BitReader:
+        if self.dri and unit and unit % self.dri == 0:
+            self.seg_idx += 1
+            if self.seg_idx >= len(self.segments):
+                raise ImageFormatError("missing JPEG restart segment")
+            self.reader = _BitReader(self.segments[self.seg_idx])
+            self.preds = [0] * len(self.preds)
+            self.eobrun = 0
+        return self.reader
+
+
+def _interleaved_y_index(mcu: int, b: int, mcus_x: int, y_hs: int,
+                         y_vs: int, grid_cols: int) -> int:
+    """Padded-grid index of the b-th Y block (raster within MCU) of an
+    interleaved MCU."""
+    my, mx = divmod(mcu, mcus_x)
+    by, bx = divmod(b, y_hs)
+    return (my * y_vs + by) * grid_cols + (mx * y_hs + bx)
+
+
+def _baseline_y_coefficients(pr: dict, geom: dict) -> list[list[int]]:
+    """Sequential-DCT path: one scan, full band, no approximation."""
+    scan = pr["scans"][0]
+    comps = pr["comps"]
+    if scan["ss"] != 0 or scan["se"] != 63 or scan["ah"] or scan["al"]:
+        raise ImageFormatError("baseline JPEG scan with progressive params")
+    if len(scan["comps"]) != len(comps):
         raise UnsupportedImageError(
             "multi-scan (non-interleaved) baseline JPEG unsupported"
         )
-    scan: list[tuple[int, int, int, list, list]] = []  # (hs, vs, tq, dc, ac)
-    for c in range(ns):
-        cs, td_ta = seg[1 + 2 * c], seg[2 + 2 * c]
-        for cid, hs, vs, tq in comps:
-            if cid == cs:
-                break
-        else:
-            raise ImageFormatError(f"SOS references unknown component {cs}")
-        td, ta = td_ta >> 4, td_ta & 0x0F
-        if (0, td) not in htables or (1, ta) not in htables:
+    for sc in scan["comps"]:
+        if sc["dc"] is None or sc["ac"] is None:
             raise ImageFormatError("SOS references missing Huffman table")
-        if tq not in qtables:
-            raise ImageFormatError("SOF references missing quant table")
-        scan.append((hs, vs, tq, htables[(0, td)], htables[(1, ta)]))
 
-    # The FIRST component is luma by JFIF convention (and for grayscale
-    # it is the only one).
-    y_hs, y_vs, y_tq = scan[0][0], scan[0][1], scan[0][2]
-    hmax = max(s[0] for s in scan)
-    vmax = max(s[1] for s in scan)
+    coef = [[0] * 64 for _ in range(geom["n_blocks"])]
+    cursor = _ScanCursor(scan, len(comps))
+    interleaved = len(comps) > 1
+    mcus = (geom["mcus_x"] * geom["mcus_y"]) if interleaved else (
+        geom["bw"] * geom["bh"]
+    )
+    for mcu in range(mcus):
+        reader = cursor.at_unit(mcu)
+        for ci, sc in enumerate(scan["comps"]):
+            nb = (sc["hs"] * sc["vs"]) if interleaved else 1
+            for b in range(nb):
+                if ci == 0:
+                    if interleaved:
+                        idx = _interleaved_y_index(
+                            mcu, b, geom["mcus_x"], geom["y_hs"],
+                            geom["y_vs"], geom["grid_cols"]
+                        )
+                    else:
+                        idx = mcu
+                    cursor.preds[ci] = _decode_block(
+                        reader, sc["dc"], sc["ac"], cursor.preds[ci],
+                        coef[idx]
+                    )
+                else:
+                    cursor.preds[ci] = _decode_block(
+                        reader, sc["dc"], sc["ac"], cursor.preds[ci], None
+                    )
+    return coef
+
+
+def _progressive_y_coefficients(pr: dict, geom: dict) -> list[list[int]]:
+    """Progressive-DCT path (T.81 G): DC scans (spectral 0,0) decode all
+    components (the bitstream interleaves them); AC scans are per spec
+    single-component — chroma AC scans are SKIPPED wholesale (their
+    entropy data is segment-contained), Y AC scans accumulate into the
+    coefficient array across spectral bands and successive-approximation
+    passes."""
+    comps = pr["comps"]
+    coef = [[0] * 64 for _ in range(geom["n_blocks"])]
+    interleavable = len(comps) > 1
+
+    for scan in pr["scans"]:
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        scomps = scan["comps"]
+        if ss == 0:
+            # ---- DC scan ----
+            if se != 0:
+                raise ImageFormatError(
+                    "progressive scan mixes DC and AC (Ss=0, Se>0)"
+                )
+            if not any(sc["idx"] == 0 for sc in scomps):
+                continue  # chroma-only DC scan: segment-contained, skip
+            cursor = _ScanCursor(scan, len(scomps))
+            interleaved = len(scomps) > 1
+            if interleaved:
+                mcus = geom["mcus_x"] * geom["mcus_y"]
+                y_bw = None
+            else:
+                y_bw, y_bh = _comp_blocks(pr, geom, scomps[0])
+                mcus = y_bw * y_bh
+
+            def y_index(mcu: int, b: int) -> int:
+                if interleaved:
+                    return _interleaved_y_index(
+                        mcu, b, geom["mcus_x"], geom["y_hs"],
+                        geom["y_vs"], geom["grid_cols"]
+                    )
+                r, c = divmod(mcu, y_bw)
+                return r * geom["grid_cols"] + c
+
+            for mcu in range(mcus):
+                reader = cursor.at_unit(mcu)
+                for ci, sc in enumerate(scomps):
+                    nb = (sc["hs"] * sc["vs"]) if interleaved else 1
+                    for b in range(nb):
+                        is_y = sc["idx"] == 0
+                        if ah == 0:
+                            if sc["dc"] is None:
+                                raise ImageFormatError(
+                                    "DC scan references missing Huffman table"
+                                )
+                            t = _decode_symbol(reader, sc["dc"])
+                            if t > 11:
+                                raise ImageFormatError(
+                                    f"JPEG DC category {t} out of range"
+                                )
+                            cursor.preds[ci] += _extend(reader.receive(t), t)
+                            if is_y:
+                                coef[y_index(mcu, b)][0] = (
+                                    cursor.preds[ci] << al
+                                )
+                        else:
+                            bit = reader.receive(1)
+                            if is_y and bit:
+                                coef[y_index(mcu, b)][0] |= bit << al
+            continue
+
+        # ---- AC scan: single component by spec ----
+        if len(scomps) != 1:
+            raise ImageFormatError("interleaved progressive AC scan")
+        if se < ss or se > 63:
+            raise ImageFormatError(f"bad spectral band {ss}..{se}")
+        sc = scomps[0]
+        if sc["idx"] != 0:
+            continue  # chroma AC: never needed for luminance
+        if sc["ac"] is None:
+            raise ImageFormatError("AC scan references missing Huffman table")
+        bw, bh = _comp_blocks(pr, geom, sc)
+        cursor = _ScanCursor(scan, 1)
+        p1 = 1 << al
+        for blk in range(bw * bh):
+            reader = cursor.at_unit(blk)
+            if interleavable:
+                r, c = divmod(blk, bw)
+                cf = coef[r * geom["grid_cols"] + c]
+            else:
+                cf = coef[blk]
+            if ah == 0:
+                # first pass for this band
+                if cursor.eobrun > 0:
+                    cursor.eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_symbol(reader, sc["ac"])
+                    r_, s_ = rs >> 4, rs & 0x0F
+                    if s_:
+                        k += r_
+                        if k > se:
+                            raise ImageFormatError("AC run past band end")
+                        cf[k] = _extend(reader.receive(s_), s_) << al
+                        k += 1
+                    else:
+                        if r_ == 15:
+                            k += 16
+                            continue
+                        cursor.eobrun = (1 << r_) - 1
+                        if r_:
+                            cursor.eobrun += reader.receive(r_)
+                        break
+            else:
+                # refinement pass (T.81 G.1.2.3.2)
+                if cursor.eobrun > 0:
+                    cursor.eobrun -= 1
+                    _refine_band(reader, cf, ss, se, p1)
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_symbol(reader, sc["ac"])
+                    r_, s_ = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s_ == 0:
+                        if r_ != 15:
+                            cursor.eobrun = (1 << r_) - 1
+                            if r_:
+                                cursor.eobrun += reader.receive(r_)
+                            break
+                        # ZRL: pass 16 zero-history coefficients
+                    else:
+                        if s_ != 1:
+                            raise ImageFormatError(
+                                "AC refinement magnitude must be 1"
+                            )
+                        val = p1 if reader.receive(1) else -p1
+                    while k <= se:
+                        if cf[k]:
+                            if reader.receive(1) and not (cf[k] & p1):
+                                cf[k] += p1 if cf[k] > 0 else -p1
+                        else:
+                            if r_ == 0:
+                                break
+                            r_ -= 1
+                        k += 1
+                    if val and k <= se:
+                        cf[k] = val
+                    k += 1
+                if k <= se:
+                    # EOB hit: the REST of this block's band still
+                    # receives correction bits for nonzero coefficients
+                    _refine_band(reader, cf, k, se, p1)
+    return coef
+
+
+def _refine_band(reader: _BitReader, cf: list[int], k: int, se: int,
+                 p1: int) -> None:
+    for kk in range(k, se + 1):
+        if cf[kk]:
+            if reader.receive(1) and not (cf[kk] & p1):
+                cf[kk] += p1 if cf[kk] > 0 else -p1
+
+
+def _comp_blocks(pr: dict, geom: dict, sc: dict) -> tuple[int, int]:
+    """Nominal (non-interleaved) block grid of a scan component."""
+    _, hs, vs, _ = pr["comps"][sc["idx"]]
+    cw = (pr["w"] * hs + geom["hmax"] - 1) // geom["hmax"]
+    ch = (pr["h"] * vs + geom["vmax"] - 1) // geom["vmax"]
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
+    import numpy as np
+
+    pr = _parse_jpeg(data)
+    w, h, comps = pr["w"], pr["h"], pr["comps"]
+    _, y_hs, y_vs, y_tq = comps[0]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     if hmax % y_hs or vmax % y_vs:
         # Luma subsampled by a NON-INTEGER ratio vs the max factor
         # (e.g. Y=3x3, C=4x4) — legal but exotic; integer replication
@@ -339,68 +621,45 @@ def _decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
             f"non-integer luma upsample ratio {y_hs}x{y_vs} vs "
             f"{hmax}x{vmax} unsupported"
         )
+    if y_tq not in pr["qtables"]:
+        raise ImageFormatError("SOF references missing quant table")
 
     # Allocation-bomb guard (mirrors the PNG/GIF/BMP guards): every Y
-    # block costs ≥2 bits (DC symbol + EOB), so the entropy bytes bound
-    # the plausible pixel count before any plane allocates.
-    entropy_len = n - (i + 2 + seg_len)
-    y_blocks_total_min = (w * h) // 64
-    if y_blocks_total_min * 2 > entropy_len * 8 + 4096:
+    # block costs ≥2 bits in its cheapest scan, so the total entropy
+    # bytes bound the plausible pixel count before any plane allocates.
+    entropy_len = sum(
+        len(s) for scan in pr["scans"] for s in scan["segments"]
+    )
+    if ((w * h) // 64) * 2 > entropy_len * 8 + 4096:
         raise ImageFormatError(
             f"declared JPEG size {w}x{h} exceeds what {entropy_len} B "
             "of entropy data can encode"
         )
 
-    segments, _ = _split_entropy_segments(data, i + 2 + seg_len)
-
-    if ns == 1:
-        # Non-interleaved single-component scan: MCU = one block,
-        # blocks in raster order over the component's own grid.
-        bw = (w * y_hs + 8 * hmax - 1) // (8 * hmax)
-        bh = (h * y_vs + 8 * vmax - 1) // (8 * vmax)
-        mcus = bw * bh
-        layout = [(0, 1, 1)]  # (scan index, h, v) per MCU
-        y_cols, y_rows = bw, bh
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_w = (w * y_hs + hmax - 1) // hmax
+    comp_h = (h * y_vs + vmax - 1) // vmax
+    bw, bh = (comp_w + 7) // 8, (comp_h + 7) // 8
+    if len(comps) == 1:
+        grid_cols, grid_rows = bw, bh
     else:
-        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-        mcus = mcus_x * mcus_y
-        layout = [(idx, s[0], s[1]) for idx, s in enumerate(scan)]
-        y_cols, y_rows = mcus_x * y_hs, mcus_y * y_vs
+        grid_cols, grid_rows = mcus_x * y_hs, mcus_y * y_vs
+    geom = {
+        "mcus_x": mcus_x, "mcus_y": mcus_y, "hmax": hmax, "vmax": vmax,
+        "y_hs": y_hs, "y_vs": y_vs, "bw": bw, "bh": bh,
+        "grid_cols": grid_cols, "grid_rows": grid_rows,
+        "n_blocks": grid_cols * grid_rows,
+    }
 
-    n_y_blocks = y_cols * y_rows
-    y_stream = np.zeros((n_y_blocks, 64), dtype=np.float32)
-    block_buf: list = [0] * 64
-
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    preds = [0] * len(scan)
-    y_count = 0
-    for mcu in range(mcus):
-        if dri and mcu and mcu % dri == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ImageFormatError("missing JPEG restart segment")
-            reader = _BitReader(segments[seg_idx])
-            preds = [0] * len(scan)
-        for idx, chs, cvs in layout:
-            _, _, _, dc_t, ac_t = scan[idx]
-            for _ in range(chs * cvs):
-                if idx == 0:
-                    for z in range(64):
-                        block_buf[z] = 0
-                    preds[idx] = _decode_block(
-                        reader, dc_t, ac_t, preds[idx], block_buf
-                    )
-                    y_stream[y_count] = block_buf
-                    y_count += 1
-                else:
-                    preds[idx] = _decode_block(
-                        reader, dc_t, ac_t, preds[idx], None
-                    )
+    if pr["progressive"]:
+        coef_rows = _progressive_y_coefficients(pr, geom)
+    else:
+        coef_rows = _baseline_y_coefficients(pr, geom)
 
     # Batched dequant → dezigzag → exact separable IDCT (numpy).
-    q = np.asarray(qtables[y_tq], dtype=np.float32)
+    y_stream = np.asarray(coef_rows, dtype=np.float32)
+    q = np.asarray(pr["qtables"][y_tq], dtype=np.float32)
     dezig = np.zeros_like(y_stream)
     dezig[:, list(ZIGZAG)] = y_stream * q
     coeff = dezig.reshape(-1, 8, 8)
@@ -411,26 +670,14 @@ def _decode_jpeg_luminance(data: bytes) -> tuple[int, int, bytearray]:
     pixels = np.einsum("ux,nuv,vy->nxy", A, coeff.astype(np.float64), A)
     pixels = np.clip(np.round(pixels) + 128, 0, 255).astype(np.uint8)
 
-    # Reassemble the Y plane in decode order, crop, and (if luma is
-    # subsampled relative to hmax/vmax — legal but rare) upsample by
-    # integer replication to image resolution.
-    plane = np.zeros((y_rows * 8, y_cols * 8), dtype=np.uint8)
-    if ns == 1:
-        for b in range(n_y_blocks):
-            r, c = divmod(b, y_cols)
-            plane[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = pixels[b]
-    else:
-        b = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for by in range(y_vs):
-                    for bx in range(y_hs):
-                        r = (my * y_vs + by) * 8
-                        c = (mx * y_hs + bx) * 8
-                        plane[r:r + 8, c:c + 8] = pixels[b]
-                        b += 1
-    comp_w = (w * y_hs + hmax - 1) // hmax
-    comp_h = (h * y_vs + vmax - 1) // vmax
+    # Y blocks are stored at PADDED-GRID positions, so assembly is one
+    # vectorized raster reshape; then crop and (if luma is subsampled
+    # relative to hmax/vmax — legal but rare) integer-replicate up.
+    plane = (
+        pixels.reshape(grid_rows, grid_cols, 8, 8)
+        .swapaxes(1, 2)
+        .reshape(grid_rows * 8, grid_cols * 8)
+    )
     plane = plane[:comp_h, :comp_w]
     if y_hs != hmax or y_vs != vmax:
         plane = np.repeat(
@@ -486,6 +733,18 @@ _AC_CHR = (bytes((0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)), bytes((
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 )))
+
+
+# Progressive AC table: the Annex K sequential tables carry only EOB0
+# (0x00) — progressive EOBn run codes (0x10..0xE0) need their own
+# table. A flat 8-bit canonical table over every symbol a progressive
+# AC scan can emit (EOBn r=0..14, ZRL, run/size r=0..15 s=1..10) is
+# valid and trivially correct; real encoders optimize, we don't need to.
+_AC_PROG_SYMS = bytes(sorted(
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+))
+_AC_PROG = (bytes([0] * 7 + [len(_AC_PROG_SYMS)] + [0] * 8), _AC_PROG_SYMS)
 
 
 def _encode_code_map(bits: bytes, values: bytes) -> dict[int, tuple[int, int]]:
@@ -665,6 +924,306 @@ def encode_jpeg_baseline(y, cb=None, cr=None, sampling: tuple[int, int] = (2, 2)
                                      dc_chr, ac_chr)
     writer.flush()
     out.extend(writer.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _enc_dc_first(writer, blocks, order, preds, ci, al, dc_map):
+    for idx in order:
+        v = blocks[idx][0] >> al  # arithmetic shift (T.81 G.1.2.1)
+        diff = v - preds[ci]
+        preds[ci] = v
+        t = abs(diff).bit_length()
+        code, ln = dc_map[t]
+        writer.put(code, ln)
+        if t:
+            writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _enc_ac_first(writer, blocks, order, ss, se, al, ac_map):
+    """AC first pass for one band: run-lengths + EOB-run accumulation."""
+    def trunc(v):  # divide by 2^al truncating toward zero (G.1.2.2)
+        return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            r = min(eobrun.bit_length() - 1, 14)
+            code, ln = ac_map[r << 4]
+            writer.put(code, ln)
+            if r:
+                writer.put(min(eobrun, (1 << (r + 1)) - 1) - (1 << r), r)
+            eobrun -= min(eobrun, (1 << (r + 1)) - 1)
+
+    for idx in order:
+        zz = blocks[idx]
+        vals = [(k, trunc(zz[k])) for k in range(ss, se + 1)]
+        nz = [(k, v) for k, v in vals if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        prev = ss - 1
+        for k, v in nz:
+            run = k - prev - 1
+            while run > 15:
+                code, ln = ac_map[0xF0]
+                writer.put(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            code, ln = ac_map[(run << 4) | s]
+            writer.put(code, ln)
+            writer.put(v if v >= 0 else v + (1 << s) - 1, s)
+            prev = k
+        if prev < se:
+            eobrun += 1  # trailing zeros: this block ends with EOB
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(writer, blocks, order, ss, se, ah, al, ac_map):
+    """AC refinement pass (T.81 G.1.2.3 encoder): newly-significant
+    coefficients as run/1 codes with sign bits; history coefficients as
+    correction bits interleaved exactly where the decoder reads them;
+    EOB runs carry the skipped blocks' buffered correction bits."""
+    eob_pending = False
+    eobrun = 0
+    pending_bits: list[int] = []
+
+    def flush():
+        nonlocal eob_pending, eobrun, pending_bits
+        if not eob_pending:
+            return
+        # The decoder reads this EOB inside the FIRST pending block and
+        # then skips `eobrun` MORE blocks: the coded value is the extra
+        # count n, representable with r = (n+1).bit_length()-1 since
+        # decode yields (1<<r)-1 + extra.
+        r = (eobrun + 1).bit_length() - 1
+        code, ln = ac_map[r << 4]
+        writer.put(code, ln)
+        if r:
+            writer.put(eobrun - ((1 << r) - 1), r)
+        for b in pending_bits:
+            writer.put(b, 1)
+        eob_pending = False
+        eobrun = 0
+        pending_bits = []
+
+    for idx in order:
+        zz = blocks[idx]
+        # classify band positions for this pass
+        hist = {}   # k -> correction bit (already significant before)
+        newly = []  # (k, sign) newly significant this pass
+        for k in range(ss, se + 1):
+            a = abs(zz[k]) >> al
+            if a == 0:
+                continue
+            if a == 1:
+                newly.append((k, 1 if zz[k] > 0 else 0))
+            else:
+                hist[k] = a & 1
+        if not newly:
+            if eob_pending:
+                eobrun += 1
+                pending_bits.extend(hist[k] for k in sorted(hist))
+                if eobrun == 32766:  # EOB14 ceiling for the EXTRA count
+                    flush()
+            else:
+                eob_pending = True
+                pending_bits.extend(hist[k] for k in sorted(hist))
+            continue
+        flush()
+        k = ss
+        for pos, sign in newly:
+            # count zero-history run; emit ZRL every 16, with the
+            # correction bits of history positions crossed
+            run = 0
+            bits: list[int] = []
+            kk = k
+            while kk < pos:
+                if kk in hist:
+                    bits.append(hist[kk])
+                else:
+                    run += 1
+                    if run == 16:
+                        code, ln = ac_map[0xF0]
+                        writer.put(code, ln)
+                        for b in bits:
+                            writer.put(b, 1)
+                        bits = []
+                        run = 0
+                kk += 1
+            code, ln = ac_map[(run << 4) | 1]
+            writer.put(code, ln)
+            writer.put(sign, 1)
+            for b in bits:
+                writer.put(b, 1)
+            k = pos + 1
+        if k <= se:
+            eob_pending = True
+            pending_bits.extend(hist[p] for p in sorted(hist) if p >= k)
+    flush()
+
+
+def encode_jpeg_progressive(y, cb=None, cr=None,
+                            sampling: tuple[int, int] = (2, 2),
+                            quant: int = 1,
+                            dc_split: bool = True,
+                            ac_split: bool = True) -> bytes:
+    """Progressive (SOF2) JPEG from planes — the differential anchor for
+    the progressive decoder: it encodes the SAME quantized coefficients
+    as ``encode_jpeg_baseline``, so progressive decode must equal
+    baseline decode pixel-for-pixel.
+
+    Scan script mirrors libjpeg's default shape: interleaved DC first
+    (Al=1) + DC refinement, Y AC spectral bands (1-5, 6-63) at Al=2
+    with two successive-approximation refinements (2→1→0) when
+    ``ac_split``, chroma AC scans last (the decoder skips them).
+    """
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.uint8)
+    h, w = y.shape
+    color = cb is not None
+    hs, vs = sampling if color else (1, 1)
+
+    u = np.arange(8, dtype=np.float64)
+    xg = np.arange(8, dtype=np.float64)
+    A = 0.5 * np.cos((2 * xg[None, :] + 1) * u[:, None] * np.pi / 16)
+    A[0, :] *= 1 / np.sqrt(2)
+
+    def blocks_of(plane, bw, bh):
+        ph, pw = plane.shape
+        padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        padded[:ph, :pw] = plane.astype(np.float64)
+        padded[ph:, :pw] = padded[ph - 1:ph, :pw]
+        padded[:, pw:] = padded[:, pw - 1:pw]
+        out = []
+        for r in range(bh):
+            for c in range(bw):
+                blk = padded[r * 8:r * 8 + 8, c * 8:c * 8 + 8] - 128.0
+                Fq = A @ blk @ A.T
+                out.append([int(round(Fq[divmod(ZIGZAG[k], 8)] / quant))
+                            for k in range(64)])
+        return out
+
+    mcus_x = (w + 8 * hs - 1) // (8 * hs)
+    mcus_y = (h + 8 * vs - 1) // (8 * vs)
+    grid_cols = mcus_x * hs
+    y_blocks = blocks_of(y, grid_cols, mcus_y * vs)
+    comps_blocks = [y_blocks]
+    if color:
+        comps_blocks.append(blocks_of(np.asarray(cb, np.uint8), mcus_x, mcus_y))
+        comps_blocks.append(blocks_of(np.asarray(cr, np.uint8), mcus_x, mcus_y))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    nc = 3 if color else 1
+    sof = struct.pack(">BHHB", 8, h, w, nc) + bytes([1, (hs << 4) | vs, 0])
+    if color:
+        sof += bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    seg(0xC2, sof)
+    for (cls, tid), (bits, vals) in (
+        ((0, 0), _DC_LUM), ((1, 2), _AC_PROG),
+        *((((0, 1), _DC_CHR),) if color else ()),
+    ):
+        seg(0xC4, bytes([(cls << 4) | tid]) + bits + vals)
+
+    dc_lum = _encode_code_map(*_DC_LUM)
+    ac_prog = _encode_code_map(*_AC_PROG)
+    dc_chr = _encode_code_map(*_DC_CHR) if color else None
+
+    def mcu_y_order():
+        order = []
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for by in range(vs):
+                for bx in range(hs):
+                    order.append((my * vs + by) * grid_cols + (mx * hs + bx))
+        return order
+
+    def sos(comps_spec, ss, se, ah, al, body_fn):
+        payload = bytes([len(comps_spec)])
+        for cid, td, ta in comps_spec:
+            payload += bytes([cid, (td << 4) | ta])
+        payload += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, payload)
+        writer = _BitWriter()
+        body_fn(writer)
+        writer.flush()
+        out.extend(writer.out)
+
+    dc_al = 1 if dc_split else 0
+
+    def dc_first(writer):
+        preds = [0] * nc
+        if nc == 1:
+            _enc_dc_first(writer, y_blocks, range(len(y_blocks)), preds, 0,
+                          dc_al, dc_lum)
+            return
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            y_idx = [(my * vs + by) * grid_cols + (mx * hs + bx)
+                     for by in range(vs) for bx in range(hs)]
+            _enc_dc_first(writer, y_blocks, y_idx, preds, 0, dc_al, dc_lum)
+            for ci in (1, 2):
+                _enc_dc_first(writer, comps_blocks[ci], [mcu], preds, ci,
+                              dc_al, dc_chr)
+
+    def dc_refine(writer):
+        if nc == 1:
+            for b in range(len(y_blocks)):
+                writer.put(y_blocks[b][0] & 1, 1)
+            return
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for by in range(vs):
+                for bx in range(hs):
+                    idx = (my * vs + by) * grid_cols + (mx * hs + bx)
+                    writer.put(y_blocks[idx][0] & 1, 1)
+            for ci in (1, 2):
+                writer.put(comps_blocks[ci][mcu][0] & 1, 1)
+
+    all_comps = [(1, 0, 0)] + ([(2, 1, 1), (3, 1, 1)] if color else [])
+    sos(all_comps, 0, 0, 0, dc_al, dc_first)
+    if dc_split:
+        sos(all_comps, 0, 0, 1, 0, dc_refine)
+
+    # Non-interleaved Y AC scans cover the component's NOMINAL block
+    # grid (may be narrower than the padded interleaved grid).
+    y_bw, y_bh = (w + 7) // 8, (h + 7) // 8
+    if nc == 1:
+        y_order = list(range(len(y_blocks)))
+    else:
+        y_order = [r * grid_cols + c for r in range(y_bh) for c in range(y_bw)]
+
+    ac_al = 2 if ac_split else 0
+    for (ss, se) in ((1, 5), (6, 63)):
+        sos([(1, 0, 2)], ss, se, 0, ac_al,
+            lambda wtr, ss=ss, se=se: _enc_ac_first(
+                wtr, y_blocks, y_order, ss, se, ac_al, ac_prog))
+    if ac_split:
+        for ah, al in ((2, 1), (1, 0)):
+            sos([(1, 0, 2)], 1, 63, ah, al,
+                lambda wtr, ah=ah, al=al: _enc_ac_refine(
+                    wtr, y_blocks, y_order, 1, 63, ah, al, ac_prog))
+    if color:
+        for ci, cid in ((1, 2), (2, 3)):
+            order = range(len(comps_blocks[ci]))
+            sos([(cid, 1, 2)], 1, 63, 0, 0,
+                lambda wtr, ci=ci, order=order: _enc_ac_first(
+                    wtr, comps_blocks[ci], order, 1, 63, 0, ac_prog))
     out.extend(b"\xff\xd9")
     return bytes(out)
 

@@ -501,19 +501,19 @@ def test_multimodal_headers_decodes_real_dimensions(spark):
 
 def test_multimodal_feature_source_column(spark):
     """100 TB consumers filter fake-feature rows on feature_source, not
-    format internals: PNG/GIF/BMP/baseline-JPEG decode for real;
-    progressive JPEG (needs PIL) and audio/video (need ffmpeg) are
-    deterministic stand-ins; failures null."""
+    format internals: PNG/GIF/BMP/JPEG (baseline + progressive) decode
+    for real; arithmetic-coded JPEG (needs PIL) and audio/video (need
+    ffmpeg) are deterministic stand-ins; failures null."""
     from ocr_agent_spark.kernel.jpegdecode import build_jpeg
 
-    progressive = bytearray(build_jpeg(16, 16, seed=1))
-    sof = progressive.index(b"\xff\xc0")
-    progressive[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    arith = bytearray(build_jpeg(16, 16, seed=1))
+    sof = arith.index(b"\xff\xc0")
+    arith[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
     media = multimodal.fake_media_table(spark, n=24).unionByName(
         spark.createDataFrame(
             [
                 (900, "image", b"corrupt bytes", "image/x", 9, 9, None),
-                (901, "image", bytes(progressive), "image/jpeg", 16, 16, None),
+                (901, "image", bytes(arith), "image/jpeg", 16, 16, None),
             ],
             schema=multimodal.MEDIA_SCHEMA,
         )
@@ -522,7 +522,7 @@ def test_multimodal_feature_source_column(spark):
             multimodal.extract_media_features(media, decode_backend="headers").collect()}
     assert rows[900]["feature_source"] is None  # failure row
     assert rows[901]["status"] == "completed"
-    assert rows[901]["feature_source"] == "fake"  # progressive → stand-in
+    assert rows[901]["feature_source"] == "fake"  # arithmetic → stand-in
     for i, r in rows.items():
         if i >= 900:
             continue

@@ -34,6 +34,7 @@ from ocr_agent_spark.kernel.jpegdecode import (
     build_jpeg,
     decode_jpeg_luminance,
     encode_jpeg_baseline,
+    encode_jpeg_progressive,
 )
 
 _HOST_JPEGS = {
@@ -134,9 +135,64 @@ def test_real_tiny_grayscale_decodes():
 
 
 @pytest.mark.skipif("f3.jpg" not in _HOST_JPEGS, reason="rustup asset absent")
-def test_real_progressive_raises_unsupported():
-    with pytest.raises(UnsupportedImageError, match="SOF2"):
-        decode_jpeg_luminance(open(_HOST_JPEGS["f3.jpg"], "rb").read())
+def test_real_progressive_photo_decodes_sane():
+    """f3.jpg: a real libjpeg PROGRESSIVE photo (SOF2, 4:2:2, spectral
+    selection + successive approximation) — dims exact, distribution
+    non-degenerate."""
+    data = open(_HOST_JPEGS["f3.jpg"], "rb").read()
+    plane = _plane(data)
+    assert plane.shape == (477, 720)
+    assert 20 < plane.mean() < 235
+    assert plane.std() > 10
+    hist = image_luminance_histogram(data)
+    assert abs(sum(hist) - 1.0) < 1e-9
+    assert sum(1 for v in hist if v > 0) >= 6
+
+
+@pytest.mark.parametrize("dc_split", [False, True])
+@pytest.mark.parametrize("ac_split", [False, True])
+@pytest.mark.parametrize(
+    "shape,sampling", [((13, 21), None), ((19, 35), (1, 1)),
+                       ((19, 35), (2, 2)), ((24, 48), (2, 1))]
+)
+def test_progressive_decode_equals_baseline_decode(dc_split, ac_split,
+                                                   shape, sampling):
+    """The progressive encoder emits the SAME quantized coefficients as
+    the baseline encoder, so the two decodes must be pixel-identical —
+    this pins spectral-selection bands, successive approximation (DC
+    bit refinement + AC newly-significant/correction-bit passes), EOB
+    runs and chroma-scan skipping against the sequential path."""
+    rng = np.random.default_rng(11)
+    h, w = shape
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    if sampling is None:
+        cb = cr = None
+        sampling = (1, 1)
+    else:
+        hs, vs = sampling
+        cb = rng.integers(0, 256,
+                          ((h + vs - 1) // vs, (w + hs - 1) // hs)).astype(np.uint8)
+        cr = np.full_like(cb, 77)
+    base = encode_jpeg_baseline(y, cb, cr, sampling=sampling, quant=1)
+    prog = encode_jpeg_progressive(y, cb, cr, sampling=sampling, quant=1,
+                                   dc_split=dc_split, ac_split=ac_split)
+    assert np.array_equal(_plane(base), _plane(prog))
+
+
+def test_progressive_eob_runs_across_blocks():
+    """Sparse and flat images produce multi-block EOB runs (EOBn codes
+    with extra bits) — both the n-1 inclusive counting of first passes
+    and the extra-count semantics of refinement passes."""
+    for y in (
+        np.zeros((48, 48), np.uint8),
+        np.full((64, 64), 128, np.uint8),
+    ):
+        y = y.copy()
+        y[5, 7], y[40, 41] = 255, 200
+        base = encode_jpeg_baseline(y, quant=1)
+        prog = encode_jpeg_progressive(y, quant=1, dc_split=True,
+                                       ac_split=True)
+        assert np.array_equal(_plane(base), _plane(prog))
 
 
 def test_fill_bytes_before_marker_are_skipped():
