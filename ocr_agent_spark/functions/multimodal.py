@@ -17,8 +17,13 @@ but image **metadata** decoding is real (stdlib header parsing):
   full pixel decode (``imagemeta.image_luminance_histogram``) —
   validated against real-encoder files on this host for all four
   formats in both JPEG coding modes. Arithmetic-coded JPEGs fall back
-  to fake features (``feature_source='fake'``), and audio/video
-  metadata stays faked (needs ffmpeg).
+  to fake features (``feature_source='fake'``). Audio and video are
+  REAL too for the codecs this environment can decode: RIFF/WAVE
+  integer-PCM + IEEE-float audio (kernel/wavaudio.py — temporal RMS +
+  spectral band energies) and RIFF/AVI uncompressed BI_RGB video
+  (kernel/avivideo.py — timeline frame sampling + pooled luminance
+  histogram). Compressed codecs (MP3/OGG audio, MJPG/H.264 video —
+  need ffmpeg) fall back to fake features.
 - ``decode_backend="fake"``  → everything faked, keyed on payload
   bytes (stable hashes → stable "pixels") — plumbing-only mode.
 - ``decode_backend="none"``  → NotImplementedError per row, surfaced as
@@ -109,10 +114,18 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_agent_spark.kernel.avivideo import (
+            UnsupportedVideoError,
+            video_feature_vector,
+        )
         from ocr_agent_spark.kernel.imagemeta import (
             UnsupportedImageError,
             image_luminance_histogram,
             parse_image_dimensions,
+        )
+        from ocr_agent_spark.kernel.wavaudio import (
+            UnsupportedAudioError,
+            audio_feature_vector,
         )
 
         cols = ["media_id", "kind", "status", "error", "feature",
@@ -164,9 +177,50 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                         else:
                             res = _fake_image_decode(data, resize_to)
                     elif kind == "audio":
-                        res = _fake_audio_features(data)
+                        res = None
+                        if (decode_backend == "headers"
+                                and data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
+                            # REAL WAV decode (PCM 8/16/24/32, float
+                            # 32/64, any channel count). A WAV that
+                            # needs a codec (ADPCM/MP3-in-WAV) falls
+                            # back to fake; a CORRUPT WAV raises
+                            # AudioFormatError → failure row. Non-RIFF
+                            # audio (mp3/ogg/flac bytes) is valid media
+                            # we can't decode → fake, never a failure.
+                            try:
+                                feats, ameta = audio_feature_vector(data)
+                                fmt = "wav"
+                                res = {"feature": feats, "out_width": None,
+                                       "out_height": None, "n_frames": 1}
+                                source = "real"
+                            except UnsupportedAudioError:
+                                res = None
+                        if res is None:
+                            res = _fake_audio_features(data)
                     elif kind == "video":
-                        res = _fake_video_frame_sample(data, frame_every_ms)
+                        res = None
+                        if (decode_backend == "headers"
+                                and data[:4] == b"RIFF" and data[8:12] == b"AVI "):
+                            # REAL AVI frame sampling (uncompressed
+                            # BI_RGB DIB frames on the avih timeline).
+                            # Compressed codecs → fake fallback;
+                            # corrupt AVI → failure row.
+                            try:
+                                feats, vmeta = video_feature_vector(
+                                    data, every_ms=frame_every_ms
+                                )
+                                fmt = "avi"
+                                src_w = vmeta["width"]
+                                src_h = vmeta["height"]
+                                res = {"feature": feats,
+                                       "out_width": vmeta["width"],
+                                       "out_height": vmeta["height"],
+                                       "n_frames": vmeta["sampled_frames"]}
+                                source = "real"
+                            except UnsupportedVideoError:
+                                res = None
+                        if res is None:
+                            res = _fake_video_frame_sample(data, frame_every_ms)
                     else:
                         raise ValueError(f"unknown media kind: {kind!r}")
                     rows["status"].append("completed")
@@ -195,22 +249,26 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
 def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
     """Deterministic media fixture rows.
 
-    Image payloads are REAL pixel-true container bytes (PNG/JPEG/GIF/
-    BMP round-robin, built by kernel/imagemeta.py + jpegdecode.py) so
-    the ``headers`` backend decodes genuine dimensions AND genuine
-    luminance features for every image row; audio/video stay seeded
-    bytes.
+    ALL payloads are REAL container bytes: images round-robin PNG/JPEG/
+    GIF/BMP (kernel/imagemeta.py + jpegdecode.py), audio rows are real
+    PCM/float WAVs (kernel/wavaudio.py, varying bit depth / channels /
+    rate), video rows are real uncompressed AVIs (kernel/avivideo.py,
+    varying geometry / frame count / fps) — so the ``headers`` backend
+    produces genuine dimensions AND genuine features for every row.
     """
     import random
 
+    from ocr_agent_spark.kernel.avivideo import build_avi
     from ocr_agent_spark.kernel.imagemeta import (
         build_bmp,
         build_gif,
         build_png,
     )
     from ocr_agent_spark.kernel.jpegdecode import build_jpeg
+    from ocr_agent_spark.kernel.wavaudio import build_wav
 
     builders = [build_png, build_jpeg, build_gif, build_bmp]
+    wav_shapes = [(8, 1), (16, 1), (16, 2), (24, 1), (32, 2), (64, 1)]
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -220,10 +278,18 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
             w = h = 64  # pixel builders are pure Python — fixed small size
             payload = builders[(i // 3) % 4](w, h, seed=i)
             rows.append((i, kind, payload, "image/fixture", w, h, None))
+        elif kind == "audio":
+            bits, ch = wav_shapes[(i // 3) % len(wav_shapes)]
+            dur = rng.randint(100, 400)
+            payload = build_wav(duration_ms=dur, sample_rate=8000,
+                                channels=ch, bits=bits, seed=i)
+            rows.append((i, kind, payload, "audio/wav", None, None, dur))
         else:
-            payload = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))
-            rows.append(
-                (i, kind, payload, f"{kind}/fake", None, None,
-                 rng.randint(1000, 600000))
-            )
+            nf = rng.randint(4, 16)
+            fps = rng.choice([5, 10, 25])
+            w, h = rng.choice([(32, 24), (24, 32), (40, 16)])
+            payload = build_avi(width=w, height=h, n_frames=nf,
+                                fps=fps, seed=i)
+            rows.append((i, kind, payload, "video/x-msvideo", w, h,
+                         int(round(nf * 1000 / fps))))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

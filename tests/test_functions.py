@@ -492,28 +492,47 @@ def test_multimodal_headers_decodes_real_dimensions(spark):
         ), (i, r["format"])
         formats.add(r["format"])
     assert formats == {"png", "jpeg", "gif", "bmp"}
-    # audio/video carry no image header — format columns are null
+    # audio/video fixture payloads are real WAV/AVI containers → real
+    # container formats; AVI dims come from an actual header parse
     for i, m in meta.items():
-        if m["kind"] != "image":
-            assert rows[i]["format"] is None
+        if m["kind"] == "audio":
+            assert rows[i]["format"] == "wav"
             assert rows[i]["status"] == "completed"
+        elif m["kind"] == "video":
+            assert rows[i]["format"] == "avi"
+            assert rows[i]["status"] == "completed"
+            assert (rows[i]["src_width"], rows[i]["src_height"]) == (
+                m["width"], m["height"]
+            ), i
 
 
 def test_multimodal_feature_source_column(spark):
     """100 TB consumers filter fake-feature rows on feature_source, not
-    format internals: PNG/GIF/BMP/JPEG (baseline + progressive) decode
-    for real; arithmetic-coded JPEG (needs PIL) and audio/video (need
-    ffmpeg) are deterministic stand-ins; failures null."""
+    format internals: PNG/GIF/BMP/JPEG (baseline + progressive), WAV
+    PCM/float audio and uncompressed AVI video decode for real;
+    arithmetic-coded JPEG (needs PIL), compressed audio (mp3/ogg) and
+    compressed video (MJPG/H.264) are deterministic stand-ins (need
+    ffmpeg); failures null."""
+    import struct
+
+    from ocr_agent_spark.kernel.avivideo import build_avi
     from ocr_agent_spark.kernel.jpegdecode import build_jpeg
 
     arith = bytearray(build_jpeg(16, 16, seed=1))
     sof = arith.index(b"\xff\xc0")
     arith[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    mjpg = bytearray(build_avi(seed=2))
+    strf = bytes(mjpg).index(struct.pack("<Iiih", 40, 32, 24, 1))
+    struct.pack_into("<4s", mjpg, strf + 16, b"MJPG")  # biCompression
     media = multimodal.fake_media_table(spark, n=24).unionByName(
         spark.createDataFrame(
             [
                 (900, "image", b"corrupt bytes", "image/x", 9, 9, None),
                 (901, "image", bytes(arith), "image/jpeg", 16, 16, None),
+                (902, "audio", b"ID3\x04" + b"\xfb" * 64, "audio/mpeg",
+                 None, None, 1000),
+                (903, "video", bytes(mjpg), "video/x-msvideo",
+                 32, 24, 1200),
             ],
             schema=multimodal.MEDIA_SCHEMA,
         )
@@ -523,13 +542,15 @@ def test_multimodal_feature_source_column(spark):
     assert rows[900]["feature_source"] is None  # failure row
     assert rows[901]["status"] == "completed"
     assert rows[901]["feature_source"] == "fake"  # arithmetic → stand-in
+    assert rows[902]["feature_source"] == "fake"  # mp3 bytes → stand-in
+    assert rows[902]["status"] == "completed"
+    assert rows[903]["feature_source"] == "fake"  # MJPG codec → stand-in
+    assert rows[903]["status"] == "completed"
     for i, r in rows.items():
         if i >= 900:
             continue
-        if r["format"] in ("png", "gif", "bmp", "jpeg"):
-            assert r["feature_source"] == "real", (i, r["format"])
-        else:  # audio, video
-            assert r["feature_source"] == "fake", (i, r["format"])
+        assert r["format"] in ("png", "gif", "bmp", "jpeg", "wav", "avi"), i
+        assert r["feature_source"] == "real", (i, r["format"])
     assert {r["feature_source"] for r in rows.values()} == {"real", "fake", None}
     # the fake backend never claims real features
     fake_rows = multimodal.extract_media_features(
@@ -1143,9 +1164,10 @@ def test_gif_lzw_differential_with_real_compressor():
 
 
 def test_multimodal_headers_no_failures_at_volume(spark):
-    """120 mixed media items (all four image containers, audio, video)
-    through the headers backend: zero failure rows, and every REAL
-    decode (png/gif/bmp) yields a normalized histogram."""
+    """120 mixed media items (all four image containers, real WAV
+    audio across every PCM/float shape, real AVI video) through the
+    headers backend: zero failure rows, every decode REAL, and every
+    L1-normalized feature vector sums to 1."""
     media = multimodal.fake_media_table(spark, n=120)
     rows = multimodal.extract_media_features(media, decode_backend="headers").collect()
     assert len(rows) == 120
@@ -1153,10 +1175,11 @@ def test_multimodal_headers_no_failures_at_volume(spark):
     assert not bad, [(r["media_id"], r["error"]) for r in bad[:3]]
     fmt_seen = set()
     for r in rows:
-        if r["format"] in ("png", "gif", "bmp"):
+        if r["format"] in ("png", "gif", "bmp", "wav", "avi"):
             fmt_seen.add(r["format"])
             assert sum(r["feature"]) == pytest.approx(1.0, abs=1e-6), r["media_id"]
-    assert fmt_seen == {"png", "gif", "bmp"}
+    assert fmt_seen == {"png", "gif", "bmp", "wav", "avi"}
+    assert all(r["feature_source"] == "real" for r in rows)
 
 
 def test_gif_decode_real_world_files():
