@@ -165,3 +165,81 @@ def test_png_decode_inverts_arbitrary_per_row_filters(w, h, color_type,
         else:
             exp.append((299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000)
     assert bytes(lum) == bytes(exp)
+
+
+# -- WAV / AVI parser totality (hypothesis) ---------------------------------
+#
+# Media parsers see arbitrary crawl bytes inside executor batches; the
+# multimodal stage maps AudioFormatError/VideoFormatError to failure
+# rows and the Unsupported* subclasses to fake-feature fallbacks — any
+# OTHER exception (struct.error, IndexError, numpy ValueError) would
+# fail the whole Spark task. So "typed errors only" is the property.
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048))
+def test_wav_parser_typed_errors_on_arbitrary_bytes(data):
+    from ocr_agent_spark.kernel.wavaudio import AudioFormatError, audio_feature_vector
+
+    try:
+        feats, meta = audio_feature_vector(data)
+    except AudioFormatError:
+        return
+    assert len(feats) == 16
+    assert meta["duration_ms"] >= 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048))
+def test_avi_parser_typed_errors_on_arbitrary_bytes(data):
+    from ocr_agent_spark.kernel.avivideo import VideoFormatError, video_feature_vector
+
+    try:
+        feats, _meta = video_feature_vector(data, every_ms=100)
+    except VideoFormatError:
+        return
+    assert len(feats) == 16
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_wav_mutated_valid_container_typed_errors(data):
+    """Start from a VALID WAV and corrupt a few bytes — the parser must
+    still only raise the typed hierarchy (or succeed)."""
+    from ocr_agent_spark.kernel.wavaudio import (
+        AudioFormatError,
+        audio_feature_vector,
+        build_wav,
+    )
+
+    base = bytearray(build_wav(duration_ms=60, seed=5))
+    n_mut = data.draw(st.integers(1, 6))
+    for _ in range(n_mut):
+        pos = data.draw(st.integers(0, len(base) - 1))
+        base[pos] = data.draw(st.integers(0, 255))
+    try:
+        feats, _ = audio_feature_vector(bytes(base))
+        assert len(feats) == 16
+    except AudioFormatError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_avi_mutated_valid_container_typed_errors(data):
+    from ocr_agent_spark.kernel.avivideo import (
+        VideoFormatError,
+        build_avi,
+        video_feature_vector,
+    )
+
+    base = bytearray(build_avi(width=16, height=8, n_frames=3, seed=5))
+    n_mut = data.draw(st.integers(1, 6))
+    for _ in range(n_mut):
+        pos = data.draw(st.integers(0, len(base) - 1))
+        base[pos] = data.draw(st.integers(0, 255))
+    try:
+        feats, _ = video_feature_vector(bytes(base), every_ms=100)
+        assert len(feats) == 16
+    except VideoFormatError:
+        pass
