@@ -498,6 +498,47 @@ def _q3_top_revenue(spark, sf):
     )
 
 
+def _warc_roundtrip(spark, sf):
+    """Full oracle for the WARC source: documents → 3 .warc.gz archives
+    (kernel writer: per-record gzip members, HTTP/1.1 wrapping) →
+    sources.warc.read_warc → (doc_id, html_bytes, ts_epoch). The
+    payload round-trip is byte-identical, so octet_length over the
+    re-read html must equal DuckDB's octet_length over the source text,
+    and the WARC-Date written as epoch+doc_id must survive the header
+    format round-trip."""
+    import datetime
+    import os
+    import tempfile
+
+    from ocr_agent_spark.sources.warc import read_warc, write_pages_warc
+
+    docs = (
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        .select("doc_id", "text").collect()
+    )
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    tmp = tempfile.mkdtemp(prefix="warc_rt_")
+    paths = []
+    for shard in range(3):
+        p = os.path.join(tmp, f"part-{shard}.warc.gz")
+        write_pages_warc(
+            [
+                (f"warc://doc/{r['doc_id']}",
+                 base + datetime.timedelta(seconds=int(r["doc_id"])),
+                 r["text"].encode("utf-8"))
+                for r in docs if r["doc_id"] % 3 == shard
+            ],
+            p,
+        )
+        paths.append(p)
+    pages = read_warc(spark, paths, num_partitions=3)
+    return pages.select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        F.length("html").alias("html_bytes"),
+        F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"),
+    )
+
+
 def _dedup_fingerprint_stats(spark, sf):
     from ocr_agent_spark.functions.text import doc_fingerprint
 
@@ -903,7 +944,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_page_fanout": _u3_page_fanout,
         "f6_page_header": _f6_page_header_impl,
         "set_except_nations": _set_except_nations,
-        "f8_sanitize": _f8_sanitize,
+        # WARC source round-trip (r4: Common-Crawl container ingest)
+        "warc_roundtrip": _warc_roundtrip,
         "f15_result_coalesce": _f15_result_coalesce,
         # round-3 training-data additions (must stay in-window)
         "pii_redaction": _pii_redaction,
@@ -924,6 +966,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_head_of_queue": _o2_head_of_queue,      # green r1+r2+r3
         "o4_latest_row": _o4_latest_row,            # green r1+r2+r3
         "f1_ext_classify": _f1_ext_classify,        # green r1+r2+r3
+        "f8_sanitize": _f8_sanitize,                # green r1+r2+r3; moved
+        # to the tail mid-r4 to open a window slot for warc_roundtrip
         "w7_rolling_sum": _w7_rolling_sum,
         "f7_normalize": _f7_normalize,
         "f9_md_extension": _f9_md_extension,
@@ -1145,6 +1189,14 @@ def oracle_sql() -> dict[str, str]:
         "f8_sanitize": (
             "SELECT p_partkey, regexp_replace(p_name, '[ /:]', '_', 'g') "
             "AS sanitized FROM part WHERE p_partkey < 500"
+        ),
+        # WARC round-trip: html payload bytes and WARC-Date survive the
+        # archive → the re-read lengths/epochs equal the source table's
+        "warc_roundtrip": (
+            "SELECT doc_id, "
+            "CAST(octet_length(encode(text)) AS INT) AS html_bytes, "
+            "1767225600 + doc_id AS ts_epoch "
+            "FROM documents WHERE doc_id < 300"
         ),
         "f9_md_extension": (
             "SELECT doc_id, CASE WHEN NOT regexp_matches(lower(source), "

@@ -243,3 +243,20 @@ def test_avi_mutated_valid_container_typed_errors(data):
         assert len(feats) == 16
     except VideoFormatError:
         pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=4096))
+def test_warc_parser_typed_errors_on_arbitrary_bytes(data):
+    """WARC framing over arbitrary bytes: records or WarcFormatError,
+    nothing else (gzip/zlib errors must not leak — a corrupt archive in
+    a 10k-file crawl becomes a triage row, not a task failure)."""
+    import io
+
+    from ocr_agent_spark.kernel.warcfile import WarcFormatError, iter_warc_pages
+
+    try:
+        for _ in iter_warc_pages(io.BytesIO(data)):
+            pass
+    except WarcFormatError:
+        pass
