@@ -136,3 +136,94 @@ def write_pages_warc(pages_rows, out_path: str, compress: bool = True) -> int:
             write_warc_record(fh, url, ts, bytes(html), compress=compress)
             n += 1
     return n
+
+
+# -- CDX-indexed reads: splitting archives across tasks ---------------------
+
+CDX_DDL = "path string, url string, warc_ts timestamp, offset long, length long"
+
+
+def build_cdx_df(spark: SparkSession, paths: list[str],
+                 num_partitions: int | None = None) -> DataFrame:
+    """Index archives → CDX DataFrame (one archive per task — the one
+    inherently sequential pass; everything after is splittable).
+
+    Persist the result next to the archives (parquet) and reuse it —
+    Common Crawl publishes exactly this index alongside each crawl so
+    consumers never pay the sequential scan twice.
+    """
+    def index(batches):
+        from ocr_agent_spark.kernel.warcfile import build_cdx
+
+        for batch in batches:
+            rows = {"path": [], "url": [], "warc_ts": [],
+                    "offset": [], "length": []}
+            for path in batch["path"]:
+                with open(path, "rb") as fh:
+                    for row in build_cdx(fh):
+                        rows["path"].append(path)
+                        rows["url"].append(row["url"])
+                        rows["warc_ts"].append(row["ts"])
+                        rows["offset"].append(row["offset"])
+                        rows["length"].append(row["length"])
+            yield pd.DataFrame(rows)
+
+    return _paths_df(spark, paths, num_partitions).mapInPandas(
+        index, schema=CDX_DDL
+    )
+
+
+def read_warc_indexed(cdx: DataFrame,
+                      num_partitions: int | None = None) -> DataFrame:
+    """CDX rows → pages DataFrame with RECORD-granular parallelism.
+
+    This is the splittability upgrade over ``read_warc``: tasks are
+    assigned (path, offset, length) ranges, so ONE 1 GB archive spreads
+    over the whole cluster instead of pinning to one task — and a
+    url-pruned CDX (filter before calling) touches only the matching
+    byte ranges, a predicate pushdown the sequential reader cannot do.
+    Rows within a task are processed offset-sorted for sequential IO.
+    """
+    spark = cdx.sparkSession
+    from pyspark.sql import functions as F
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_agent_spark.kernel.warcfile import read_record_at
+
+        cols = ("url", "warc_ts", "html", "text", "lang")
+        for batch in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            batch = batch.sort_values(["path", "offset"])
+            handle_path, handle = None, None
+            try:
+                for path, offset, length in zip(
+                    batch["path"], batch["offset"], batch["length"]
+                ):
+                    if path != handle_path:
+                        if handle is not None:
+                            handle.close()
+                        handle = open(path, "rb")
+                        handle_path = path
+                    page = read_record_at(handle, int(offset), int(length))
+                    if page is None:
+                        continue
+                    url, ts, html = page
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    rows["html"].append(html)
+                    rows["text"].append(None)
+                    rows["lang"].append(None)
+                    if len(rows["url"]) >= _OUT_BATCH_ROWS:
+                        yield pd.DataFrame(rows)
+                        rows = {c: [] for c in cols}
+            finally:
+                if handle is not None:
+                    handle.close()
+            if rows["url"]:
+                yield pd.DataFrame(rows)
+
+    ranged = cdx.repartition(num_partitions, F.col("path"), F.col("offset"))
+    return ranged.mapInPandas(fetch, schema=PAGES_DDL)

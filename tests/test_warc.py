@@ -238,3 +238,43 @@ def test_warc_corrupt_gzip_raises_typed():
     ):
         with pytest.raises(WarcFormatError):
             list(iter_warc_pages(io.BytesIO(blob)))
+
+
+# -- CDX index / splittable reads -------------------------------------------
+
+
+def test_cdx_indexed_read_equals_sequential(spark, tmp_path):
+    """The CDX path must reproduce the sequential reader exactly, while
+    splitting single archives across many tasks."""
+    from ocr_agent_spark.sources.warc import build_cdx_df, read_warc, read_warc_indexed
+
+    pages = _pages(50)
+    paths = _write_archives(str(tmp_path), pages, shards=2)
+    cdx = build_cdx_df(spark, paths, num_partitions=2)
+    rows = cdx.collect()
+    assert len(rows) == 50
+    # record-granular parallelism: far more partitions than archives
+    indexed = read_warc_indexed(cdx, num_partitions=8)
+    seq = read_warc(spark, paths)
+    a = {r["url"]: bytes(r["html"]) for r in indexed.collect()}
+    b = {r["url"]: bytes(r["html"]) for r in seq.collect()}
+    assert a == b
+
+
+def test_cdx_pruned_read_touches_only_selected(spark, tmp_path):
+    """Filtering the CDX before reading = predicate pushdown to byte
+    ranges: only matching records decode."""
+    from pyspark.sql import functions as F
+
+    from ocr_agent_spark.sources.warc import build_cdx_df, read_warc_indexed
+
+    pages = _pages(30)
+    paths = _write_archives(str(tmp_path), pages, shards=1)
+    cdx = build_cdx_df(spark, paths)
+    picked = cdx.filter(F.col("url").rlike("/p/(1|7|23)$"))
+    got = sorted(r["url"] for r in read_warc_indexed(picked).collect())
+    assert got == [
+        "https://example.com/p/1",
+        "https://example.com/p/23",
+        "https://example.com/p/7",
+    ]
