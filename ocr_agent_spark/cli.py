@@ -61,6 +61,31 @@ def _inputs_manifest(job_root: str) -> str:
     return os.path.join(job_root, "inputs.json")
 
 
+def _load_pages(spark, paths: list[str]):
+    """Manifest paths → one pages DataFrame. Parquet bundles and WARC
+    crawl archives mix freely in a job; WARC rows are normalized to the
+    same input-hint schema at the source (sources/warc.py)."""
+    warc = [p for p in paths
+            if p.lower().endswith((".warc", ".warc.gz"))]
+    parquet = [p for p in paths if p not in set(warc)]
+    frames = []
+    if parquet:
+        frames.append(spark.read.parquet(*parquet))
+    if warc:
+        from ocr_agent_spark.operators.ingest import with_doc_meta
+        from ocr_agent_spark.sources.warc import read_warc
+
+        # WARC rows get the same ingest-time routing metadata
+        # (doc_bytes/is_pdf) the parquet writer persists, so mixed
+        # manifests union cleanly and the giant-PDF router still
+        # prunes to slim columns.
+        frames.append(with_doc_meta(read_warc(spark, warc)))
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other, allowMissingColumns=True)
+    return df
+
+
 def cmd_enqueue(args) -> int:
     # Full S2 triage (reference InputDiscoveryReport, input_discovery.py:
     # 56-97): classify every input into supported / missing /
@@ -73,18 +98,21 @@ def cmd_enqueue(args) -> int:
     )
 
     raw = [os.path.abspath(p) for p in args.inputs]
-    paths, triage_rows = discover_input_rows(raw, supported_exts=("parquet",))
+    paths, triage_rows = discover_input_rows(
+        raw, supported_exts=("parquet", "warc", "warc.gz")
+    )
     report = render_triage_report(triage_rows)
     if report:
         print(report, file=sys.stderr)
         if any(cat == "unsupported" or cat == "empty_dir" for _, cat in triage_rows):
-            print("Supported file types:\n- Pages: .parquet", file=sys.stderr)
+            print("Supported file types:\n- Pages: .parquet\n"
+                  "- Crawl archives: .warc, .warc.gz", file=sys.stderr)
     if not paths:
         print("nothing enqueued", file=sys.stderr)
         return EXIT_CODE_NOTHING_ENQUEUED
 
     spark = _spark(args.cores)
-    pages = spark.read.parquet(*paths)
+    pages = _load_pages(spark, paths)
     n = pages.count()
     if n == 0:
         print("nothing enqueued", file=sys.stderr)
@@ -120,7 +148,7 @@ def cmd_run(args) -> int:
 
     style = effective_math_delimiter_style(args.math_delimiter_style)
     spark = _spark(args.cores)
-    pages = spark.read.parquet(*paths)
+    pages = _load_pages(spark, paths)
     try:
         result = run_extraction_job(
             spark, pages, args.job_root,

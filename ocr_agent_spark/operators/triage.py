@@ -49,7 +49,12 @@ TRIAGE_SCHEMA = "input_path string, category string"
 
 
 def _ext(path: str) -> str:
-    return os.path.splitext(path)[1].lstrip(".").lower()
+    low = path.lower()
+    # compound crawl-archive suffix: ".warc.gz" is one format, not "gz"
+    # (a bare .gz of anything else stays unsupported)
+    if low.endswith(".warc.gz"):
+        return "warc.gz"
+    return os.path.splitext(low)[1].lstrip(".")
 
 
 def discover_inputs(

@@ -102,3 +102,44 @@ def test_cli_empty_input_exit_code(spark, tmp_path):
         == EXIT_CODE_NOTHING_ENQUEUED
     )
     assert main(["run", "--job-root", job_root]) == EXIT_CODE_NOTHING_ENQUEUED
+
+
+def test_cli_warc_lifecycle(spark, tmp_path, capsys):
+    """Crawl archives enqueue like any input: a .warc.gz + a parquet
+    bundle in ONE job extract into one table, resume together, and an
+    unrelated .gz is still refused."""
+    from ocr_agent_spark.fixtures import generate_pages
+    from ocr_agent_spark.sources.warc import write_pages_warc
+
+    recs = generate_pages(24)
+    half = len(recs) // 2
+    pq = str(tmp_path / "pages")
+    write_pages_parquet(pq, half)  # doc ids 0..11 (same generator seed)
+    warc = str(tmp_path / "crawl-00.warc.gz")
+    write_pages_warc(
+        [(p.url, p.warc_ts, p.html) for p in recs[half:]
+         if p.html[:5] != b"%PDF-"],
+        warc,
+    )
+    n_warc = sum(1 for p in recs[half:] if p.html[:5] != b"%PDF-")
+    bogus = str(tmp_path / "notes.gz")
+    with open(bogus, "wb") as fh:
+        fh.write(b"\x1f\x8b not a warc")
+    job_root = str(tmp_path / "job")
+
+    assert main(["enqueue", pq, warc, bogus, "--job-root", job_root]) == 0
+    err = capsys.readouterr().err
+    assert "Unsupported input file(s)" in err and "notes.gz" in err
+    assert ".warc.gz" in err  # supported-types hint names the archives
+
+    assert main(["run", "--job-root", job_root]) == 0
+    out = capsys.readouterr().out
+    # parquet half expands PDFs into pages; the WARC half adds html docs
+    assert "skipped=0" in out
+    assert main(["status", "--job-root", job_root]) == 0
+    assert "progress: 100.00%" in capsys.readouterr().out
+
+    # resume: everything from both containers is committed
+    assert main(["run", "--job-root", job_root]) == 0
+    assert "processed=0" in capsys.readouterr().out
+    assert n_warc > 0
