@@ -67,7 +67,8 @@ def _load_pages(spark, paths: list[str]):
     same input-hint schema at the source (sources/warc.py)."""
     warc = [p for p in paths
             if p.lower().endswith((".warc", ".warc.gz"))]
-    parquet = [p for p in paths if p not in set(warc)]
+    warc_set = set(warc)
+    parquet = [p for p in paths if p not in warc_set]
     frames = []
     if parquet:
         frames.append(spark.read.parquet(*parquet))
@@ -112,8 +113,27 @@ def cmd_enqueue(args) -> int:
         return EXIT_CODE_NOTHING_ENQUEUED
 
     spark = _spark(args.cores)
-    pages = _load_pages(spark, paths)
-    n = pages.count()
+    # Count WITHOUT materializing pages: parquet counts are footer
+    # metadata, WARC counts use the framing-only pass (no charset
+    # transcode) — enqueueing 100 archives must not pay a full parse
+    # that `run` immediately repeats (code-review r4 finding). The
+    # triage pass also surfaces corrupt archives before run time.
+    warc_paths = [p for p in paths if p.lower().endswith((".warc", ".warc.gz"))]
+    warc_set = set(warc_paths)
+    pq_paths = [p for p in paths if p not in warc_set]
+    n = 0
+    if pq_paths:
+        n += spark.read.parquet(*pq_paths).count()
+    if warc_paths:
+        from ocr_agent_spark.sources.warc import read_warc_errors
+
+        tri = read_warc_errors(spark, warc_paths).collect()
+        for r in tri:
+            if r["error"]:
+                print(f"warning: {r['path']}: partial/unreadable archive "
+                      f"({r['pages_emitted']} pages before: {r['error']})",
+                      file=sys.stderr)
+        n += sum(r["pages_emitted"] for r in tri)
     if n == 0:
         print("nothing enqueued", file=sys.stderr)
         return EXIT_CODE_NOTHING_ENQUEUED

@@ -40,19 +40,10 @@ class UnsupportedVideoError(VideoFormatError):
 
 
 def _chunks(data: bytes, start: int, end: int):
-    """Yield (fourcc, body_offset, body_size); LIST yields its type as
-    fourcc ``LIST:xxxx`` with the body starting after the list type."""
-    pos = start
-    while pos + 8 <= end:
-        fourcc = data[pos:pos + 4]
-        (size,) = struct.unpack_from("<I", data, pos + 4)
-        body = pos + 8
-        if body + size > end:
-            raise VideoFormatError(
-                f"RIFF chunk {fourcc!r} overruns container ({body + size} > {end})"
-            )
-        yield fourcc, body, size
-        pos = body + size + (size & 1)
+    """RIFF chunk walk (shared framing: kernel/riff.py)."""
+    from ocr_agent_spark.kernel.riff import iter_riff_chunks
+
+    return iter_riff_chunks(data, start, end, VideoFormatError)
 
 
 def parse_avi_header(data: bytes) -> dict:
@@ -69,12 +60,15 @@ def parse_avi_header(data: bytes) -> dict:
     avih = None
     vids = None  # (bit_count, compression, strf_w, strf_h)
     frames: list[tuple[int, int]] = []
+    cur_stream = None  # fccType of the most recent strh in this strl
 
     def walk(start: int, stop: int, in_movi: bool) -> None:
-        nonlocal avih, vids
+        nonlocal avih, vids, cur_stream
         for fourcc, body, size in _chunks(data, start, stop):
             if fourcc == b"LIST":
                 list_type = data[body:body + 4]
+                if list_type == b"strl":
+                    cur_stream = None  # each stream list re-binds strh→strf
                 walk(body + 4, body + size, in_movi or list_type == b"movi")
             elif fourcc == b"avih" and avih is None:
                 if size < 40:
@@ -89,9 +83,13 @@ def parse_avi_header(data: bytes) -> dict:
                     "width": w,
                     "height": h,
                 }
+            elif fourcc == b"strh":
+                cur_stream = data[body:body + 4]  # fccType: vids/auds/txts
             elif fourcc == b"strf" and vids is None:
-                if size >= 20:
-                    # BITMAPINFOHEADER: size,w,h,planes,bitcount,compression
+                # only the strf of a VIDEO stream is a BITMAPINFOHEADER —
+                # an audio strl listed first carries a WAVEFORMATEX here,
+                # which must not be misread as the video format.
+                if cur_stream == b"vids" and size >= 20:
                     _, w, h, _, bit_count, compression = struct.unpack_from(
                         "<IiihHI", data, body
                     )
@@ -171,9 +169,30 @@ def sample_avi_luminance(data: bytes, every_ms: int) -> tuple[list[np.ndarray], 
     times = np.arange(0, max(duration_ms, frame_ms), every_ms)
     idx = np.minimum((times / frame_ms).astype(np.int64), n - 1)
     idx = np.unique(idx)[:_MAX_SAMPLED_FRAMES]
+    offsets = meta["frame_offsets"]
+
+    def on_screen(i: int) -> int | None:
+        # VfW dropped frames are zero-length 00dc chunks: the PREVIOUS
+        # frame stays on screen at that time (fall forward only when
+        # the clip has no earlier content at all).
+        for j in range(i, -1, -1):
+            if offsets[j][1] > 0:
+                return j
+        for j in range(i + 1, n):
+            if offsets[j][1] > 0:
+                return j
+        return None
+
     lums = []
+    decoded: set[int] = set()
     for i in idx:
-        off, size = meta["frame_offsets"][int(i)]
+        j = on_screen(int(i))
+        if j is None:
+            raise VideoFormatError("every frame chunk is empty")
+        if j in decoded:
+            continue
+        decoded.add(j)
+        off, size = offsets[j]
         lums.append(
             _decode_dib_luminance(
                 data, off, size, meta["width"], meta["height"], meta["bit_count"]

@@ -44,6 +44,10 @@ from collections.abc import Iterator
 
 _CRLF = b"\r\n"
 _MAX_HEADER_BLOCK = 1 << 20  # 1 MiB of headers is corruption, not HTML
+# Largest single record body we will buffer (Common Crawl truncates
+# response payloads at 1 MiB; 1 GiB leaves room for fat resources
+# while still bounding a corrupt length field)
+_MAX_RECORD_BODY = 1 << 30
 
 
 class WarcFormatError(ValueError):
@@ -222,6 +226,17 @@ def iter_warc_records(stream) -> Iterator[tuple[dict[str, str], bytes]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             raise WarcFormatError("WARC record without valid Content-Length")
+        if length < 0:
+            # a negative slice would silently swallow the NEXT record
+            # into this body — corruption, not tolerance territory
+            raise WarcFormatError(f"negative WARC Content-Length {length}")
+        if length > _MAX_RECORD_BODY:
+            # bounded-memory contract: a absurd length would buffer the
+            # whole decompressed archive chasing it
+            raise WarcFormatError(
+                f"WARC Content-Length {length} exceeds the "
+                f"{_MAX_RECORD_BODY >> 20} MiB record bound"
+            )
         body = reader.read_exact(length)
         if body is None:
             raise WarcFormatError("EOF inside WARC record body")
@@ -329,10 +344,9 @@ class _Prepend(io.RawIOBase):
         return len(data)
 
 
-def iter_warc_pages(stream) -> Iterator[tuple[str, _dt.datetime, bytes]]:
-    """WARC stream → (url, warc_ts, utf8_html_bytes) for each usable
-    ``response`` record. Odd records (requests, metadata, resources
-    without a URI, empty bodies) are skipped."""
+def _iter_usable_responses(stream) -> Iterator[tuple[str, _dt.datetime, bytes, str | None]]:
+    """(url, ts, raw_payload, content_type) for each usable ``response``
+    record — the shared filter chain, WITHOUT charset transcoding."""
     for headers, body in iter_warc_records(stream):
         if headers.get("warc-type") != "response":
             continue
@@ -348,7 +362,21 @@ def iter_warc_pages(stream) -> Iterator[tuple[str, _dt.datetime, bytes]]:
             payload, ctype = body, None
         if not payload:
             continue
+        yield url, ts, payload, ctype
+
+
+def iter_warc_pages(stream) -> Iterator[tuple[str, _dt.datetime, bytes]]:
+    """WARC stream → (url, warc_ts, utf8_html_bytes) for each usable
+    ``response`` record. Odd records (requests, metadata, resources
+    without a URI, empty bodies) are skipped."""
+    for url, ts, payload, ctype in _iter_usable_responses(stream):
         yield url, ts, decode_to_utf8(payload, ctype)
+
+
+def count_warc_pages(stream) -> int:
+    """How many pages ``iter_warc_pages`` would emit — same filters,
+    no charset transcoding (the cheap pre-ingest counting pass)."""
+    return sum(1 for _ in _iter_usable_responses(stream))
 
 
 # -- writer (fixtures + the engine's own export path) -----------------------

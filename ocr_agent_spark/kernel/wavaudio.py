@@ -53,25 +53,13 @@ class UnsupportedAudioError(AudioFormatError):
 
 
 def _iter_riff_chunks(data: bytes, start: int, end: int):
-    """Yield (fourcc, body_offset, body_size) for top-level RIFF chunks."""
-    pos = start
-    while pos + 8 <= end:
-        fourcc = data[pos:pos + 4]
-        (size,) = struct.unpack_from("<I", data, pos + 4)
-        body = pos + 8
-        if body + size > end:
-            # tolerate a final chunk whose declared size overruns the
-            # buffer only for 'data' (common with streamed writers that
-            # patch sizes late); everything else is corruption.
-            if fourcc == b"data":
-                size = end - body
-            else:
-                raise AudioFormatError(
-                    f"RIFF chunk {fourcc!r} overruns container "
-                    f"({body + size} > {end})"
-                )
-        yield fourcc, body, size
-        pos = body + size + (size & 1)  # chunks are word-aligned
+    """Top-level RIFF chunks; 'data' overruns are clipped (streamed
+    writers patch sizes late), everything else is corruption."""
+    from ocr_agent_spark.kernel.riff import iter_riff_chunks
+
+    return iter_riff_chunks(
+        data, start, end, AudioFormatError, tolerate_overrun_fourcc=b"data"
+    )
 
 
 def parse_wav_header(data: bytes) -> dict:
@@ -195,7 +183,11 @@ def audio_feature_vector(data: bytes, bins: int = 16) -> tuple[list[float], dict
         rms[i] = math.sqrt(float(np.mean(seg * seg))) if seg.size else 0.0
 
     spectrum = np.abs(np.fft.rfft(samples)) ** 2
-    # log-spaced band edges from bin 1 (skip DC) to Nyquist
+    # log-spaced band edges from bin 1 (skip DC) to Nyquist; bands are
+    # half-open [e_i, e_{i+1}) with the last band closed at Nyquist, so
+    # every bin is counted exactly once and the band fractions sum to
+    # the in-range energy share (an overlapping +1 end here would
+    # double-count edge bins — code-review r4 finding)
     n_freq = spectrum.size
     if n_freq > 1:
         edges = np.unique(
@@ -203,8 +195,10 @@ def audio_feature_vector(data: bytes, bins: int = 16) -> tuple[list[float], dict
         )
         band = np.zeros(half)
         total = float(spectrum[1:].sum()) or 1.0
-        for i in range(min(half, edges.size - 1)):
-            band[i] = float(spectrum[edges[i]:edges[i + 1] + 1].sum()) / total
+        n_bands = min(half, edges.size - 1)
+        for i in range(n_bands):
+            hi = edges[i + 1] if i < n_bands - 1 else n_freq
+            band[i] = float(spectrum[edges[i]:hi].sum()) / total
     else:
         band = np.zeros(half)
 

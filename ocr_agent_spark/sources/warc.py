@@ -53,13 +53,17 @@ def _read_archives(batches: Iterator[pd.DataFrame],
     from ocr_agent_spark.kernel.warcfile import iter_warc_pages
 
     if with_errors:
+        from ocr_agent_spark.kernel.warcfile import _iter_usable_responses
+
         for batch in batches:
             rows = {"path": [], "pages_emitted": [], "error": []}
             for path in batch["path"]:
+                # framing-only pass (no charset transcoding) — same
+                # count iter_warc_pages would emit, at counting cost
                 count, err = 0, None
                 try:
                     with open(path, "rb") as fh:
-                        for _ in iter_warc_pages(fh):
+                        for _ in _iter_usable_responses(fh):
                             count += 1
                 except Exception as exc:
                     err = repr(exc)
@@ -159,14 +163,25 @@ def build_cdx_df(spark: SparkSession, paths: list[str],
             rows = {"path": [], "url": [], "warc_ts": [],
                     "offset": [], "length": []}
             for path in batch["path"]:
-                with open(path, "rb") as fh:
-                    for row in build_cdx(fh):
-                        rows["path"].append(path)
-                        rows["url"].append(row["url"])
-                        rows["warc_ts"].append(row["ts"])
-                        rows["offset"].append(row["offset"])
-                        rows["length"].append(row["length"])
-            yield pd.DataFrame(rows)
+                # per-file containment (the module's malformed-archive
+                # contract): a corrupt archive indexes its records up
+                # to the damage and is reported by read_warc_errors —
+                # it must not kill the 10k-file indexing job.
+                try:
+                    with open(path, "rb") as fh:
+                        for row in build_cdx(fh):
+                            rows["path"].append(path)
+                            rows["url"].append(row["url"])
+                            rows["warc_ts"].append(row["ts"])
+                            rows["offset"].append(row["offset"])
+                            rows["length"].append(row["length"])
+                except Exception:
+                    continue
+            if rows["path"]:
+                # an all-corrupt batch yields nothing: an EMPTY frame's
+                # untyped warc_ts column (float64) cannot Arrow-cast to
+                # timestamp
+                yield pd.DataFrame(rows)
 
     return _paths_df(spark, paths, num_partitions).mapInPandas(
         index, schema=CDX_DDL
@@ -202,12 +217,21 @@ def read_warc_indexed(cdx: DataFrame,
                 for path, offset, length in zip(
                     batch["path"], batch["offset"], batch["length"]
                 ):
-                    if path != handle_path:
-                        if handle is not None:
-                            handle.close()
-                        handle = open(path, "rb")
-                        handle_path = path
-                    page = read_record_at(handle, int(offset), int(length))
+                    # per-record containment: a stale CDX row (archive
+                    # rewritten since indexing) or damaged byte range
+                    # yields nothing instead of failing the task; the
+                    # periodic re-index + read_warc_errors pass owns
+                    # surfacing such files.
+                    try:
+                        if path != handle_path:
+                            if handle is not None:
+                                handle.close()
+                            handle, handle_path = None, None
+                            handle = open(path, "rb")
+                            handle_path = path
+                        page = read_record_at(handle, int(offset), int(length))
+                    except Exception:
+                        continue
                     if page is None:
                         continue
                     url, ts, html = page

@@ -241,3 +241,62 @@ def test_avi_unsupported_codec_vs_corrupt():
     struct.pack_into("<I", clipped, off - 4, 8)  # lie: frame is 8 bytes
     with pytest.raises(VideoFormatError):
         sample_avi_luminance(bytes(clipped), every_ms=50)
+
+
+def test_avi_audio_stream_listed_first_still_finds_video_format():
+    """An auds strl BEFORE the vids strl (common mux order) must not be
+    misread as the video BITMAPINFOHEADER (code-review r4, verified
+    failure)."""
+    base = build_avi(width=16, height=8, n_frames=4, seed=11)
+    # splice an audio strl (strh fccType 'auds' + 30-byte WAVEFORMATEX
+    # strf) in front of the existing video strl inside hdrl
+    def ck(cc, body):
+        return cc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    a_strh = b"auds" + b"\x00" * 52
+    a_strf = struct.pack("<HHIIHH", 0x55, 2, 44100, 176400, 4, 16) + b"\x00" * 14
+    a_strl_body = b"strl" + ck(b"strh", a_strh) + ck(b"strf", a_strf)
+    a_strl = b"LIST" + struct.pack("<I", len(a_strl_body)) + a_strl_body
+
+    vid_strl_at = base.index(b"LIST", base.index(b"hdrl"))
+    # find the video strl (first LIST after hdrl's avih)
+    vid_strl_at = base.index(b"strl") - 8
+    patched = bytearray(base)
+    patched[vid_strl_at:vid_strl_at] = a_strl
+    # grow the enclosing hdrl LIST and RIFF sizes
+    hdrl_at = patched.index(b"hdrl") - 8
+    (hdrl_size,) = struct.unpack_from("<I", patched, hdrl_at + 4)
+    struct.pack_into("<I", patched, hdrl_at + 4, hdrl_size + len(a_strl))
+    (riff_size,) = struct.unpack_from("<I", patched, 4)
+    struct.pack_into("<I", patched, 4, riff_size + len(a_strl))
+
+    meta = parse_avi_header(bytes(patched))
+    assert meta["bit_count"] == 24 and meta["compression"] == 0
+    feats, _ = video_feature_vector(bytes(patched), every_ms=200)
+    ref, _ = video_feature_vector(base, every_ms=200)
+    np.testing.assert_allclose(feats, ref)
+
+
+def test_avi_zero_length_dropped_frames_use_on_screen_frame():
+    """VfW dropped frames (size-0 00dc chunks) must not become failure
+    rows: the previous frame is on screen at that time."""
+    w, h = 8, 4
+    frames = [np.full((h, w, 3), v, dtype=np.uint8) for v in (10, 250)]
+    avi = bytearray(_handwritten_avi(frames, fps=10))
+    # append two zero-length 00dc chunks inside movi and fix sizes
+    movi_at = bytes(avi).index(b"LIST" + struct.pack("<I", 0)[:0] + b"", 0)  # noqa
+    movi_at = bytes(avi).rindex(b"movi") - 8
+    empty = b"00dc" + struct.pack("<I", 0)
+    avi.extend(empty * 2)
+    (movi_size,) = struct.unpack_from("<I", avi, movi_at + 4)
+    struct.pack_into("<I", avi, movi_at + 4, movi_size + 2 * len(empty))
+    (riff_size,) = struct.unpack_from("<I", avi, 4)
+    struct.pack_into("<I", avi, 4, riff_size + 2 * len(empty))
+
+    lums, meta = sample_avi_luminance(bytes(avi), every_ms=100)
+    assert meta["total_frames"] == 4  # 2 real + 2 dropped
+    # times 0/100/200/300ms → frames 0,1,2,3; 2 and 3 are dropped →
+    # frame 1 stays on screen; dedupe → 2 decoded frames
+    assert meta["sampled_frames"] == 2
+    np.testing.assert_allclose(lums[0], np.full(w * h, 10.0))
+    np.testing.assert_allclose(lums[1], np.full(w * h, 250.0))

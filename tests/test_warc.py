@@ -278,3 +278,44 @@ def test_cdx_pruned_read_touches_only_selected(spark, tmp_path):
         "https://example.com/p/23",
         "https://example.com/p/7",
     ]
+
+
+def test_warc_content_length_bounds():
+    """Negative Content-Length must not swallow the next record into
+    this body (verified failure, code-review r4); absurd lengths must
+    not buffer the whole archive chasing them."""
+    def record(cl: str) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://x.com/\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {cl}\r\n\r\n".encode()
+        )
+
+    good = build_warc(_pages(1), compress=False)
+    with pytest.raises(WarcFormatError, match="negative"):
+        list(iter_warc_records(io.BytesIO(record("-5") + good)))
+    with pytest.raises(WarcFormatError, match="bound"):
+        list(iter_warc_records(io.BytesIO(record("999999999999") + good)))
+
+
+def test_cdx_survives_corrupt_archive_and_stale_offsets(spark, tmp_path):
+    """Containment contract for the indexed path: a corrupt archive
+    indexes to nothing (not a job failure), and CDX rows pointing at
+    rewritten bytes skip instead of failing the fetch task."""
+    from pyspark.sql import functions as F
+
+    from ocr_agent_spark.sources.warc import build_cdx_df, read_warc_indexed
+
+    pages = _pages(20)
+    good = _write_archives(str(tmp_path), pages, shards=1)
+    bad = os.path.join(str(tmp_path), "bad.warc.gz")
+    with open(bad, "wb") as fh:
+        fh.write(b"\x1f\x8b\x08\x00" + b"garbage" * 8)
+    cdx = build_cdx_df(spark, good + [bad])
+    assert cdx.count() == 20  # bad archive contributes nothing, job lives
+
+    # stale rows: shift offsets into the middle of members
+    stale = cdx.withColumn("offset", F.col("offset") + F.lit(7))
+    assert read_warc_indexed(stale).count() == 0  # skipped, not failed
+    assert read_warc_indexed(cdx).count() == 20
