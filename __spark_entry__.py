@@ -498,6 +498,29 @@ def _q3_top_revenue(spark, sf):
     )
 
 
+def _surt_keys(spark, sf):
+    """SURT canonical url keys over synthesized messy urls (mixed case,
+    www, default ports, userinfo, fragments) — full oracle: the same
+    regexp/split/reverse chain replayed in DuckDB."""
+    from ocr_agent_spark.operators.skew import surt_key
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        F.when(i % 11 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Host"), (i % 23).cast("string"), F.lit(".Example.COM"),
+        F.when(i % 7 == 0,
+               F.when(i % 3 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+         .otherwise(F.lit("")),
+        F.lit("/P/"), i.cast("string"),
+        F.when(i % 4 == 0, F.concat(F.lit("#sec"), (i % 9).cast("string")))
+         .otherwise(F.lit("")),
+    )
+    return d.select("doc_id", surt_key(url).alias("surt"))
+
+
 def _warc_roundtrip(spark, sf):
     """Full oracle for the WARC source: documents → 3 .warc.gz archives
     (kernel writer: per-record gzip members, HTTP/1.1 wrapping) →
@@ -942,10 +965,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_histogram": _host_histogram,
         # fan-out / scalar functions (§2.8, U3)
         "u3_page_fanout": _u3_page_fanout,
-        "f6_page_header": _f6_page_header_impl,
         "set_except_nations": _set_except_nations,
         # WARC source round-trip (r4: Common-Crawl container ingest)
         "warc_roundtrip": _warc_roundtrip,
+        # SURT canonical url keys (r4: crawl-native range-partition key)
+        "surt_keys": _surt_keys,
         "f15_result_coalesce": _f15_result_coalesce,
         # round-3 training-data additions (must stay in-window)
         "pii_redaction": _pii_redaction,
@@ -968,6 +992,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_ext_classify": _f1_ext_classify,        # green r1+r2+r3
         "f8_sanitize": _f8_sanitize,                # green r1+r2+r3; moved
         # to the tail mid-r4 to open a window slot for warc_roundtrip
+        "f6_page_header": _f6_page_header_impl,     # green r1+r2+r3; moved
+        # to the tail mid-r4 to open a window slot for surt_keys
         "w7_rolling_sum": _w7_rolling_sum,
         "f7_normalize": _f7_normalize,
         "f9_md_extension": _f9_md_extension,
@@ -1190,6 +1216,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, regexp_replace(p_name, '[ /:]', '_', 'g') "
             "AS sanitized FROM part WHERE p_partkey < 500"
         ),
+        # SURT: the same canonicalization chain replayed step-for-step
+        "surt_keys": ("""
+            WITH urls AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id%3=0 THEN 'HTTPS://' ELSE 'http://' END)
+                || (CASE WHEN doc_id%11=0 THEN 'user:pw@' ELSE '' END)
+                || (CASE WHEN doc_id%5=0 THEN 'www.' ELSE '' END)
+                || 'Host' || CAST(doc_id%23 AS VARCHAR) || '.Example.COM'
+                || (CASE WHEN doc_id%7=0 THEN
+                      (CASE WHEN doc_id%3=0 THEN ':443' ELSE ':80' END)
+                    ELSE '' END)
+                || '/P/' || CAST(doc_id AS VARCHAR)
+                || (CASE WHEN doc_id%4=0
+                    THEN '#sec' || CAST(doc_id%9 AS VARCHAR) ELSE '' END)
+                AS url
+              FROM documents WHERE doc_id < 400
+            ),
+            steps AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  lower(url),
+                  '^[a-z][a-z0-9+.-]*://', ''),
+                  '^[^/@?#]*@', ''),
+                  '#.*$', ''),
+                  '^www\\.', '') AS rest
+              FROM urls
+            ),
+            parts AS (
+              SELECT doc_id,
+                regexp_replace(regexp_extract(rest, '^([^/?]*)', 1),
+                               ':(80|443)$', '') AS host,
+                regexp_replace(rest, '^[^/?]*', '') AS path
+              FROM steps
+            )
+            SELECT doc_id,
+              array_to_string(list_reverse(string_split(
+                regexp_replace(host, ':[0-9]+$', ''), '.')), ',')
+              || regexp_extract(host, '(:[0-9]+)$', 1)
+              || ')' || (CASE WHEN path = '' THEN '/' ELSE path END) AS surt
+            FROM parts
+        """),
         # WARC round-trip: html payload bytes and WARC-Date survive the
         # archive → the re-read lengths/epochs equal the source table's
         "warc_roundtrip": (

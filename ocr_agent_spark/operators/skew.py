@@ -84,3 +84,36 @@ def salted_repartition(df: DataFrame, key: Column, unique_cols: list[str],
         key.isin(skewed_keys), _salt(unique_cols, salt_buckets)
     ).otherwise(F.lit(0))
     return df.repartition(num_partitions, key, salt)
+
+
+def surt_key(url: str | Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) of a URL — the
+    Common-Crawl canonical key: ``com,example)/path``.
+
+    Reversing the host labels makes one *domain's* pages a contiguous
+    key RANGE, so range-partitioning / sorting by SURT co-locates a
+    site (politeness grouping, per-site dedup, prefix pruning of a
+    whole TLD) — the property a plain url sort lacks. Canonicalization
+    applied (cdx-toolkit-compatible subset): lowercase, scheme and
+    userinfo dropped, leading ``www.`` dropped, default ports :80/:443
+    dropped, fragment dropped, empty path → ``/``.
+
+    Pure JVM regexp/split/reverse chain — engine-portable, replayed
+    verbatim in the DuckDB oracle (``surt_keys`` query).
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    low = F.lower(c)
+    rest = F.regexp_replace(low, r"^[a-z][a-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"^[^/@?#]*@", "")   # userinfo
+    rest = F.regexp_replace(rest, r"#.*$", "")          # fragment
+    rest = F.regexp_replace(rest, r"^www\.", "")
+    host = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    # a non-default port stays, AFTER the reversed labels (SURT form
+    # com,example:8080) — it must not ride along inside the last label
+    port = F.regexp_extract(host, r"(:\d+)$", 1)
+    bare = F.regexp_replace(host, r":\d+$", "")
+    rev = F.array_join(F.reverse(F.split(bare, r"\.")), ",")
+    return F.concat(rev, port, F.lit(")"), path)

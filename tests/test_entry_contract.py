@@ -36,7 +36,7 @@ MUST_BE_SWEPT = {
     "ivf_cosine_topk", "minhash_near_dups", "extract_synthetic_pages",
     "merged_artifact_hash", "corpus_clean_keep", "s2_triage_counts",
     "host_histogram", "f15_result_coalesce", "pii_redaction",
-    "benchmark_contamination", "warc_roundtrip",
+    "benchmark_contamination", "warc_roundtrip", "surt_keys",
 }
 
 

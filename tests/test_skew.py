@@ -94,3 +94,25 @@ def test_salted_host_counts_on_mega_host_corpus(spark):
         r["host"]: r["doc_count"] for r in salted_host_counts(pages).collect()
     }
     assert salted == plain
+
+
+def test_surt_key_canonicalization(spark):
+    """SURT canonical keys: real-world-shaped urls → com,example)/path
+    form; one domain becomes one contiguous key range."""
+    from ocr_agent_spark.operators.skew import surt_key
+
+    cases = [
+        ("https://www.Example.COM/Path/X#frag", "com,example)/path/x"),
+        ("http://example.com:80/a?q=1", "com,example)/a?q=1"),
+        ("https://sub.host.example.com:443/", "com,example,host,sub)/"),
+        ("http://user:pw@example.com/secret", "com,example)/secret"),
+        ("https://example.com", "com,example)/"),
+        ("http://example.com:8080/x", "com,example:8080)/x"),  # non-default port kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["surt"] for r in
+           df.select(surt_key("url").alias("surt")).collect()]
+    assert got == [e for _, e in cases]
+    # the range property: all of one domain's keys share a prefix that
+    # no other domain's keys share
+    assert all(g.startswith("com,example") for g in got)
