@@ -122,6 +122,12 @@ class SnapshotStore:
             "runs": runs,
             "run_id": run_id,
             "committed_unix_ms": int(time.time() * 1000),
+            # Iceberg-style schema-on-manifest: the table's CURRENT
+            # schema travels with the snapshot, so reads resolve
+            # columns by name against it — old data files missing a
+            # later-added column null-fill it, and time travel reads
+            # with the schema of that era, not today's.
+            "schema": json.loads(df.schema.json()),
         }
         if settings is not None:
             manifest["settings"] = settings
@@ -169,7 +175,15 @@ class SnapshotStore:
         prev = self.latest_manifest()
         if prev is None or not prev["runs"]:
             raise ValueError("nothing to compact: table is empty")
-        df = spark.read.parquet(
+        reader = spark.read
+        if "schema" in prev:
+            # rewrite under the recorded schema so a post-evolution
+            # compaction null-fills old files' missing columns instead
+            # of sampling one footer and dropping the new column
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(prev["schema"]))
+        df = reader.parquet(
             *[os.path.join(self.data_dir, r) for r in prev["runs"]]
         )
         if num_files is not None:
@@ -188,6 +202,8 @@ class SnapshotStore:
         }
         if "settings" in prev:  # maintenance must not drop the job config
             manifest["settings"] = prev["settings"]
+        if "schema" in prev:  # nor the table schema record
+            manifest["schema"] = prev["schema"]
         try:
             self._publish(manifest, seq)
         except CommitConflictError:
@@ -273,6 +289,7 @@ class SnapshotStore:
         cumulative, so this is just 'parse manifest N instead of the
         latest')."""
         if as_of_seq is None:
+            manifest = self.latest_manifest()
             dirs = self.committed_run_dirs()
         else:
             name = f"snap-{as_of_seq:06d}.json"
@@ -284,7 +301,16 @@ class SnapshotStore:
             dirs = [os.path.join(self.data_dir, r) for r in manifest["runs"]]
         if not dirs:
             return None
-        return spark.read.parquet(*dirs)
+        reader = spark.read
+        if manifest is not None and "schema" in manifest:
+            # resolve by the manifest's recorded schema (see commit):
+            # schema EVOLUTION — files predating an added column
+            # null-fill it; a time-travel read uses that era's schema.
+            # Also skips the footer-sampling schema inference pass.
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(manifest["schema"]))
+        return reader.parquet(*dirs)
 
     def snapshots(self) -> list[dict]:
         """Snapshot history (the GUI job-state listing analogue)."""

@@ -91,3 +91,41 @@ def test_crashed_manifest_write_leaves_no_partial_state(spark, tmp_path):
     # by the run_id guard being per-commit — use a fresh run id).
     store.commit(spark.createDataFrame([(2,)], "id long"), run_id="r2b")
     assert store.read(spark).count() == 2
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg-style schema-on-manifest: a later run adds a column →
+    reads resolve by the CURRENT schema (old rows null-fill); time
+    travel reads with that era's schema; compaction preserves both the
+    schema record and the null-filled rows."""
+    store = SnapshotStore(str(tmp_path / "evo"))
+    store.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, text string"),
+        run_id="r1",
+    )
+    store.commit(
+        spark.createDataFrame([(3, "c", "en")],
+                              "id long, text string, lang string"),
+        run_id="r2",
+    )
+
+    now = store.read(spark)
+    assert now.columns == ["id", "text", "lang"]
+    rows = {r["id"]: r["lang"] for r in now.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
+
+    era0 = store.read(spark, as_of_seq=0)
+    assert era0.columns == ["id", "text"]  # pre-evolution schema
+    assert era0.count() == 2
+
+    store.compact(spark, num_files=1)
+    after = store.read(spark)
+    assert after.columns == ["id", "text", "lang"]
+    assert {r["id"]: r["lang"] for r in after.collect()} == rows
+
+
+def test_schema_recorded_in_manifest(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "rec"))
+    store.commit(spark.createDataFrame([(1,)], "id long"), run_id="r1")
+    m = store.latest_manifest()
+    assert [f["name"] for f in m["schema"]["fields"]] == ["id"]
