@@ -5,8 +5,9 @@ every SQL-expressible operator from SURVEY.md §2 (plus the training-
 data-pipeline operators: dedup tiers, text analysis, ANN) to a
 DataFrame builder; ``oracle_sql()`` holds the DuckDB-equivalent SQL.
 Queries without an oracle entry are non-SQL-expressible (extraction
-kernels, MinHash/SimHash with engine-local hashes, multimodal stubs)
-and get the driver's rows-only check.
+kernels, the stateful math-rewrite scan, HLL sketches, binary media
+pixel decode) and get the driver's rows-only check — 5 of 64 as of
+round 4; everything else is value-hash-verified against DuckDB.
 """
 
 from __future__ import annotations
