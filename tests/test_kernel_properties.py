@@ -260,3 +260,15 @@ def test_warc_parser_typed_errors_on_arbitrary_bytes(data):
             pass
     except WarcFormatError:
         pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048), st.one_of(st.none(), st.text(max_size=60)))
+def test_charset_normalization_total_and_utf8(body, ctype):
+    """decode_to_utf8 over arbitrary bytes + arbitrary Content-Type
+    header: never raises, always returns strictly-valid UTF-8 (the
+    downstream kernels' hard contract)."""
+    from ocr_agent_spark.kernel.warcfile import decode_to_utf8
+
+    out = decode_to_utf8(body, ctype)
+    out.decode("utf-8")  # must not raise
