@@ -107,25 +107,81 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
-_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page(?![s])")
 
 
 def _parse_objects(data: bytes) -> dict[int, bytes]:
     if not is_pdf_payload(data):
         raise ValueError("not a PDF payload (missing %PDF magic)")
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    objects = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    # PDF 1.5+ compressed object streams (/Type /ObjStm): real writers
+    # (pdfTeX, cairo, ...) park the page tree and page dicts inside a
+    # Flate-compressed stream — expand them so page counting / fan-out /
+    # text extraction see modern PDFs, not just our own writer's output.
+    for num in list(objects):
+        body = objects[num]
+        if b"/ObjStm" not in body:
+            continue
+        if b"/Predictor" in body:
+            continue  # PNG-predictor ObjStm (rare) — not decoded here
+        m_n = _OBJSTM_N_RE.search(body)
+        m_first = _OBJSTM_FIRST_RE.search(body)
+        if not m_n or not m_first:
+            continue
+        try:
+            decoded = _decode_stream(body)
+        except Exception:
+            continue
+        n, first = int(m_n.group(1)), int(m_first.group(1))
+        header = decoded[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+        for k, (onum, off) in enumerate(pairs):
+            end = first + pairs[k + 1][1] if k + 1 < n else len(decoded)
+            # direct (uncompressed) definitions win on conflict
+            objects.setdefault(onum, decoded[first + off:end])
+    return objects
 
 
 def _page_object_numbers(objects: dict[int, bytes]) -> list[int]:
-    # Prefer the page tree (document order); fall back to /Type /Page scan.
-    for body in objects.values():
-        if b"/Type" in body and b"/Pages" in body:
+    # Prefer the page tree (document order), expanding NESTED /Pages
+    # nodes (balanced trees are what real writers emit); fall back to a
+    # /Type /Page scan.
+    roots = [
+        num for num, body in objects.items()
+        if b"/Type" in body and b"/Pages" in body and _KIDS_RE.search(body)
+    ]
+    # the root is the /Pages node no other /Pages node references
+    kid_refs: set[int] = set()
+    for num in roots:
+        kids = _KIDS_RE.search(objects[num])
+        kid_refs.update(int(m.group(1)) for m in _REF_RE.finditer(kids.group(1)))
+    top = [num for num in roots if num not in kid_refs] or roots[:1]
+    if top:
+        out: list[int] = []
+        seen: set[int] = set()
+
+        def expand(num: int) -> None:
+            if num in seen:  # cycle guard on corrupt trees
+                return
+            seen.add(num)
+            body = objects.get(num, b"")
             kids = _KIDS_RE.search(body)
-            if kids:
-                return [int(m.group(1)) for m in _REF_RE.finditer(kids.group(1))]
-    page_re = re.compile(rb"/Type\s*/Page(?![s])")
-    return [num for num in sorted(objects) if page_re.search(objects[num])]
+            if kids and b"/Pages" in body:
+                for m in _REF_RE.finditer(kids.group(1)):
+                    expand(int(m.group(1)))
+            elif _PAGE_TYPE_RE.search(body) or (body and not kids):
+                out.append(num)
+
+        expand(top[0])
+        if out:
+            return out
+    return [num for num in sorted(objects) if _PAGE_TYPE_RE.search(objects[num])]
 
 
 def pdf_page_count(data: bytes) -> int:
@@ -133,11 +189,31 @@ def pdf_page_count(data: bytes) -> int:
     return len(_page_object_numbers(_parse_objects(data)))
 
 
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+
+
 def _decode_stream(body: bytes) -> bytes:
-    m = _STREAM_RE.search(body)
-    if m is None:
+    sm = _STREAM_START_RE.search(body)
+    if sm is None:
         return b""
-    raw = m.group(1)
+    start = sm.end()
+    # Delimit by /Length when it is a direct value: compressed data can
+    # contain the LITERAL bytes "endstream" (seen in real pdfTeX
+    # output), so a first-match scan truncates mid-stream. Indirect
+    # /Length (N 0 R) falls back to the LAST endstream marker.
+    lm = _LENGTH_RE.search(body[:sm.start()])
+    if lm:
+        raw = body[start:start + int(lm.group(1))]
+    else:
+        end = body.rfind(b"endstream")
+        if end < 0:
+            end = len(body)
+        raw = body[start:end]
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
     if b"/FlateDecode" in body:
         raw = zlib.decompress(raw)
     elif b"/Filter" in body:
@@ -209,7 +285,142 @@ def _read_pdf_string(stream: bytes, start: int) -> tuple[str, int]:
     return out.decode("latin-1"), i
 
 
-def _extract_positioned_strings(stream: bytes) -> list[tuple[float, float, str]]:
+# -- ToUnicode CMaps (real-writer text fidelity) ----------------------------
+#
+# Subset fonts from real writers (pdfTeX, cairo/fop) re-encode glyphs at
+# arbitrary codes (ligature 'fi' at 0x02/0x0C, ...) and publish the
+# code→Unicode mapping as a /ToUnicode CMap stream per font. Without it
+# extracted text carries the raw subset codes; with it, extraction is
+# faithful. Codes are mapped per the font ACTIVE at each show operator
+# (tracked via ``Tf``).
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_SEC_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_BFRANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[(?:\s*<[0-9A-Fa-f]+>)*\s*\]|<[0-9A-Fa-f]+>)"
+)
+_HEX_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEX_ONE_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+
+
+def _utf16be(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", "replace")
+    except ValueError:
+        return ""
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[int, dict[int, str]]:
+    """CMap stream → (code width in bytes, code→unicode map)."""
+    out: dict[int, str] = {}
+    width = 1
+    for m in _BFCHAR_RE.finditer(cmap):
+        for src, dst in _HEX_PAIR_RE.findall(m.group(1)):
+            width = max(width, len(src) // 2)
+            out[int(src, 16)] = _utf16be(dst)
+    for sec in _BFRANGE_SEC_RE.finditer(cmap):
+        for lo_h, hi_h, dst in _BFRANGE_RE.findall(sec.group(1)):
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            width = max(width, len(lo_h) // 2)
+            if hi - lo > 0xFFFF:
+                continue  # corrupt range bomb
+            if dst.startswith(b"["):
+                targets = _HEX_ONE_RE.findall(dst)
+                for k, t in enumerate(targets[: hi - lo + 1]):
+                    out[lo + k] = _utf16be(t)
+            else:
+                base_h = _HEX_ONE_RE.search(dst).group(1)
+                base = int(base_h, 16)
+                for k in range(hi - lo + 1):
+                    out[lo + k] = _utf16be(b"%0*x" % (len(base_h), base + k))
+    return width, out
+
+
+def _read_balanced_dict(data: bytes, start: int) -> bytes:
+    """``<< ... >>`` starting at ``start`` with nesting → full dict bytes."""
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n - 1:
+        two = data[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return data[start:]
+
+
+def _resolve_dict(objects: dict[int, bytes], body: bytes, key: bytes) -> bytes:
+    """``/Key`` in ``body`` → the dict bytes it denotes (inline or ref)."""
+    at = body.find(key)
+    if at < 0:
+        return b""
+    i = at + len(key)
+    n = len(body)
+    while i < n and body[i] in b" \t\r\n":
+        i += 1
+    if body.startswith(b"<<", i):
+        return _read_balanced_dict(body, i)
+    m = re.match(rb"(\d+)\s+0\s+R", body[i:i + 32])
+    if m:
+        return objects.get(int(m.group(1)), b"")
+    return b""
+
+
+def _page_fontmaps(objects: dict[int, bytes],
+                   page_obj: int) -> dict[str, tuple[int, dict[int, str]]]:
+    """Font-name → (code width, ToUnicode map) for a page's resources.
+
+    Falls back to the page-tree root's resources when the page dict
+    inherits them (PDF resource inheritance)."""
+    maps: dict[str, tuple[int, dict[int, str]]] = {}
+    body = objects.get(page_obj, b"")
+    res = _resolve_dict(objects, body, b"/Resources")
+    if not res:
+        for other in objects.values():
+            if b"/Type" in other and b"/Pages" in other:
+                res = _resolve_dict(objects, other, b"/Resources")
+                if res:
+                    break
+    fonts = _resolve_dict(objects, res, b"/Font") if res else b""
+    for name, num in _FONT_ENTRY_RE.findall(fonts):
+        font_body = objects.get(int(num), b"")
+        m = _TOUNICODE_RE.search(font_body)
+        if not m:
+            continue
+        try:
+            cmap = _decode_stream(objects.get(int(m.group(1)), b""))
+        except Exception:
+            continue
+        width, table = _parse_tounicode(cmap)
+        if table:
+            maps[name.decode("latin-1")] = (width, table)
+    return maps
+
+
+def _apply_fontmap(text: str, fontmap: tuple[int, dict[int, str]]) -> str:
+    width, table = fontmap
+    if width <= 1:
+        return "".join(table.get(ord(c), c) for c in text)
+    out = []
+    for k in range(0, len(text) - 1, 2):
+        code = (ord(text[k]) << 8) | ord(text[k + 1])
+        out.append(table.get(code, ""))
+    return "".join(out)
+
+
+def _extract_positioned_strings(
+    stream: bytes,
+    fontmaps: dict[str, tuple[int, dict[int, str]]] | None = None,
+) -> list[tuple[float, float, str]]:
     """Tokenize a content stream → list of (y, x, text) chunks.
 
     Regex-scanned (whitespace runs, numbers, names, operators in one
@@ -221,6 +432,9 @@ def _extract_positioned_strings(stream: bytes) -> list[tuple[float, float, str]]
     x = y = 0.0
     leading = 14.0
     stack: list[float] = []
+    in_array = False
+    last_name = ""
+    cur_font: tuple[int, dict[int, str]] | None = None
     i = 0
     n = len(stream)
     pending: list[str] = []  # strings seen since last operator
@@ -234,18 +448,57 @@ def _extract_positioned_strings(stream: bytes) -> list[tuple[float, float, str]]
         b = stream[i]
         if b == 0x28:  # ( — string
             s, i = _read_pdf_string(stream, i)
-            pending.append(s)
+            # map per SOURCE string (the kern-inferred spaces appended
+            # below must stay literal, and 2-byte codes must pair
+            # within one string, never across the inferred space)
+            pending.append(_apply_fontmap(s, cur_font) if cur_font else s)
             continue
-        if b == 0x5B or b == 0x5D:  # [ ] — TJ array delimiters
+        if b == 0x3C:  # < — hex string (<< is a dict delimiter: skip)
+            if stream[i + 1:i + 2] == b"<":
+                i += 2
+                continue
+            gt = stream.find(b">", i + 1)
+            if gt < 0:
+                i += 1
+                continue
+            hx = _WS_RE.sub(b"", stream[i + 1:gt])
+            if len(hx) % 2:
+                hx += b"0"  # spec: odd-length hex string pads a 0
+            try:
+                hs = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+            except ValueError:
+                hs = ""
+            if hs:
+                pending.append(_apply_fontmap(hs, cur_font) if cur_font else hs)
+            i = gt + 1
+            continue
+        if b == 0x5B:  # [ — TJ array open
+            in_array = True
+            i += 1
+            continue
+        if b == 0x5D:  # ] — TJ array close
+            in_array = False
             i += 1
             continue
         m = _NUM_RE.match(stream, i)
         if m:
-            stack.append(float(m.group()))
+            val = float(m.group())
+            if in_array:
+                # TJ kern adjustments (thousandths of em, negative =
+                # rightward gap): real writers (TeX, cairo) encode the
+                # inter-WORD space as a large negative kern instead of
+                # a space glyph — infer it, pdfminer word_margin style.
+                # Small kerns (letter fitting, > -150) stay invisible.
+                if val < -150 and pending:
+                    pending.append(" ")
+            else:
+                stack.append(val)
             i = m.end()
             continue
         if b == 0x2F:  # /name (runs to whitespace)
-            i = _NAME_RE.match(stream, i).end()
+            nm = _NAME_RE.match(stream, i)
+            last_name = nm.group()[1:].decode("latin-1")
+            i = nm.end()
             continue
         m = _OP_RE.match(stream, i)
         if m:
@@ -270,6 +523,8 @@ def _extract_positioned_strings(stream: bytes) -> list[tuple[float, float, str]]
                 leading = stack[-1]
         elif op == b"BT":
             x = y = 0.0
+        elif op == b"Tf" and fontmaps is not None:
+            cur_font = fontmaps.get(last_name)
         if op in (b"Tj", b"TJ", b"'", b'"'):
             text = "".join(pending)
             if op in (b"'", b'"'):
@@ -283,12 +538,18 @@ def _extract_positioned_strings(stream: bytes) -> list[tuple[float, float, str]]
 
 
 def _render_page(objects: dict[int, bytes], page_obj: int) -> str:
-    body = objects[page_obj]
+    body = objects.get(page_obj, b"")
     m = _CONTENTS_RE.search(body)
     if m is None:
         return ""
-    stream = _decode_stream(objects.get(int(m.group(1)), b""))
-    chunks = _extract_positioned_strings(stream)
+    # /Contents may be one ref or an array of refs (real writers split
+    # long pages) — concatenate the decoded streams in order.
+    parts = [
+        _decode_stream(objects.get(int(r.group(1)), b""))
+        for r in _REF_RE.finditer(m.group(1))
+    ]
+    stream = b"\n".join(parts)
+    chunks = _extract_positioned_strings(stream, _page_fontmaps(objects, page_obj))
     # Group into lines by quantized y, top-down; left-to-right within.
     lines: dict[float, list[tuple[float, str]]] = {}
     for cy, cx, text in chunks:
