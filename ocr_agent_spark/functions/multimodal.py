@@ -7,7 +7,8 @@ container ships no media libraries, so *pixel* decoding is stubbed,
 but image **metadata** decoding is real (stdlib header parsing):
 
 - ``decode_backend="headers"`` (default) → REAL container sniff +
-  width/height from PNG/JPEG/GIF/BMP headers (kernel/imagemeta.py);
+  width/height from PNG/JPEG/GIF/BMP/TIFF headers (kernel/imagemeta.py
+  + kernel/tiffimage.py);
   malformed image payloads become failure rows. For PNGs (every legal
   shape: all depths, palette, Adam7), BMPs (raw, bitfields, RLE8/4),
   GIFs (pure-Python LZW, first frame, interlace) and JPEGs — baseline
@@ -16,7 +17,9 @@ but image **metadata** decoding is real (stdlib header parsing):
   feature vector is also REAL: a 16-bin luminance histogram from a
   full pixel decode (``imagemeta.image_luminance_histogram``) —
   validated against real-encoder files on this host for all four
-  formats in both JPEG coding modes. Arithmetic-coded JPEGs fall back
+  formats in both JPEG coding modes, plus baseline TIFF (strips,
+  none/PackBits/LZW compression, bilevel/gray/gray16/RGB/palette,
+  both byte orders). Arithmetic-coded JPEGs fall back
   to fake features (``feature_source='fake'``). Audio and video are
   REAL too for the codecs this environment can decode: RIFF/WAVE
   integer-PCM + IEEE-float audio (kernel/wavaudio.py — temporal RMS +
@@ -102,8 +105,9 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
     PDF in the extraction stage.
 
     ``feature_source`` says per row whether ``feature`` came from a
-    real pixel decode (``"real"``: PNG/BMP/GIF/JPEG-baseline/
-    JPEG-progressive luminance histogram) or a deterministic stand-in
+    real pixel decode (``"real"``: PNG/BMP/GIF/TIFF/JPEG-baseline/
+    JPEG-progressive luminance histogram, WAV audio, AVI video) or a
+    deterministic stand-in
     (``"fake"``: arithmetic-coded JPEG, audio, video — no PIL/ffmpeg in
     this environment). Downstream consumers at corpus scale should
     filter ``feature_source = 'real'`` rather than reverse-engineering
@@ -265,9 +269,14 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
         build_png,
     )
     from ocr_agent_spark.kernel.jpegdecode import build_jpeg
+    from ocr_agent_spark.kernel.tiffimage import build_tiff
     from ocr_agent_spark.kernel.wavaudio import build_wav
 
-    builders = [build_png, build_jpeg, build_gif, build_bmp]
+    def _tiff(w, h, seed=0):
+        comp = ["none", "packbits", "lzw"][seed % 3]
+        return build_tiff(w, h, seed=seed, compression=comp)
+
+    builders = [build_png, build_jpeg, build_gif, build_bmp, _tiff]
     wav_shapes = [(8, 1), (16, 1), (16, 2), (24, 1), (32, 2), (64, 1)]
     rows = []
     kinds = ["image", "audio", "video"]
@@ -276,7 +285,7 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             w = h = 64  # pixel builders are pure Python — fixed small size
-            payload = builders[(i // 3) % 4](w, h, seed=i)
+            payload = builders[(i // 3) % len(builders)](w, h, seed=i)
             rows.append((i, kind, payload, "image/fixture", w, h, None))
         elif kind == "audio":
             bits, ch = wav_shapes[(i // 3) % len(wav_shapes)]

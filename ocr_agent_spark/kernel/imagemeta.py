@@ -37,7 +37,7 @@ class UnsupportedImageError(ImageFormatError):
 
 
 def sniff_image_format(data: bytes) -> str | None:
-    """Container from magic bytes: png/jpeg/gif/bmp, None if unknown."""
+    """Container from magic bytes: png/jpeg/gif/bmp/tiff, None if unknown."""
     if data.startswith(PNG_MAGIC):
         return "png"
     if data[:2] == b"\xff\xd8":
@@ -46,6 +46,8 @@ def sniff_image_format(data: bytes) -> str | None:
         return "gif"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -69,6 +71,10 @@ def parse_image_dimensions(data: bytes) -> tuple[str, int, int]:
             w, h = _jpeg_dimensions(data)
         elif fmt == "gif":
             w, h = struct.unpack("<HH", data[6:10])
+        elif fmt == "tiff":
+            from ocr_agent_spark.kernel.tiffimage import parse_tiff_dimensions
+
+            w, h = parse_tiff_dimensions(data)
         else:  # bmp
             w, h_signed = struct.unpack("<ii", data[18:26])
             h = abs(h_signed)
@@ -647,6 +653,13 @@ def image_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
         from ocr_agent_spark.kernel.jpegdecode import decode_jpeg_luminance
 
         decoded = decode_jpeg_luminance(data)
+    elif fmt == "tiff":
+        import numpy as _np
+
+        from ocr_agent_spark.kernel.tiffimage import decode_tiff_luminance
+
+        w, h, lum = decode_tiff_luminance(data)
+        decoded = (w, h, bytes(_np.clip(_np.rint(lum), 0, 255).astype(_np.uint8)))
     else:
         raise UnsupportedImageError(f"no pixel decoder for {fmt}")
     return _luminance_histogram(*decoded, bins)

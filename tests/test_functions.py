@@ -491,7 +491,7 @@ def test_multimodal_headers_decodes_real_dimensions(spark):
             meta[i]["width"], meta[i]["height"]
         ), (i, r["format"])
         formats.add(r["format"])
-    assert formats == {"png", "jpeg", "gif", "bmp"}
+    assert formats == {"png", "jpeg", "gif", "bmp", "tiff"}
     # audio/video fixture payloads are real WAV/AVI containers → real
     # container formats; AVI dims come from an actual header parse
     for i, m in meta.items():
@@ -549,7 +549,7 @@ def test_multimodal_feature_source_column(spark):
     for i, r in rows.items():
         if i >= 900:
             continue
-        assert r["format"] in ("png", "gif", "bmp", "jpeg", "wav", "avi"), i
+        assert r["format"] in ("png", "gif", "bmp", "jpeg", "tiff", "wav", "avi"), i
         assert r["feature_source"] == "real", (i, r["format"])
     assert {r["feature_source"] for r in rows.values()} == {"real", "fake", None}
     # the fake backend never claims real features
@@ -1175,10 +1175,10 @@ def test_multimodal_headers_no_failures_at_volume(spark):
     assert not bad, [(r["media_id"], r["error"]) for r in bad[:3]]
     fmt_seen = set()
     for r in rows:
-        if r["format"] in ("png", "gif", "bmp", "wav", "avi"):
+        if r["format"] in ("png", "gif", "bmp", "tiff", "wav", "avi"):
             fmt_seen.add(r["format"])
             assert sum(r["feature"]) == pytest.approx(1.0, abs=1e-6), r["media_id"]
-    assert fmt_seen == {"png", "gif", "bmp", "wav", "avi"}
+    assert fmt_seen == {"png", "gif", "bmp", "tiff", "wav", "avi"}
     assert all(r["feature_source"] == "real" for r in rows)
 
 
