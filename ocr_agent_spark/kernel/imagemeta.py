@@ -48,6 +48,8 @@ def sniff_image_format(data: bytes) -> str | None:
         return "bmp"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -75,6 +77,8 @@ def parse_image_dimensions(data: bytes) -> tuple[str, int, int]:
             from ocr_agent_spark.kernel.tiffimage import parse_tiff_dimensions
 
             w, h = parse_tiff_dimensions(data)
+        elif fmt == "webp":
+            w, h = _webp_dimensions(data)
         else:  # bmp
             w, h_signed = struct.unpack("<ii", data[18:26])
             h = abs(h_signed)
@@ -83,6 +87,37 @@ def parse_image_dimensions(data: bytes) -> tuple[str, int, int]:
     if w <= 0 or h <= 0:
         raise ImageFormatError(f"non-positive {fmt} dimensions {w}x{h}")
     return fmt, int(w), int(h)
+
+
+def _webp_dimensions(data: bytes) -> tuple[int, int]:
+    """WEBP canvas dims from the first VP8X/VP8 /VP8L chunk.
+
+    The reference's extension list includes .webp; header dims are real
+    here, pixel decode (VP8 boolean-coder / VP8L) is not carried — the
+    histogram path raises UnsupportedImageError so callers fall back to
+    fake features with REAL dimensions, never a failure row.
+    """
+    chunk = data[12:16]
+    body = data[20:]
+    if chunk == b"VP8X":
+        if len(body) < 10:
+            raise ImageFormatError("truncated VP8X header")
+        w = 1 + int.from_bytes(body[4:7], "little")
+        h = 1 + int.from_bytes(body[7:10], "little")
+    elif chunk == b"VP8 ":
+        if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+            raise ImageFormatError("VP8 frame without start code")
+        w = int.from_bytes(body[6:8], "little") & 0x3FFF
+        h = int.from_bytes(body[8:10], "little") & 0x3FFF
+    elif chunk == b"VP8L":
+        if len(body) < 5 or body[0] != 0x2F:
+            raise ImageFormatError("VP8L without signature byte")
+        bits = int.from_bytes(body[1:5], "little")
+        w = 1 + (bits & 0x3FFF)
+        h = 1 + ((bits >> 14) & 0x3FFF)
+    else:
+        raise ImageFormatError(f"unknown WEBP chunk {chunk!r}")
+    return w, h
 
 
 def _jpeg_dimensions(data: bytes) -> tuple[int, int]:
