@@ -295,6 +295,18 @@ _SIMPLE_START = re.compile(
     r"\s*(/?)>"
 )
 
+# One anchored alternation covering BOTH the simple start tag above and
+# the plain end tag (</name>, optional trailing space) — the two forms
+# that cover ~all tags in real crawl HTML — so the hot loop pays ONE
+# regex call per tag instead of a probe plus a branch-specific match.
+_SIMPLE_TAG = re.compile(
+    r"<(?:([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:=\"[^\"'<>]*\"|='[^\"'<>]*'|=[-a-zA-Z0-9_./:;+#%?&~,]*)?)*)"
+    r"\s*(/?)>"
+    r"|/([a-zA-Z][a-zA-Z0-9]*)\s*>)"
+)
+
 
 # Tags whose events change the consumer's state; everything else
 # (span/em/strong/img/...) is a consumer no-op and skipping the
@@ -305,6 +317,22 @@ _INTERESTING_TAGS = frozenset(
     _BLOCK_TAGS | _IGNORED_SUBTREES | {"a", "title"}
 )
 
+# (lowered, is_interesting, is_cdata) per RAW tag spelling — real HTML
+# repeats a tiny tag vocabulary with few case variants, so this global
+# memo turns per-tag .lower() + two set probes into one dict hit. Only
+# consulted for the default interesting-set (custom sets skip it).
+_TAG_INFO: dict[str, tuple[str, bool, bool]] = {}
+
+
+def _tag_info(raw: str) -> tuple[str, bool, bool]:
+    info = _TAG_INFO.get(raw)
+    if info is None:
+        low = raw.lower()
+        info = (low, low in _INTERESTING_TAGS, low in _CDATA_CLOSE)
+        if len(_TAG_INFO) < 4096:  # adversarial unique-tag bomb guard
+            _TAG_INFO[raw] = info
+    return info
+
 
 def _fast_feed(text: str, c: _BlockConsumer,
                interesting: frozenset[str] = _INTERESTING_TAGS) -> None:
@@ -312,6 +340,7 @@ def _fast_feed(text: str, c: _BlockConsumer,
     i, n = 0, len(text)
     find = text.find
     data = c.handle_data
+    default_set = interesting is _INTERESTING_TAGS
 
     def recover(lt: int) -> int:
         # goahead's end-of-feed recovery for incomplete constructs
@@ -336,27 +365,43 @@ def _fast_feed(text: str, c: _BlockConsumer,
         if lt > i:
             seg = text[i:lt]
             data(_unescape(seg) if "&" in seg else seg)
+        sm = _SIMPLE_TAG.match(text, lt)
+        if sm is not None:  # plain start/end tag: skip the tolerant walk
+            raw = sm.group(1)
+            if raw is None:  # </name> form
+                if default_set:
+                    tag, is_int, _ = _tag_info(sm.group(4))
+                else:
+                    tag = sm.group(4).lower()
+                    is_int = tag in interesting
+                if is_int:
+                    c.handle_endtag(tag)
+                i = sm.end()
+                continue
+            if default_set:
+                tag, is_int, is_cdata = _tag_info(raw)
+            else:
+                tag = raw.lower()
+                is_int = tag in interesting
+                is_cdata = tag in _CDATA_CLOSE
+            i = sm.end()
+            if sm.group(3):
+                if is_int:
+                    c.handle_startendtag(tag, [])
+                continue
+            if is_int:
+                c.handle_starttag(tag, [])
+            if is_cdata:
+                mm = _CDATA_CLOSE[tag].search(text, i)
+                if mm is None:
+                    return  # unclosed CDATA: content dropped (stdlib)
+                if mm.start() > i:
+                    data(text[i:mm.start()])  # raw: no charref conversion
+                c.handle_endtag(tag)
+                i = mm.end()
+            continue
         nxt = text[lt + 1:lt + 2]
         if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
-            sm = _SIMPLE_START.match(text, lt)
-            if sm is not None:  # well-formed tag: skip the tolerant walk
-                tag = sm.group(1).lower()
-                i = sm.end()
-                if sm.group(3):
-                    if tag in interesting:
-                        c.handle_startendtag(tag, [])
-                    continue
-                if tag in interesting:
-                    c.handle_starttag(tag, [])
-                if tag in _CDATA_CLOSE:
-                    mm = _CDATA_CLOSE[tag].search(text, i)
-                    if mm is None:
-                        return  # unclosed CDATA: content dropped (stdlib)
-                    if mm.start() > i:
-                        data(text[i:mm.start()])  # raw: no charref conversion
-                    c.handle_endtag(tag)
-                    i = mm.end()
-                continue
             # parse_starttag, faithfully: locate the tolerant tag end,
             # classify the char after it (check_for_whole_start_tag),
             # walk the attrs without materializing them, then apply the
