@@ -300,6 +300,7 @@ _SIMPLE_START = re.compile(
 # that cover ~all tags in real crawl HTML — so the hot loop pays ONE
 # regex call per tag instead of a probe plus a branch-specific match.
 _SIMPLE_TAG = re.compile(
+    r"([^<]*)"
     r"<(?:([a-zA-Z][a-zA-Z0-9]*)"
     r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
     r"(?:=\"[^\"'<>]*\"|='[^\"'<>]*'|=[-a-zA-Z0-9_./:;+#%?&~,]*)?)*)"
@@ -357,22 +358,19 @@ def _fast_feed(text: str, c: _BlockConsumer,
         return end_at
 
     while i < n:
-        lt = find("<", i)
-        if lt < 0:
-            seg = text[i:]
-            data(_unescape(seg) if "&" in seg else seg)
-            return
-        if lt > i:
-            seg = text[i:lt]
-            data(_unescape(seg) if "&" in seg else seg)
-        sm = _SIMPLE_TAG.match(text, lt)
-        if sm is not None:  # plain start/end tag: skip the tolerant walk
-            raw = sm.group(1)
+        # fast path: one anchored match consumes the data run AND the
+        # following plain start/end tag
+        sm = _SIMPLE_TAG.match(text, i)
+        if sm is not None:
+            seg = sm.group(1)
+            if seg:
+                data(_unescape(seg) if "&" in seg else seg)
+            raw = sm.group(2)
             if raw is None:  # </name> form
                 if default_set:
-                    tag, is_int, _ = _tag_info(sm.group(4))
+                    tag, is_int, _ = _tag_info(sm.group(5))
                 else:
-                    tag = sm.group(4).lower()
+                    tag = sm.group(5).lower()
                     is_int = tag in interesting
                 if is_int:
                     c.handle_endtag(tag)
@@ -385,7 +383,7 @@ def _fast_feed(text: str, c: _BlockConsumer,
                 is_int = tag in interesting
                 is_cdata = tag in _CDATA_CLOSE
             i = sm.end()
-            if sm.group(3):
+            if sm.group(4):
                 if is_int:
                     c.handle_startendtag(tag, [])
                 continue
@@ -400,6 +398,15 @@ def _fast_feed(text: str, c: _BlockConsumer,
                 c.handle_endtag(tag)
                 i = mm.end()
             continue
+        # slow path: emit the data run, then the tolerant branches
+        lt = find("<", i)
+        if lt < 0:
+            seg = text[i:]
+            data(_unescape(seg) if "&" in seg else seg)
+            return
+        if lt > i:
+            seg = text[i:lt]
+            data(_unescape(seg) if "&" in seg else seg)
         nxt = text[lt + 1:lt + 2]
         if "a" <= nxt <= "z" or "A" <= nxt <= "Z":
             # parse_starttag, faithfully: locate the tolerant tag end,
