@@ -171,17 +171,26 @@ def sample_avi_luminance(data: bytes, every_ms: int) -> tuple[list[np.ndarray], 
     idx = np.unique(idx)[:_MAX_SAMPLED_FRAMES]
     offsets = meta["frame_offsets"]
 
+    # VfW dropped frames are zero-length 00dc chunks: the PREVIOUS
+    # frame stays on screen at that time (fall forward only when the
+    # clip has no earlier content at all). One O(n) pass precomputes
+    # the on-screen index — a per-sample backward scan is quadratic on
+    # dropped-frame-heavy captures (r4b review).
+    last_nonempty = [-1] * n
+    j = -1
+    first_nonempty = -1
+    for k, (_off, sz) in enumerate(offsets):
+        if sz > 0:
+            j = k
+            if first_nonempty < 0:
+                first_nonempty = k
+        last_nonempty[k] = j
+
     def on_screen(i: int) -> int | None:
-        # VfW dropped frames are zero-length 00dc chunks: the PREVIOUS
-        # frame stays on screen at that time (fall forward only when
-        # the clip has no earlier content at all).
-        for j in range(i, -1, -1):
-            if offsets[j][1] > 0:
-                return j
-        for j in range(i + 1, n):
-            if offsets[j][1] > 0:
-                return j
-        return None
+        k = last_nonempty[i]
+        if k >= 0:
+            return k
+        return first_nonempty if first_nonempty >= 0 else None
 
     lums = []
     decoded: set[int] = set()

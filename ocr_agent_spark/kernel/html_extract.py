@@ -280,25 +280,16 @@ _STD_KEYWORDS = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
 # more data, then drops the tail at EOF):
 _TAG_LIMBO = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
 
-# Well-formed start-tag fast path. A match here is PROVABLY equivalent
-# to the full tolerant machinery: alnum tag name followed by a
-# delimiter; attrs are space-separated names with optionally '='-joined
-# values whose quoted forms contain no '>' / stray quote and whose bare
-# forms draw from a safe class; the tag closes at a real '>' or '/>'.
-# Anything else (stray quotes, '=' junk, missing spaces, exotic names)
-# falls back to the stdlib-faithful slow branch below. On real crawl
-# HTML ~all tags take this path.
-_SIMPLE_START = re.compile(
-    r"<([a-zA-Z][a-zA-Z0-9]*)"
-    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
-    r"(?:=\"[^\"'<>]*\"|='[^\"'<>]*'|=[-a-zA-Z0-9_./:;+#%?&~,]*)?)*)"
-    r"\s*(/?)>"
-)
-
-# One anchored alternation covering BOTH the simple start tag above and
-# the plain end tag (</name>, optional trailing space) — the two forms
-# that cover ~all tags in real crawl HTML — so the hot loop pays ONE
-# regex call per tag instead of a probe plus a branch-specific match.
+# Well-formed tag fast path, one anchored alternation consuming the
+# preceding data run plus EITHER a simple start tag or a plain end tag.
+# A start-tag match here is PROVABLY equivalent to the full tolerant
+# machinery: alnum tag name followed by a delimiter; attrs are
+# space-separated names with optionally '='-joined values whose quoted
+# forms contain no '>' / stray quote and whose bare forms draw from a
+# safe class; the tag closes at a real '>' or '/>'. Anything else
+# (stray quotes, '=' junk, missing spaces, exotic names) falls back to
+# the stdlib-faithful slow branch below. On real crawl HTML ~all tags
+# take this path.
 _SIMPLE_TAG = re.compile(
     r"([^<]*)"
     r"<(?:([a-zA-Z][a-zA-Z0-9]*)"

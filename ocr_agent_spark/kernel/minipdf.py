@@ -104,20 +104,57 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
 # Reader
 # ---------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+0\s+R)", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page(?![s])")
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+0\s+R")
+
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """Length-aware object scan.
+
+    A plain non-greedy ``obj(.*?)endobj`` regex truncates at the first
+    LITERAL "endobj" inside Flate-compressed stream data (the same
+    failure mode as "endstream", observed in real pdfTeX output) — so
+    when an object carries a stream with a direct /Length, skip that
+    many bytes before looking for the real endobj."""
+    objects: dict[int, bytes] = {}
+    pos = 0
+    n = len(data)
+    while pos < n:
+        m = _OBJ_HEAD_RE.search(data, pos)
+        if m is None:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        e = data.find(b"endobj", body_start)
+        sm = _STREAM_START_RE.search(data, body_start, e if e >= 0 else n)
+        if sm is not None:
+            lm = _LENGTH_RE.search(data, body_start, sm.start())
+            if lm:
+                after = sm.end() + int(lm.group(1))
+                if after <= n:
+                    e2 = data.find(b"endobj", after)
+                    if e2 >= 0:
+                        e = e2
+        if e < 0:
+            objects[num] = data[body_start:]
+            break
+        objects[num] = data[body_start:e]  # later definitions win (spec)
+        pos = e + 6
+    return objects
 
 
 def _parse_objects(data: bytes) -> dict[int, bytes]:
     if not is_pdf_payload(data):
         raise ValueError("not a PDF payload (missing %PDF magic)")
-    objects = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    objects = _scan_objects(data)
     # PDF 1.5+ compressed object streams (/Type /ObjStm): real writers
     # (pdfTeX, cairo, ...) park the page tree and page dicts inside a
     # Flate-compressed stream — expand them so page counting / fan-out /
@@ -190,7 +227,10 @@ def pdf_page_count(data: bytes) -> int:
 
 
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# (?!\d) pins the match to the FULL digit run first: without it the
+# engine backtracks "/Length 123 0 R" to group "12" and the indirect-
+# length guard never fires (code-review r4b, verified by execution)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)")
 
 
 def _decode_stream(body: bytes) -> bytes:
@@ -384,12 +424,21 @@ def _page_fontmaps(objects: dict[int, bytes],
     maps: dict[str, tuple[int, dict[int, str]]] = {}
     body = objects.get(page_obj, b"")
     res = _resolve_dict(objects, body, b"/Resources")
-    if not res:
-        for other in objects.values():
-            if b"/Type" in other and b"/Pages" in other:
-                res = _resolve_dict(objects, other, b"/Resources")
-                if res:
-                    break
+    # PDF resource INHERITANCE follows the page's /Parent chain — a
+    # balanced tree can carry different /Resources per subtree, so a
+    # scan over all /Pages nodes could grab the wrong one (r4b review).
+    seen = {page_obj}
+    cur = body
+    while not res:
+        pm = _PARENT_RE.search(cur)
+        if pm is None:
+            break
+        parent = int(pm.group(1))
+        if parent in seen:
+            break  # cycle in a corrupt tree
+        seen.add(parent)
+        cur = objects.get(parent, b"")
+        res = _resolve_dict(objects, cur, b"/Resources")
     fonts = _resolve_dict(objects, res, b"/Font") if res else b""
     for name, num in _FONT_ENTRY_RE.findall(fonts):
         font_body = objects.get(int(num), b"")
@@ -542,13 +591,23 @@ def _render_page(objects: dict[int, bytes], page_obj: int) -> str:
     m = _CONTENTS_RE.search(body)
     if m is None:
         return ""
-    # /Contents may be one ref or an array of refs (real writers split
-    # long pages) — concatenate the decoded streams in order.
-    parts = [
-        _decode_stream(objects.get(int(r.group(1)), b""))
-        for r in _REF_RE.finditer(m.group(1))
-    ]
-    stream = b"\n".join(parts)
+    # /Contents may be one ref, an inline array of refs, or a ref to an
+    # ARRAY OBJECT of refs (Ghostscript's shape) — follow refs, and when
+    # a target has no stream, recurse into the refs it contains.
+    def streams_of(nums: list[int], depth: int = 0) -> list[bytes]:
+        parts: list[bytes] = []
+        for num in nums:
+            target = objects.get(num, b"")
+            if _STREAM_START_RE.search(target):
+                parts.append(_decode_stream(target))
+            elif depth < 2:
+                inner = [int(r.group(1)) for r in _REF_RE.finditer(target)]
+                parts.extend(streams_of(inner, depth + 1))
+        return parts
+
+    stream = b"\n".join(
+        streams_of([int(r.group(1)) for r in _REF_RE.finditer(m.group(1))])
+    )
     chunks = _extract_positioned_strings(stream, _page_fontmaps(objects, page_obj))
     # Group into lines by quantized y, top-down; left-to-right within.
     lines: dict[float, list[tuple[float, str]]] = {}

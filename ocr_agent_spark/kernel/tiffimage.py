@@ -243,6 +243,12 @@ def decode_tiff_luminance(data: bytes) -> tuple[int, int, np.ndarray]:
         raise UnsupportedImageError(f"TIFF {bits}-bit x{spp} not decoded")
     if predictor not in (1, 2):
         raise UnsupportedImageError(f"TIFF predictor {predictor}")
+    if predictor == 2 and bits != 8:
+        # horizontal differencing is only undone for 8-bit samples here;
+        # silently skipping it would yield wrong pixels marked 'real'
+        raise UnsupportedImageError(
+            f"TIFF predictor 2 with {bits}-bit samples not decoded"
+        )
 
     offsets = tags.get(_T_STRIP_OFFSETS)
     counts = tags.get(_T_STRIP_COUNTS)

@@ -373,11 +373,6 @@ def iter_warc_pages(stream) -> Iterator[tuple[str, _dt.datetime, bytes]]:
         yield url, ts, decode_to_utf8(payload, ctype)
 
 
-def count_warc_pages(stream) -> int:
-    """How many pages ``iter_warc_pages`` would emit — same filters,
-    no charset transcoding (the cheap pre-ingest counting pass)."""
-    return sum(1 for _ in _iter_usable_responses(stream))
-
 
 # -- writer (fixtures + the engine's own export path) -----------------------
 

@@ -289,8 +289,14 @@ class SnapshotStore:
         cumulative, so this is just 'parse manifest N instead of the
         latest')."""
         if as_of_seq is None:
+            # ONE manifest load drives both schema and dirs — loading
+            # them separately can straddle a concurrent commit and read
+            # new run dirs under the older recorded schema
             manifest = self.latest_manifest()
-            dirs = self.committed_run_dirs()
+            dirs = (
+                [os.path.join(self.data_dir, r) for r in manifest["runs"]]
+                if manifest else []
+            )
         else:
             name = f"snap-{as_of_seq:06d}.json"
             path = os.path.join(self.snap_dir, name)

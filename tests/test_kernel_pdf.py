@@ -120,3 +120,68 @@ def test_real_world_pdfs_decode():
         # literal bytes "endstream", truncating a first-match scan)
         for i in range(n_pages):
             assert extract_pdf_page_text(data, i) is not None
+
+
+def test_pdf_indirect_length_multi_digit():
+    """'/Length 123 0 R' must not backtrack-match as direct length '12'
+    (code-review r4b, verified failure): the rfind fallback must kick
+    in and the stream decode completely."""
+    import zlib
+
+    from ocr_agent_spark.kernel.minipdf import extract_pdf_page_text
+
+    content = b"BT /F1 12 Tf 72 720 Td (indirect length works) Tj ET"
+    comp = zlib.compress(content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 123 0 R /Filter /FlateDecode >>\nstream\n"
+        + comp + b"\nendstream\nendobj\n"
+        b"123 0 obj\n" + str(len(comp)).encode() + b"\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert extract_pdf_page_text(pdf, 0) == "indirect length works"
+
+
+def test_pdf_literal_endobj_inside_stream():
+    """Flate data containing the literal bytes 'endobj' must not
+    truncate the object scan (same failure family as 'endstream')."""
+    from ocr_agent_spark.kernel.minipdf import extract_pdf_page_text
+
+    # uncompressed stream whose BODY contains 'endobj' inside a string
+    content = b"BT /F1 12 Tf 72 720 Td (fake endobj marker survives) Tj ET"
+    assert b"endobj" in content
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert extract_pdf_page_text(pdf, 0) == "fake endobj marker survives"
+
+
+def test_pdf_contents_ref_to_array_object():
+    """'/Contents 9 0 R' where object 9 is '[4 0 R 5 0 R]' (Ghostscript
+    shape) must follow into the array's stream refs."""
+    from ocr_agent_spark.kernel.minipdf import extract_pdf_page_text
+
+    c1 = b"BT /F1 12 Tf 72 720 Td (part one) Tj ET"
+    c2 = b"BT /F1 12 Tf 72 700 Td (part two) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>\nendobj\n"
+        b"9 0 obj\n[4 0 R 5 0 R]\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(c1)).encode() + b" >>\nstream\n"
+        + c1 + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(c2)).encode() + b" >>\nstream\n"
+        + c2 + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text = extract_pdf_page_text(pdf, 0)
+    assert "part one" in text and "part two" in text

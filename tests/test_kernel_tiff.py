@@ -116,3 +116,24 @@ def test_tiff_unsupported_vs_corrupt():
         decode_tiff_luminance(good[: len(good) - 40])
     with pytest.raises(ImageFormatError):
         parse_tiff_dimensions(b"II*\x00\xff\xff\xff\xff")
+
+
+def test_tiff_predictor2_non8bit_unsupported():
+    """Predictor 2 is only undone for 8-bit samples; a 16-bit
+    predictor-2 TIFF must fall back (unsupported), never decode
+    delta-coded samples as absolute values marked 'real'."""
+    import struct
+
+    t = bytearray(build_tiff(16, 16, seed=1, photometric="gray16"))
+    (ifd,) = struct.unpack_from("<I", t, 4)
+    (n,) = struct.unpack_from("<H", t, ifd)
+    # append is hard; instead rewrite the RowsPerStrip tag (278) into a
+    # Predictor tag (317) value 2 — count/type stay SHORT/1
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", t, base)
+        if tag == 278:
+            struct.pack_into("<H", t, base, 317)
+            struct.pack_into("<I", t, base + 8, 2)
+    with pytest.raises(UnsupportedImageError):
+        decode_tiff_luminance(bytes(t))
