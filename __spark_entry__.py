@@ -499,6 +499,42 @@ def _q3_top_revenue(spark, sf):
     )
 
 
+def _robots_allowed(spark, sf):
+    """RFC 9309 robots evaluation over planted per-host rules: host k
+    disallows /p{k}/ but allows the LONGER /p{k}/open (longest-match),
+    and every host carries the equal-length Allow/Disallow pair on
+    /tie (allow wins ties). The planted construction makes verdicts
+    SQL-decidable, so DuckDB hash-verifies the full broadcast-join +
+    max_by pipeline end-to-end."""
+    from ocr_agent_spark.functions.robots import (
+        evaluate_allowed,
+        robots_rules_table,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    i = F.col("doc_id")
+    k = (i % 7).cast("string")
+    path = (
+        F.when(i % 11 == 0, F.concat(F.lit("/tie/x"), i.cast("string")))
+        .when(i % 5 == 0, F.concat(F.lit("/p"), k, F.lit("/open/"), i.cast("string")))
+        .otherwise(F.concat(F.lit("/p"), (i % 3).cast("string"),
+                            F.lit("/f"), i.cast("string")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), k, F.lit(".example.com"), path).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [(f"h{j}.example.com",
+          f"User-agent: *\nDisallow: /p{j}/\nAllow: /p{j}/open\n"
+          "Allow: /tie\nDisallow: /tie\n")
+         for j in range(7)],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules_table(robots)
+    return evaluate_allowed(urls, rules).select("doc_id", "url", "allowed")
+
+
 def _surt_keys(spark, sf):
     """SURT canonical url keys over synthesized messy urls (mixed case,
     www, default ports, userinfo, fragments) — full oracle: the same
@@ -957,7 +993,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windows (§2.5)
         "w1_order_key": _w1_order_key,
         "w3_latest_error": _w3_latest_error,
-        "w5_collision_suffix": _w5_collision_suffix,
         # filters / predicates (§2.2)
         "p_filters": _p_filters,
         # triage/classify report (§2.1 S2)
@@ -971,6 +1006,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _warc_roundtrip,
         # SURT canonical url keys (r4: crawl-native range-partition key)
         "surt_keys": _surt_keys,
+        # robots.txt politeness gate (r4: RFC 9309 longest-match)
+        "robots_allowed": _robots_allowed,
         "f15_result_coalesce": _f15_result_coalesce,
         # round-3 training-data additions (must stay in-window)
         "pii_redaction": _pii_redaction,
@@ -995,6 +1032,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the tail mid-r4 to open a window slot for warc_roundtrip
         "f6_page_header": _f6_page_header_impl,     # green r1+r2+r3; moved
         # to the tail mid-r4 to open a window slot for surt_keys
+        "w5_collision_suffix": _w5_collision_suffix,  # green r1+r2+r3;
+        # moved to the tail mid-r4 to open a window slot for robots_allowed
         "w7_rolling_sum": _w7_rolling_sum,
         "f7_normalize": _f7_normalize,
         "f9_md_extension": _f9_md_extension,
@@ -1217,6 +1256,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, regexp_replace(p_name, '[ /:]', '_', 'g') "
             "AS sanitized FROM part WHERE p_partkey < 500"
         ),
+        # robots: planted rule construction makes every verdict decidable
+        "robots_allowed": ("""
+            SELECT doc_id,
+              'https://h' || CAST(doc_id%7 AS VARCHAR) || '.example.com' ||
+              (CASE
+                 WHEN doc_id%11=0 THEN '/tie/x' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id%5=0 THEN '/p' || CAST(doc_id%7 AS VARCHAR)
+                   || '/open/' || CAST(doc_id AS VARCHAR)
+                 ELSE '/p' || CAST(doc_id%3 AS VARCHAR)
+                   || '/f' || CAST(doc_id AS VARCHAR)
+               END) AS url,
+              (CASE
+                 WHEN doc_id%11=0 THEN TRUE              -- tie: allow wins
+                 WHEN doc_id%5=0 THEN TRUE               -- longer allow wins
+                 WHEN doc_id%3 = doc_id%7 THEN FALSE     -- disallow prefix hits
+                 ELSE TRUE                               -- no rule matches
+               END) AS allowed
+            FROM documents WHERE doc_id < 500
+        """),
         # SURT: the same canonicalization chain replayed step-for-step
         "surt_keys": ("""
             WITH urls AS (

@@ -1,0 +1,106 @@
+"""robots.txt kernel + distributed evaluation tests (RFC 9309)."""
+
+from __future__ import annotations
+
+from ocr_agent_spark.kernel.robots import (
+    is_allowed,
+    parse_robots,
+    pattern_to_java_regex,
+    rule_matches,
+)
+
+ROBOTS = """\
+# crawl policy
+User-agent: googlebot
+Disallow: /private/
+Allow: /private/ok
+
+User-agent: *
+Disallow: /tmp/
+Disallow: /*.pdf$
+Allow: /tmp/public*
+Crawl-delay: 10
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+def test_kernel_group_selection_and_precedence():
+    r = parse_robots(ROBOTS, "*")
+    assert is_allowed(r, "/index.html")
+    assert not is_allowed(r, "/tmp/x")
+    assert is_allowed(r, "/tmp/public/doc")    # longer allow wins
+    assert not is_allowed(r, "/docs/a.pdf")    # wildcard + $ anchor
+    assert is_allowed(r, "/docs/a.pdfx")       # $ respected
+    g = parse_robots(ROBOTS, "Googlebot/2.1")
+    assert not is_allowed(g, "/private/secret")
+    assert is_allowed(g, "/private/ok/page")
+    assert is_allowed(g, "/tmp/x")             # specific group overrides *
+    assert not is_allowed(parse_robots(ROBOTS, "badbot"), "/anything")
+
+
+def test_kernel_edge_cases():
+    assert parse_robots("", "*") == []
+    assert is_allowed([], "/x")                        # no rules = allow
+    # empty Disallow = allow-all, stacked agent lines share a group
+    r = parse_robots("User-agent: a\nUser-agent: *\nDisallow:\n", "*")
+    assert is_allowed(r, "/anything")
+    # equal-length allow/disallow tie → allow
+    tie = parse_robots("User-agent: *\nAllow: /dir\nDisallow: /dir\n", "*")
+    assert is_allowed(tie, "/dir/x")
+    # rules before any User-agent line are ignored
+    assert parse_robots("Disallow: /\n", "*") == []
+
+
+def test_java_regex_matches_python_semantics():
+    import re
+
+    for pattern in ("/a/*/b", "/x$", "/p*q$", "/plain/", "/[br]acket*"):
+        jr = re.compile(pattern_to_java_regex(pattern))
+        for path in ("/a/c/b", "/a/x", "/x", "/xy", "/pzzzq", "/plain/x",
+                     "/[br]acket5", "/bracket5"):
+            assert bool(jr.match(path)) == rule_matches(pattern, path), (
+                pattern, path
+            )
+
+
+def test_distributed_matches_kernel(spark):
+    """The broadcast-join + max_by pipeline must agree with the pure
+    kernel on every url, including wildcard rules, tie-breaks,
+    rule-less hosts, and fragment stripping."""
+    import urllib.parse
+
+    from ocr_agent_spark.functions.robots import (
+        evaluate_allowed,
+        robots_rules_table,
+    )
+
+    robots_rows = [
+        ("a.example.com",
+         "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+         "Disallow: /*.pdf$\nAllow: /dir\nDisallow: /dir\n"),
+        ("b.example.com", "User-agent: *\nDisallow: /\n"),
+    ]
+    urls = [
+        "https://a.example.com/",
+        "https://a.example.com/private/x",
+        "https://a.example.com/private/ok/page",
+        "https://a.example.com/doc/f.pdf",
+        "https://a.example.com/doc/f.pdfx",
+        "https://a.example.com/dir/tie",
+        "https://a.example.com/page#frag",
+        "https://b.example.com/anything",
+        "https://c.example.com/no-robots-host",
+    ]
+    robots = spark.createDataFrame(robots_rows, "host string, robots_txt string")
+    urls_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["allowed"] for r in
+           evaluate_allowed(urls_df, robots_rules_table(robots)).collect()}
+    assert len(got) == len(urls)
+    rb = dict(robots_rows)
+    for u in urls:
+        p = urllib.parse.urlparse(u)
+        expected = is_allowed(parse_robots(rb.get(p.hostname, ""), "*"),
+                              p.path or "/")
+        assert got[u] == expected, u
