@@ -499,6 +499,35 @@ def _q3_top_revenue(spark, sf):
     )
 
 
+def _sitemap_frontier(spark, sf):
+    """Full oracle for sitemap ingestion: documents → 7 per-host urlset
+    sitemaps (kernel writer, one gzipped) → read_sitemaps → (doc_id,
+    ts_epoch). W3C lastmod timestamps survive the XML round-trip."""
+    import datetime
+
+    from ocr_agent_spark.kernel.sitemap import build_sitemap
+    from ocr_agent_spark.sources.warc import read_sitemaps
+
+    ids = [r["doc_id"] for r in
+           _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+           .select("doc_id").collect()]
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    for j in range(7):
+        entries = [
+            (f"https://h{j}.example.com/doc/{i}",
+             base + datetime.timedelta(seconds=int(i)), None, None)
+            for i in sorted(ids) if i % 7 == j
+        ]
+        rows.append((f"https://h{j}.example.com/sitemap.xml",
+                     build_sitemap(entries, compress=(j % 2 == 0))))
+    sm = spark.createDataFrame(rows, "sitemap_url string, payload binary")
+    return read_sitemaps(sm).select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        F.unix_timestamp("lastmod").cast("long").alias("ts_epoch"),
+    )
+
+
 def _robots_allowed(spark, sf):
     """RFC 9309 robots evaluation over planted per-host rules: host k
     disallows /p{k}/ but allows the LONGER /p{k}/open (longest-match),
@@ -992,7 +1021,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_lag_delta": _w6_lag_delta,
         # windows (§2.5)
         "w1_order_key": _w1_order_key,
-        "w3_latest_error": _w3_latest_error,
         # filters / predicates (§2.2)
         "p_filters": _p_filters,
         # triage/classify report (§2.1 S2)
@@ -1008,6 +1036,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": _surt_keys,
         # robots.txt politeness gate (r4: RFC 9309 longest-match)
         "robots_allowed": _robots_allowed,
+        # sitemap frontier ingestion (r4: crawl-discovery companion)
+        "sitemap_frontier": _sitemap_frontier,
         "f15_result_coalesce": _f15_result_coalesce,
         # round-3 training-data additions (must stay in-window)
         "pii_redaction": _pii_redaction,
@@ -1034,6 +1064,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the tail mid-r4 to open a window slot for surt_keys
         "w5_collision_suffix": _w5_collision_suffix,  # green r1+r2+r3;
         # moved to the tail mid-r4 to open a window slot for robots_allowed
+        "w3_latest_error": _w3_latest_error,          # green r1+r2+r3;
+        # moved to the tail mid-r4 to open a window slot for sitemap_frontier
         "w7_rolling_sum": _w7_rolling_sum,
         "f7_normalize": _f7_normalize,
         "f9_md_extension": _f9_md_extension,
@@ -1255,6 +1287,11 @@ def oracle_sql() -> dict[str, str]:
         "f8_sanitize": (
             "SELECT p_partkey, regexp_replace(p_name, '[ /:]', '_', 'g') "
             "AS sanitized FROM part WHERE p_partkey < 500"
+        ),
+        # sitemap: construction replayed directly over documents
+        "sitemap_frontier": (
+            "SELECT doc_id, 1767225600 + doc_id AS ts_epoch "
+            "FROM documents WHERE doc_id < 400"
         ),
         # robots: planted rule construction makes every verdict decidable
         "robots_allowed": ("""

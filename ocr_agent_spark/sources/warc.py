@@ -41,6 +41,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 _ERRORS_DDL = "path string, pages_emitted long, error string"
@@ -251,3 +252,78 @@ def read_warc_indexed(cdx: DataFrame,
 
     ranged = cdx.repartition(num_partitions, F.col("path"), F.col("offset"))
     return ranged.mapInPandas(fetch, schema=PAGES_DDL)
+
+
+# -- sitemap ingestion: crawl-frontier seeding ------------------------------
+
+SITEMAP_DDL = (
+    "sitemap_url string, url string, lastmod timestamp, "
+    "changefreq string, priority double"
+)
+
+
+def read_sitemaps(sitemaps: DataFrame,
+                  url_col: str = "sitemap_url",
+                  payload_col: str = "payload") -> DataFrame:
+    """(sitemap_url, payload:binary) rows → frontier url table.
+
+    Emits the page entries of every ``urlset`` document; index files
+    contribute nothing here — list their children via
+    :func:`sitemap_children`, fetch those payloads, and feed them back
+    (the crawler loop the spec defines; nesting is bounded at one
+    level). Malformed payloads are skipped (triage belongs to the
+    fetch layer); parsing is per-row Python over a tiny sitemap table —
+    the OUTPUT urls table is what scales.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_agent_spark.kernel.sitemap import SitemapFormatError, parse_sitemap
+
+        for batch in batches:
+            rows: dict[str, list] = {
+                "sitemap_url": [], "url": [], "lastmod": [],
+                "changefreq": [], "priority": [],
+            }
+            for src, payload in zip(batch[url_col], batch[payload_col]):
+                try:
+                    doc = parse_sitemap(bytes(payload))
+                except SitemapFormatError:
+                    continue
+                for e in doc["entries"]:
+                    rows["sitemap_url"].append(src)
+                    rows["url"].append(e["url"])
+                    rows["lastmod"].append(e["lastmod"])
+                    rows["changefreq"].append(e["changefreq"])
+                    rows["priority"].append(e["priority"])
+            if rows["url"]:
+                yield pd.DataFrame(rows)
+
+    return sitemaps.select(
+        F.col(url_col).alias(url_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, SITEMAP_DDL)
+
+
+def sitemap_children(sitemaps: DataFrame,
+                     url_col: str = "sitemap_url",
+                     payload_col: str = "payload") -> DataFrame:
+    """(sitemap_url, payload) rows → (parent, child_url) for every
+    ``sitemapindex`` document — the fetch-next list of the crawler
+    loop."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_agent_spark.kernel.sitemap import SitemapFormatError, parse_sitemap
+
+        for batch in batches:
+            rows: dict[str, list] = {"parent": [], "child_url": []}
+            for src, payload in zip(batch[url_col], batch[payload_col]):
+                try:
+                    doc = parse_sitemap(bytes(payload))
+                except SitemapFormatError:
+                    continue
+                for child in doc["children"]:
+                    rows["parent"].append(src)
+                    rows["child_url"].append(child)
+            if rows["parent"]:
+                yield pd.DataFrame(rows)
+
+    return sitemaps.select(
+        F.col(url_col).alias(url_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, "parent string, child_url string")

@@ -319,3 +319,67 @@ def test_cdx_survives_corrupt_archive_and_stale_offsets(spark, tmp_path):
     stale = cdx.withColumn("offset", F.col("offset") + F.lit(7))
     assert read_warc_indexed(stale).count() == 0  # skipped, not failed
     assert read_warc_indexed(cdx).count() == 20
+
+
+# -- sitemaps ---------------------------------------------------------------
+
+
+def test_sitemap_kernel_roundtrip_and_real_shapes():
+    import datetime as dtm
+
+    from ocr_agent_spark.kernel.sitemap import (
+        SitemapFormatError,
+        build_sitemap,
+        parse_sitemap,
+    )
+
+    ts = dtm.datetime(2026, 2, 1, 12, 30, tzinfo=dtm.timezone.utc)
+    entries = [
+        ("https://e.com/a", ts, "daily", 0.8),
+        ("https://e.com/b", None, None, None),
+    ]
+    for compress in (False, True):
+        doc = parse_sitemap(build_sitemap(entries, compress=compress))
+        assert doc["kind"] == "urlset"
+        assert [e["url"] for e in doc["entries"]] == ["https://e.com/a", "https://e.com/b"]
+        assert doc["entries"][0]["lastmod"] == ts
+        assert doc["entries"][0]["priority"] == 0.8
+    idx = parse_sitemap(build_sitemap([], index_of=["https://e.com/s1.xml"]))
+    assert idx["kind"] == "index" and idx["children"] == ["https://e.com/s1.xml"]
+    # namespace-free real-world sloppiness + date-only lastmod
+    sloppy = b"<urlset><url><loc>https://e.com/x</loc><lastmod>2026-02-01</lastmod></url></urlset>"
+    doc = parse_sitemap(sloppy)
+    assert doc["entries"][0]["lastmod"].year == 2026
+    import pytest as _pytest
+    with _pytest.raises(SitemapFormatError):
+        parse_sitemap(b"<html>not a sitemap</html>")
+    with _pytest.raises(SitemapFormatError):
+        parse_sitemap(b"definitely not xml <<<")
+
+
+def test_read_sitemaps_spark(spark):
+    import datetime as dtm
+
+    from ocr_agent_spark.kernel.sitemap import build_sitemap
+    from ocr_agent_spark.sources.warc import read_sitemaps, sitemap_children
+
+    ts = dtm.datetime(2026, 3, 1, tzinfo=dtm.timezone.utc)
+    sm1 = build_sitemap([(f"https://a.com/{i}", ts, None, None) for i in range(5)])
+    sm2 = build_sitemap([(f"https://b.com/{i}", None, "weekly", 0.5)
+                         for i in range(3)], compress=True)
+    idx = build_sitemap([], index_of=["https://a.com/sm1.xml", "https://b.com/sm2.xml"])
+    df = spark.createDataFrame(
+        [("https://a.com/sm1.xml", sm1), ("https://b.com/sm2.xml", sm2),
+         ("https://a.com/idx.xml", idx), ("https://bad.com/x.xml", b"not xml")],
+        "sitemap_url string, payload binary",
+    )
+    urls = read_sitemaps(df)
+    got = urls.collect()
+    assert len(got) == 8  # index + malformed contribute no page urls
+    assert {r["sitemap_url"] for r in got} == {
+        "https://a.com/sm1.xml", "https://b.com/sm2.xml"
+    }
+    kids = sitemap_children(df).collect()
+    assert sorted(r["child_url"] for r in kids) == [
+        "https://a.com/sm1.xml", "https://b.com/sm2.xml"
+    ]
