@@ -16,7 +16,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RULES_DDL = (
@@ -47,7 +47,10 @@ def robots_rules_table(robots: DataFrame, user_agent: str = "*",
             }
             for host, content in zip(batch[host_col], batch[content_col]):
                 for rule in parse_robots(content or "", user_agent):
-                    rows["host"].append(host)
+                    # hosts compare case-insensitively (DNS): lower here
+                    # so the join against url_host (already lowered)
+                    # cannot silently fail OPEN for a mixed-case host
+                    rows["host"].append((host or "").lower())
                     rows["pattern"].append(rule.pattern)
                     rows["allow"].append(rule.allow)
                     rows["pattern_len"].append(len(rule.pattern))

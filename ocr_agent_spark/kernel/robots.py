@@ -36,13 +36,15 @@ class RobotsRule:
 
 def _agent_matches(agent_line: str, user_agent: str) -> int:
     """Specificity of an agent-line match: 0 = no match, 1 = wildcard,
-    2 = product-token prefix match (RFC 9309 §2.2.1 case-insensitive)."""
+    else 1 + len(token) so the LONGEST matching product token wins —
+    RFC 9309 §2.2.1: "googlebot-news" must beat "googlebot" for that
+    agent, not merge with it (code-review r4c, reproduced)."""
     token = agent_line.strip().lower()
     ua = user_agent.strip().lower()
     if token == "*":
         return 1
     if token and (ua == token or ua.startswith(token)):
-        return 2
+        return 1 + len(token)
     return 0
 
 
@@ -73,9 +75,7 @@ def parse_robots(content: str, user_agent: str = "*") -> list[RobotsRule]:
             if cur_rules is None:
                 continue  # rules before any User-agent line: ignored
             if value == "":
-                if field == "disallow":
-                    continue  # empty Disallow = allow all (no rule)
-                continue
+                continue  # empty Allow/Disallow carries no rule
             cur_rules.append(RobotsRule(value, field == "allow"))
         else:
             in_agent_run = False  # crawl-delay/sitemap/etc end the run

@@ -21,6 +21,7 @@ from __future__ import annotations
 import datetime as _dt
 import gzip
 import xml.etree.ElementTree as ET
+import zlib
 
 
 class SitemapFormatError(ValueError):
@@ -52,9 +53,12 @@ def parse_sitemap(data: bytes) -> dict:
     lists child sitemap urls for index files.
     """
     if data[:2] == b"\x1f\x8b":
+        # gzip raises THREE types for damage: OSError (bad header),
+        # EOFError (truncated member), zlib.error (corrupt deflate) —
+        # all must become the typed triage error (code-review r4c)
         try:
             data = gzip.decompress(data)
-        except OSError as exc:
+        except (OSError, EOFError, zlib.error) as exc:
             raise SitemapFormatError(f"corrupt gzip sitemap: {exc}") from exc
     try:
         root = ET.fromstring(data)
@@ -101,20 +105,22 @@ def build_sitemap(entries, index_of: list[str] | None = None,
                   compress: bool = False) -> bytes:
     """Fixture writer: urlset from (url, lastmod, changefreq, priority)
     tuples, or a sitemapindex when ``index_of`` is given."""
+    from xml.sax.saxutils import escape
+
     ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
     if index_of is not None:
         body = "".join(
-            f"<sitemap><loc>{u}</loc></sitemap>" for u in index_of
+            f"<sitemap><loc>{escape(u)}</loc></sitemap>" for u in index_of
         )
         xml = f'<?xml version="1.0" encoding="UTF-8"?><sitemapindex {ns}>{body}</sitemapindex>'
     else:
         parts = []
         for url, lastmod, changefreq, priority in entries:
-            p = f"<url><loc>{url}</loc>"
+            p = f"<url><loc>{escape(url)}</loc>"
             if lastmod is not None:
                 p += f"<lastmod>{lastmod.strftime('%Y-%m-%dT%H:%M:%S+00:00')}</lastmod>"
             if changefreq:
-                p += f"<changefreq>{changefreq}</changefreq>"
+                p += f"<changefreq>{escape(changefreq)}</changefreq>"
             if priority is not None:
                 p += f"<priority>{priority:.1f}</priority>"
             parts.append(p + "</url>")

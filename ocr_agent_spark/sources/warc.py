@@ -284,6 +284,8 @@ def read_sitemaps(sitemaps: DataFrame,
                 "changefreq": [], "priority": [],
             }
             for src, payload in zip(batch[url_col], batch[payload_col]):
+                if payload is None:
+                    continue  # failed fetch joined in: skip, don't crash
                 try:
                     doc = parse_sitemap(bytes(payload))
                 except SitemapFormatError:
@@ -297,9 +299,7 @@ def read_sitemaps(sitemaps: DataFrame,
             if rows["url"]:
                 yield pd.DataFrame(rows)
 
-    return sitemaps.select(
-        F.col(url_col).alias(url_col), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(run, SITEMAP_DDL)
+    return sitemaps.select(url_col, payload_col).mapInPandas(run, SITEMAP_DDL)
 
 
 def sitemap_children(sitemaps: DataFrame,
@@ -314,6 +314,8 @@ def sitemap_children(sitemaps: DataFrame,
         for batch in batches:
             rows: dict[str, list] = {"parent": [], "child_url": []}
             for src, payload in zip(batch[url_col], batch[payload_col]):
+                if payload is None:
+                    continue
                 try:
                     doc = parse_sitemap(bytes(payload))
                 except SitemapFormatError:
@@ -324,6 +326,6 @@ def sitemap_children(sitemaps: DataFrame,
             if rows["parent"]:
                 yield pd.DataFrame(rows)
 
-    return sitemaps.select(
-        F.col(url_col).alias(url_col), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(run, "parent string, child_url string")
+    return sitemaps.select(url_col, payload_col).mapInPandas(
+        run, "parent string, child_url string"
+    )

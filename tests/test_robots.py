@@ -104,3 +104,34 @@ def test_distributed_matches_kernel(spark):
         expected = is_allowed(parse_robots(rb.get(p.hostname, ""), "*"),
                               p.path or "/")
         assert got[u] == expected, u
+
+
+def test_agent_group_longest_token_wins():
+    """RFC 9309 §2.2.1 (code-review r4c, reproduced): 'googlebot-news'
+    is governed ONLY by its own group, not merged with 'googlebot'."""
+    txt = ("User-agent: googlebot\nDisallow: /a\n\n"
+           "User-agent: googlebot-news\nAllow: /b\n")
+    news = parse_robots(txt, "googlebot-news")
+    assert [(r.pattern, r.allow) for r in news] == [("/b", True)]
+    assert is_allowed(news, "/a/x")  # the googlebot group does not apply
+    plain = parse_robots(txt, "googlebot")
+    assert not is_allowed(plain, "/a/x")
+
+
+def test_mixed_case_robots_host_still_matches(spark):
+    """A mixed-case host in the robots table must not silently fail
+    OPEN (code-review r4c): the join lowers both sides."""
+    from ocr_agent_spark.functions.robots import (
+        evaluate_allowed,
+        robots_rules_table,
+    )
+
+    robots = spark.createDataFrame(
+        [("A.Example.COM", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("https://a.example.com/x",)], "url string"
+    )
+    rows = evaluate_allowed(urls, robots_rules_table(robots)).collect()
+    assert rows[0]["allowed"] is False

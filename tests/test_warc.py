@@ -383,3 +383,32 @@ def test_read_sitemaps_spark(spark):
     assert sorted(r["child_url"] for r in kids) == [
         "https://a.com/sm1.xml", "https://b.com/sm2.xml"
     ]
+
+
+def test_sitemap_damaged_gzip_and_null_payload_are_skipped(spark):
+    """Truncated/corrupt .xml.gz and NULL payloads must be skipped
+    (typed error / guard), never a task failure (code-review r4c,
+    reproduced: EOFError and zlib.error escaped the OSError catch)."""
+    import gzip as _gz
+
+    import pytest as _pytest
+
+    from ocr_agent_spark.kernel.sitemap import SitemapFormatError, build_sitemap, parse_sitemap
+    from ocr_agent_spark.sources.warc import read_sitemaps
+
+    good = build_sitemap([("https://e.com/ok?a=1&b=2", None, None, None)])
+    truncated = _gz.compress(good)[:20]
+    corrupt = b"\x1f\x8b\x08\x00" + b"junk" * 8
+    for bad in (truncated, corrupt):
+        with _pytest.raises(SitemapFormatError):
+            parse_sitemap(bad)
+    df = spark.createDataFrame(
+        [("https://e.com/s.xml", good),
+         ("https://e.com/t.xml.gz", truncated),
+         ("https://e.com/c.xml.gz", corrupt),
+         ("https://e.com/missing.xml", None)],
+        "sitemap_url string, payload binary",
+    )
+    got = read_sitemaps(df).collect()
+    # the escaped ampersand url round-trips; damaged rows vanish
+    assert [r["url"] for r in got] == ["https://e.com/ok?a=1&b=2"]
