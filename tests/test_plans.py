@@ -179,3 +179,34 @@ def test_shuffle_join_fallback_over_key_limit(spark, pages_path):
         for r in tasks.select("url", "page_index", "order_key").collect()
     }
     assert broadcast_rows == shuffle_rows
+
+
+def test_robots_evaluation_broadcasts_and_stays_jvm(spark):
+    """The politeness gate's scale contract: rules broadcast (never a
+    url-side shuffle for the match), and after the rules table is
+    built, NO Python evaluation touches the url table — matching and
+    the longest-match argmax are pure JVM expressions."""
+    from ocr_agent_spark.functions.robots import (
+        evaluate_allowed,
+        robots_rules_table,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.example.com", "User-agent: *\nDisallow: /p/\nAllow: /p/ok*\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.range(500).select(
+        F.concat(
+            F.lit("https://h.example.com/p/"), F.col("id").cast("string")
+        ).alias("url")
+    )
+    # materialize the tiny rules table so the url-side plan is isolated
+    rules = spark.createDataFrame(
+        robots_rules_table(robots).collect(),
+        "host string, pattern string, allow boolean, pattern_len int, regex string",
+    )
+    out = evaluate_allowed(urls, rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan, plan[:2000]
