@@ -499,6 +499,27 @@ def _q3_top_revenue(spark, sf):
     )
 
 
+def _crawl_delta(spark, sf):
+    """Re-crawl diff with planted dynamics: the old crawl is doc_id <
+    400, the new crawl is doc_id in [100, 500) with every %13==0 doc's
+    text perturbed — so all four statuses (new/gone/changed/unchanged)
+    appear and every verdict is SQL-decidable."""
+    from ocr_agent_spark.functions.delta import crawl_delta
+    from ocr_agent_spark.functions.text import doc_fingerprint
+
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") < 400).select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+    ).otherwise(F.col("text"))
+    new = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 500)).select(
+        "doc_id", doc_fingerprint(new_text).alias("fingerprint")
+    )
+    return crawl_delta(old, new, key="doc_id").select("doc_id", "status")
+
+
 def _sitemap_frontier(spark, sf):
     """Full oracle for sitemap ingestion: documents → 7 per-host urlset
     sitemaps (kernel writer, one gzipped) → read_sitemaps → (doc_id,
@@ -1011,7 +1032,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_ordered_concat": _a6_ordered_concat,
         "a_percentiles": _a_percentiles,
         # joins (§2.3)
-        "j1_orders_customer_join": _j1_orders_customer_join,
         "j2_resume_antijoin": _j2_resume_antijoin,
         "j3_semi_join": _j3_semi_join,
         # sorts / limits (§2.6)  [o2/o4 rotated to tail in r4 — 3-round
@@ -1038,6 +1058,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_allowed": _robots_allowed,
         # sitemap frontier ingestion (r4: crawl-discovery companion)
         "sitemap_frontier": _sitemap_frontier,
+        # re-crawl delta classification (r4: incremental-pipeline core)
+        "crawl_delta": _crawl_delta,
         "f15_result_coalesce": _f15_result_coalesce,
         # round-3 training-data additions (must stay in-window)
         "pii_redaction": _pii_redaction,
@@ -1066,6 +1088,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moved to the tail mid-r4 to open a window slot for robots_allowed
         "w3_latest_error": _w3_latest_error,          # green r1+r2+r3;
         # moved to the tail mid-r4 to open a window slot for sitemap_frontier
+        "j1_orders_customer_join": _j1_orders_customer_join,  # green
+        # r1+r2+r3; moved to the tail mid-r4 for crawl_delta
         "w7_rolling_sum": _w7_rolling_sum,
         "f7_normalize": _f7_normalize,
         "f9_md_extension": _f9_md_extension,
@@ -1288,6 +1312,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, regexp_replace(p_name, '[ /:]', '_', 'g') "
             "AS sanitized FROM part WHERE p_partkey < 500"
         ),
+        # delta: planted dynamics make every status decidable; the
+        # fingerprint itself cancels out (equality is what matters)
+        "crawl_delta": ("""
+            WITH old AS (SELECT doc_id, md5(text) AS fp
+                         FROM documents WHERE doc_id < 400),
+            new AS (SELECT doc_id,
+                           md5(CASE WHEN doc_id%13=0 THEN text || ' [v2]'
+                                    ELSE text END) AS fp
+                    FROM documents WHERE doc_id >= 100 AND doc_id < 500)
+            SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+                   CASE WHEN old.fp IS NULL THEN 'new'
+                        WHEN new.fp IS NULL THEN 'gone'
+                        WHEN old.fp = new.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new USING (doc_id)
+        """),
         # sitemap: construction replayed directly over documents
         "sitemap_frontier": (
             "SELECT doc_id, 1767225600 + doc_id AS ts_epoch "

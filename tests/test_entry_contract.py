@@ -37,7 +37,7 @@ MUST_BE_SWEPT = {
     "merged_artifact_hash", "corpus_clean_keep", "s2_triage_counts",
     "host_histogram", "f15_result_coalesce", "pii_redaction",
     "benchmark_contamination", "warc_roundtrip", "surt_keys",
-    "robots_allowed", "sitemap_frontier",
+    "robots_allowed", "sitemap_frontier", "crawl_delta",
 }
 
 
