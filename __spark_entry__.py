@@ -499,6 +499,32 @@ def _q3_top_revenue(spark, sf):
     )
 
 
+def _link_host_graph(spark, sf):
+    """Web-graph extraction with planted anchors: each doc's synthetic
+    HTML links to host (doc_id*7+1)%23 plus a same-host self link (the
+    self-loop the host graph must filter). The kernel's href parse +
+    urljoin + host aggregation all verify against the SQL replay."""
+    from ocr_agent_spark.functions.links import extract_link_edges, host_graph
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    i = F.col("doc_id")
+    src_host = F.concat(F.lit("h"), (i % 23).cast("string"), F.lit(".example.com"))
+    dst_host = F.concat(F.lit("h"), ((i * 7 + 1) % 23).cast("string"),
+                        F.lit(".example.com"))
+    html = F.concat(
+        F.lit('<html><body><a href="https://'), dst_host,
+        F.lit('/p/'), i.cast("string"), F.lit('">x</a>'),
+        F.lit('<a href="/self/'), i.cast("string"), F.lit('">y</a>'),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://"), src_host, F.lit("/d/"), i.cast("string"))
+         .alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return host_graph(extract_link_edges(pages))
+
+
 def _crawl_delta(spark, sf):
     """Re-crawl diff with planted dynamics: the old crawl is doc_id <
     400, the new crawl is doc_id in [100, 500) with every %13==0 doc's
@@ -1033,7 +1059,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_percentiles": _a_percentiles,
         # joins (§2.3)
         "j2_resume_antijoin": _j2_resume_antijoin,
-        "j3_semi_join": _j3_semi_join,
         # sorts / limits (§2.6)  [o2/o4 rotated to tail in r4 — 3-round
         # green history; swapped for rollup/lag/except whose evidence
         # was aging (VERDICT r3 item 5)]
@@ -1060,6 +1085,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": _sitemap_frontier,
         # re-crawl delta classification (r4: incremental-pipeline core)
         "crawl_delta": _crawl_delta,
+        # web-graph extraction (r4: the Common-Crawl host-graph product)
+        "link_host_graph": _link_host_graph,
         "f15_result_coalesce": _f15_result_coalesce,
         # round-3 training-data additions (must stay in-window)
         "pii_redaction": _pii_redaction,
@@ -1090,6 +1117,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moved to the tail mid-r4 to open a window slot for sitemap_frontier
         "j1_orders_customer_join": _j1_orders_customer_join,  # green
         # r1+r2+r3; moved to the tail mid-r4 for crawl_delta
+        "j3_semi_join": _j3_semi_join,                # green r1+r2+r3;
+        # moved to the tail mid-r4 for link_host_graph
         "w7_rolling_sum": _w7_rolling_sum,
         "f7_normalize": _f7_normalize,
         "f9_md_extension": _f9_md_extension,
@@ -1312,6 +1341,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, regexp_replace(p_name, '[ /:]', '_', 'g') "
             "AS sanitized FROM part WHERE p_partkey < 500"
         ),
+        # web graph: anchor construction replayed as a SQL projection
+        "link_host_graph": ("""
+            WITH e AS (
+              SELECT 'h' || CAST(doc_id%23 AS VARCHAR) || '.example.com'
+                       AS src_host,
+                     'h' || CAST((doc_id*7+1)%23 AS VARCHAR) || '.example.com'
+                       AS dst_host
+              FROM documents WHERE doc_id < 500
+            )
+            SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+            FROM e WHERE src_host <> dst_host
+            GROUP BY src_host, dst_host
+        """),
         # delta: planted dynamics make every status decidable; the
         # fingerprint itself cancels out (equality is what matters)
         "crawl_delta": ("""
