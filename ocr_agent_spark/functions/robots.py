@@ -65,6 +65,28 @@ def robots_rules_table(robots: DataFrame, user_agent: str = "*",
     return robots.select(host_col, content_col).mapInPandas(parse, RULES_DDL)
 
 
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    content_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) → (host, sitemap_url) rows from ``Sitemap:``
+    directives — feed these to ``sources.warc.read_sitemaps`` after
+    fetching to seed the crawl frontier."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_agent_spark.kernel.robots import sitemap_urls
+
+        for batch in batches:
+            rows: dict[str, list] = {"host": [], "sitemap_url": []}
+            for host, content in zip(batch[host_col], batch[content_col]):
+                for u in sitemap_urls(content or ""):
+                    rows["host"].append((host or "").lower())
+                    rows["sitemap_url"].append(u)
+            if rows["host"]:
+                yield pd.DataFrame(rows)
+
+    return robots.select(host_col, content_col).mapInPandas(
+        run, "host string, sitemap_url string"
+    )
+
+
 def evaluate_allowed(urls: DataFrame, rules: DataFrame,
                      url_col: str = "url") -> DataFrame:
     """urls × rules → urls + ``allowed`` boolean (RFC 9309 winner).

@@ -93,6 +93,23 @@ def parse_robots(content: str, user_agent: str = "*") -> list[RobotsRule]:
     return merged
 
 
+def sitemap_urls(content: str) -> list[str]:
+    """``Sitemap:`` directives of a robots.txt (RFC 9309 §2.2.4 treats
+    them as non-group lines valid anywhere in the file) — the hook that
+    connects the politeness gate to sitemap frontier discovery."""
+    out: list[str] = []
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            value = value.strip()
+            if value and value not in out:
+                out.append(value)
+    return out
+
+
 def _compile_pattern(pattern: str) -> re.Pattern:
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern

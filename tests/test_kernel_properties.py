@@ -272,3 +272,37 @@ def test_charset_normalization_total_and_utf8(body, ctype):
 
     out = decode_to_utf8(body, ctype)
     out.decode("utf-8")  # must not raise
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=2048))
+def test_robots_parser_total_on_arbitrary_text(content):
+    """robots.txt arrives as arbitrary crawl bytes; parse + evaluate
+    must be total (missing/garbled file = allow-all, never a crash)."""
+    from ocr_agent_spark.kernel.robots import is_allowed, parse_robots, sitemap_urls
+
+    rules = parse_robots(content, "testbot")
+    assert isinstance(is_allowed(rules, "/any/path"), bool)
+    assert isinstance(sitemap_urls(content), list)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048))
+def test_sitemap_parser_typed_errors_on_arbitrary_bytes(data):
+    from ocr_agent_spark.kernel.sitemap import SitemapFormatError, parse_sitemap
+
+    try:
+        doc = parse_sitemap(data)
+        assert doc["kind"] in ("urlset", "index")
+    except SitemapFormatError:
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048), st.sampled_from(
+    ["https://e.com/", "https://e.com/a/b.html", "http://x.y:8080/p?q=1"]))
+def test_link_extractor_total_on_arbitrary_bytes(data, page_url):
+    from ocr_agent_spark.kernel.links import extract_links
+
+    links = extract_links(data, page_url)
+    assert all(u.startswith(("http://", "https://")) for u in links)

@@ -135,3 +135,26 @@ def test_mixed_case_robots_host_still_matches(spark):
     )
     rows = evaluate_allowed(urls, robots_rules_table(robots)).collect()
     assert rows[0]["allowed"] is False
+
+
+def test_sitemap_directives(spark):
+    """Sitemap: lines are non-group directives valid anywhere; the
+    Spark form feeds frontier discovery."""
+    from ocr_agent_spark.functions.robots import robots_sitemaps
+    from ocr_agent_spark.kernel.robots import sitemap_urls
+
+    txt = ("Sitemap: https://e.com/sm1.xml\n"
+           "User-agent: *\nDisallow: /x\n"
+           "Sitemap: https://e.com/sm2.xml.gz\n"
+           "sitemap: https://e.com/sm1.xml\n"  # dup + case-insensitive field
+           "# Sitemap: https://e.com/commented.xml\n")
+    assert sitemap_urls(txt) == [
+        "https://e.com/sm1.xml", "https://e.com/sm2.xml.gz"
+    ]
+    df = spark.createDataFrame([("E.com", txt), ("b.com", "User-agent: *\n")],
+                               "host string, robots_txt string")
+    rows = robots_sitemaps(df).collect()
+    assert sorted((r["host"], r["sitemap_url"]) for r in rows) == [
+        ("e.com", "https://e.com/sm1.xml"),
+        ("e.com", "https://e.com/sm2.xml.gz"),
+    ]
