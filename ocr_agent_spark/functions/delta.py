@@ -30,15 +30,20 @@ def crawl_delta(old: DataFrame, new: DataFrame, key: str = "url",
     Duplicate keys within a snapshot should be resolved upstream
     (latest ``warc_ts`` wins — operators/ingest.py revisit policy).
     """
+    # presence comes from JOIN MEMBERSHIP, not fingerprint nullness: a
+    # failed-extraction row carries a NULL fingerprint but its url is
+    # still present in that crawl (code-review r4d)
     o = old.select(F.col(key).alias(key),
-                   F.col(fingerprint).alias("old_fingerprint"))
+                   F.col(fingerprint).alias("old_fingerprint"),
+                   F.lit(True).alias("_in_old"))
     n = new.select(F.col(key).alias(key),
-                   F.col(fingerprint).alias("new_fingerprint"))
+                   F.col(fingerprint).alias("new_fingerprint"),
+                   F.lit(True).alias("_in_new"))
     joined = o.join(n, key, "full_outer")
     status = (
-        F.when(F.col("old_fingerprint").isNull(), F.lit(STATUS_NEW))
-        .when(F.col("new_fingerprint").isNull(), F.lit(STATUS_GONE))
-        .when(F.col("old_fingerprint") == F.col("new_fingerprint"),
+        F.when(F.col("_in_old").isNull(), F.lit(STATUS_NEW))
+        .when(F.col("_in_new").isNull(), F.lit(STATUS_GONE))
+        .when(F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")),
               F.lit(STATUS_UNCHANGED))
         .otherwise(F.lit(STATUS_CHANGED))
     )

@@ -32,8 +32,8 @@ def extract_link_edges(pages: DataFrame, url_col: str = "url",
         for batch in batches:
             rows: dict[str, list] = {"src": [], "dst": []}
             for url, html in zip(batch[url_col], batch[html_col]):
-                if html is None:
-                    continue
+                if html is None or url is None:
+                    continue  # no page, or no src to anchor the edge to
                 for dst in extract_links(bytes(html), url):
                     rows["src"].append(url)
                     rows["dst"].append(dst)

@@ -21,12 +21,16 @@ import re
 from html import unescape as _unescape
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
+# (?:[^>]*?\s)? — the attribute run before href must END WITH
+# whitespace, so attributes merely ending in "href" (data-href,
+# ng-href) cannot match and shadow the real one (code-review r4d,
+# reproduced: a data-href tracker url displaced the genuine edge)
 _HREF_RE = re.compile(
-    rb"""<a\s[^>]*?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+    rb"""<a\s(?:[^>]*?\s)?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
     re.IGNORECASE | re.DOTALL,
 )
 _BASE_RE = re.compile(
-    rb"""<base\s[^>]*?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+    rb"""<base\s(?:[^>]*?\s)?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
     re.IGNORECASE | re.DOTALL,
 )
 _SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
@@ -52,7 +56,10 @@ def extract_links(html_bytes: bytes, page_url: str) -> list[str]:
     if bm:
         declared = _attr_value(bm)
         if declared:
-            base = urljoin(page_url, declared)
+            try:
+                base = urljoin(page_url, declared)
+            except ValueError:
+                pass  # hostile <base href> (bad IPv6 etc): keep page_url
     out: list[str] = []
     seen: set[str] = set()
     for m in _HREF_RE.finditer(html_bytes):

@@ -39,3 +39,18 @@ def test_delta_plan_is_jvm_only(spark):
     plan = crawl_delta(old, new)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_null_fingerprints_use_join_membership(spark):
+    """(code-review r4d) a failed-extraction NULL fingerprint must not
+    flip presence: both-sides rows stay changed/unchanged."""
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", "b"), ("u3", None)],
+        "url string, fingerprint string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "a"), ("u2", None), ("u3", None)],
+        "url string, fingerprint string",
+    )
+    rows = {r["url"]: r["status"] for r in crawl_delta(old, new).collect()}
+    assert rows == {"u1": "changed", "u2": "changed", "u3": "unchanged"}

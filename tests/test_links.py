@@ -71,3 +71,13 @@ def test_spark_edges_and_host_graph(spark):
     # graph aggregation is JVM-only after the edge pass
     plan = host_graph(edges.cache())._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_data_href_does_not_shadow_real_href():
+    """(code-review r4d, reproduced) attributes ENDING in 'href'
+    (data-href trackers) must not displace the genuine edge."""
+    html = b'<a class="c" data-href="https://tracker.com/x" href="/real">y</a>'
+    assert extract_links(html, "https://e.com/") == ["https://e.com/real"]
+    # and a hostile base href keeps the page url as base, not a crash
+    bad_base = b'<base data-href="https://t.com/" href="http://[::bad/"><a href="/x">y</a>'
+    assert extract_links(bad_base, "https://e.com/") == ["https://e.com/x"]

@@ -201,10 +201,9 @@ def test_robots_evaluation_broadcasts_and_stays_jvm(spark):
         ).alias("url")
     )
     # materialize the tiny rules table so the url-side plan is isolated
-    rules = spark.createDataFrame(
-        robots_rules_table(robots).collect(),
-        "host string, pattern string, allow boolean, pattern_len int, regex string",
-    )
+    from ocr_agent_spark.functions.robots import RULES_DDL
+
+    rules = spark.createDataFrame(robots_rules_table(robots).collect(), RULES_DDL)
     out = evaluate_allowed(urls, rules)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
