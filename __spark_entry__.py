@@ -499,6 +499,27 @@ def _q3_top_revenue(spark, sf):
     )
 
 
+def _unicode_nfc(spark, sf):
+    """Cross-engine Unicode oracle: planted decomposed ('e'+U+0301),
+    ring ('A'+U+030A) and compatibility (U+FB01 ligature) forms are
+    NFC-normalized by the Arrow-vectorized UDF and hash-compared
+    against DuckDB's INDEPENDENT nfc_normalize implementation — a true
+    differential, not a replay."""
+    from ocr_agent_spark.functions.text import unicode_normalize_udf
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" e\u0301clair"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" A\u030angstro\u0308m"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" \ufb01ne"))
+        .otherwise(F.lit(""))
+    )
+    planted = F.concat(F.col("text"), suffix)
+    return d.select(
+        "doc_id", unicode_normalize_udf("NFC")(planted).alias("nfc_text")
+    )
+
+
 def _link_host_graph(spark, sf):
     """Web-graph extraction with planted anchors: each doc's synthetic
     HTML links to host (doc_id*7+1)%23 plus a same-host self link (the
@@ -1054,7 +1075,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregations / monitoring (SURVEY §2.4)
         "a1_status_histogram": _a1_status_histogram,
         "a2_category_totals": _a2_category_totals,
-        "a5_eta_progress": _a5_eta_progress,
         "a6_ordered_concat": _a6_ordered_concat,
         "a_percentiles": _a_percentiles,
         # joins (§2.3)
@@ -1087,6 +1107,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": _crawl_delta,
         # web-graph extraction (r4: the Common-Crawl host-graph product)
         "link_host_graph": _link_host_graph,
+        # unicode normalization (r4: cross-engine NFC differential)
+        "unicode_nfc": _unicode_nfc,
         "f15_result_coalesce": _f15_result_coalesce,
         # round-3 training-data additions (must stay in-window)
         "pii_redaction": _pii_redaction,
@@ -1119,6 +1141,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1+r2+r3; moved to the tail mid-r4 for crawl_delta
         "j3_semi_join": _j3_semi_join,                # green r1+r2+r3;
         # moved to the tail mid-r4 for link_host_graph
+        "a5_eta_progress": _a5_eta_progress,          # green r1+r2+r3;
+        # moved to the tail mid-r4 for unicode_nfc
         "w7_rolling_sum": _w7_rolling_sum,
         "f7_normalize": _f7_normalize,
         "f9_md_extension": _f9_md_extension,
@@ -1341,6 +1365,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_partkey, regexp_replace(p_name, '[ /:]', '_', 'g') "
             "AS sanitized FROM part WHERE p_partkey < 500"
         ),
+        # unicode: DuckDB's own nfc_normalize — independent implementation
+        "unicode_nfc": ("""
+            SELECT doc_id,
+              nfc_normalize(text || CASE CAST(doc_id%4 AS INT)
+                WHEN 0 THEN ' e' || chr(769) || 'clair'
+                WHEN 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                WHEN 2 THEN ' ' || chr(64257) || 'ne'
+                ELSE '' END) AS nfc_text
+            FROM documents WHERE doc_id < 300
+        """),
         # web graph: anchor construction replayed as a SQL projection
         "link_host_graph": ("""
             WITH e AS (

@@ -331,3 +331,27 @@ def benchmark_contamination(docs, bench, n: int = 3,
         .agg(F.count_distinct("shingle").alias("common_shingles"))
         .filter(F.col("common_shingles") >= min_common)
     )
+
+
+def unicode_normalize_udf(form: str = "NFC"):
+    """Arrow-vectorized Unicode normalization (NFC/NFKC/NFD/NFKD).
+
+    Training-data hygiene: crawls mix precomposed and decomposed forms
+    of the same text ('é' vs 'e'+U+0301), which defeats exact dedup and
+    splits shingle/fingerprint identities. Spark has no built-in
+    normalizer, so this is a pandas UDF — ``str.normalize`` runs
+    vectorized over each Arrow batch, one Python call per batch, not
+    per row. Verified cross-engine: the ``unicode_nfc`` driver query
+    hash-matches DuckDB's independent ``nfc_normalize`` implementation
+    on planted decomposed/compatibility forms.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return norm

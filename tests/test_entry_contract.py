@@ -38,7 +38,7 @@ MUST_BE_SWEPT = {
     "host_histogram", "f15_result_coalesce", "pii_redaction",
     "benchmark_contamination", "warc_roundtrip", "surt_keys",
     "robots_allowed", "sitemap_frontier", "crawl_delta",
-    "link_host_graph",
+    "link_host_graph", "unicode_nfc",
 }
 
 

@@ -1457,3 +1457,25 @@ def test_multimodal_webp_real_dims_fake_features(spark):
         assert r["format"] == "webp"
         assert (r["src_width"], r["src_height"]) == (w, h)
         assert r["feature_source"] == "fake"
+
+
+def test_unicode_normalize_udf(spark):
+    """NFC collapses decomposed sequences so exact dedup sees one form;
+    NFKC additionally folds compatibility ligatures."""
+    from ocr_agent_spark.functions.text import unicode_normalize_udf
+
+    df = spark.createDataFrame(
+        [(0, "éclair"), (1, "éclair"), (2, "ﬁne"), (3, None)],
+        "id long, t string",
+    )
+    nfc = {r["id"]: r["n"] for r in
+           df.select("id", unicode_normalize_udf("NFC")("t").alias("n")).collect()}
+    assert nfc[0] == nfc[1] == "éclair"  # both forms collapse
+    assert nfc[2] == "ﬁne"               # NFC keeps the ligature
+    assert nfc[3] is None
+    nfkc = {r["id"]: r["n"] for r in
+            df.select("id", unicode_normalize_udf("NFKC")("t").alias("n")).collect()}
+    assert nfkc[2] == "fine"                  # NFKC folds it
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        unicode_normalize_udf("NFX")
