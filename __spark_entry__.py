@@ -6,7 +6,7 @@ data-pipeline operators: dedup tiers, text analysis, ANN) to a
 DataFrame builder; ``oracle_sql()`` holds the DuckDB-equivalent SQL.
 Queries without an oracle entry are non-SQL-expressible (extraction
 kernels, the stateful math-rewrite scan, HLL sketches, binary media
-pixel decode) and get the driver's rows-only check — 5 of 64 as of
+pixel decode) and get the driver's rows-only check — 5 of 69 as of
 round 4; everything else is value-hash-verified against DuckDB.
 """
 
