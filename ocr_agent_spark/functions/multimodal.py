@@ -124,8 +124,10 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
         )
         from ocr_agent_spark.kernel.imagemeta import (
             UnsupportedImageError,
-            image_luminance_histogram,
+            _luminance_histogram,
+            image_luminance,
             parse_image_dimensions,
+            resize_luminance,
         )
         from ocr_agent_spark.kernel.wavaudio import (
             UnsupportedAudioError,
@@ -167,10 +169,18 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                             # row, same D2 contract as a malformed
                             # PDF.
                             try:
+                                # decode → REAL nearest-neighbor resize
+                                # to the target → features over the
+                                # RESIZED pixels (the PIL semantics the
+                                # fake stood in for), so out_width/
+                                # out_height report what was computed
+                                w0, h0, lum = image_luminance(data)
+                                rw, rh = resize_to
+                                rl = resize_luminance(w0, h0, lum, rw, rh)
                                 res = {
-                                    "feature": image_luminance_histogram(data),
-                                    "out_width": src_w,
-                                    "out_height": src_h,
+                                    "feature": _luminance_histogram(rw, rh, rl, 16),
+                                    "out_width": rw,
+                                    "out_height": rh,
                                     "n_frames": 1,
                                 }
                                 source = "real"

@@ -667,6 +667,46 @@ def decode_bmp_luminance(data: bytes) -> tuple[int, int, bytearray]:
     return width, height, lum
 
 
+def image_luminance(data: bytes) -> tuple[int, int, bytes]:
+    """Container-dispatched full pixel decode → (width, height, lum
+    bytes) — the shared decode beneath the histogram and resize ops."""
+    fmt = sniff_image_format(data)
+    if fmt == "png":
+        return decode_png_luminance(data)
+    if fmt == "bmp":
+        return decode_bmp_luminance(data)
+    if fmt == "gif":
+        return decode_gif_luminance(data)
+    if fmt == "jpeg":
+        from ocr_agent_spark.kernel.jpegdecode import decode_jpeg_luminance
+
+        return decode_jpeg_luminance(data)
+    if fmt == "tiff":
+        import numpy as _np
+
+        from ocr_agent_spark.kernel.tiffimage import decode_tiff_luminance
+
+        w, h, lum = decode_tiff_luminance(data)
+        return w, h, bytes(_np.clip(_np.rint(lum), 0, 255).astype(_np.uint8))
+    raise UnsupportedImageError(f"no pixel decoder for {fmt}")
+
+
+def resize_luminance(width: int, height: int, lum: bytes,
+                     target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resample (PIL NEAREST semantics: floor index
+    mapping) — the real form of the multimodal stage's resize step."""
+    import numpy as _np
+
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError(f"bad resize target {target_w}x{target_h}")
+    arr = _np.frombuffer(lum, dtype=_np.uint8, count=width * height).reshape(
+        height, width
+    )
+    yi = (_np.arange(target_h) * height) // target_h
+    xi = (_np.arange(target_w) * width) // target_w
+    return bytes(arr[_np.ix_(yi, xi)].reshape(-1))
+
+
 def image_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
     """Container-dispatched REAL luminance histogram (PNG, BMP, GIF, JPEG).
 
@@ -677,27 +717,7 @@ def image_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:
     progressive DCT; arithmetic-coded variants raise
     UnsupportedImageError so callers fall back to fake features).
     """
-    fmt = sniff_image_format(data)
-    if fmt == "png":
-        decoded = decode_png_luminance(data)
-    elif fmt == "bmp":
-        decoded = decode_bmp_luminance(data)
-    elif fmt == "gif":
-        decoded = decode_gif_luminance(data)
-    elif fmt == "jpeg":
-        from ocr_agent_spark.kernel.jpegdecode import decode_jpeg_luminance
-
-        decoded = decode_jpeg_luminance(data)
-    elif fmt == "tiff":
-        import numpy as _np
-
-        from ocr_agent_spark.kernel.tiffimage import decode_tiff_luminance
-
-        w, h, lum = decode_tiff_luminance(data)
-        decoded = (w, h, bytes(_np.clip(_np.rint(lum), 0, 255).astype(_np.uint8)))
-    else:
-        raise UnsupportedImageError(f"no pixel decoder for {fmt}")
-    return _luminance_histogram(*decoded, bins)
+    return _luminance_histogram(*image_luminance(data), bins)
 
 
 def build_bmp(width: int, height: int, seed: int = 0) -> bytes:

@@ -641,8 +641,12 @@ def test_multimodal_headers_png_feature_is_real_histogram(spark):
     )
     rows = multimodal.extract_media_features(media, decode_backend="headers").collect()
     assert rows[0]["status"] == "completed"
+    # a 16x16 uniform ramp stays uniform through the REAL
+    # nearest-neighbor resize to the 64x64 target (each pixel
+    # replicated 16x), and out dims report what was computed
     assert rows[0]["feature"] == [pytest.approx(1 / 16)] * 16
-    assert (rows[0]["out_width"], rows[0]["out_height"]) == (16, 16)
+    assert (rows[0]["out_width"], rows[0]["out_height"]) == (64, 64)
+    assert (rows[0]["src_width"], rows[0]["src_height"]) == (16, 16)
 
 
 def test_multimodal_headers_every_legal_png_decodes_for_real(spark):
@@ -1479,3 +1483,25 @@ def test_unicode_normalize_udf(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         unicode_normalize_udf("NFX")
+
+
+def test_multimodal_resize_is_real(spark):
+    """resize_to drives an actual nearest-neighbor resample: a half-
+    dark/half-bright source keeps its 50/50 histogram through resize,
+    and a custom target is honored in out dims."""
+    from ocr_agent_spark.kernel.imagemeta import build_bmp, resize_luminance
+
+    bmp = build_bmp(64, 64, seed=3)
+    media = spark.createDataFrame(
+        [(0, "image", bmp, "image/bmp", 64, 64, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.extract_media_features(
+        media, decode_backend="headers", resize_to=(16, 8)
+    ).collect()[0]
+    assert (r["out_width"], r["out_height"]) == (16, 8)
+    assert r["feature_source"] == "real"
+    assert sum(r["feature"]) == pytest.approx(1.0, abs=1e-6)
+    # kernel-level: downscale of a solid block stays solid
+    solid = bytes([77]) * (10 * 10)
+    assert set(resize_luminance(10, 10, solid, 3, 7)) == {77}
