@@ -306,3 +306,20 @@ def test_link_extractor_total_on_arbitrary_bytes(data, page_url):
 
     links = extract_links(data, page_url)
     assert all(u.startswith(("http://", "https://")) for u in links)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 50),
+       st.integers(1, 50), st.integers(0, 1000))
+def test_resize_luminance_dims_and_value_domain(w, h, tw, th, seed):
+    """Resize always yields exactly tw*th pixels drawn FROM the source
+    value set (nearest-neighbor never invents values)."""
+    import random
+
+    from ocr_agent_spark.kernel.imagemeta import resize_luminance
+
+    rng = random.Random(seed)
+    src = bytes(rng.randrange(256) for _ in range(w * h))
+    out = resize_luminance(w, h, src, tw, th)
+    assert len(out) == tw * th
+    assert set(out) <= set(src)
