@@ -124,8 +124,8 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
         )
         from ocr_agent_spark.kernel.imagemeta import (
             UnsupportedImageError,
-            _luminance_histogram,
             image_luminance,
+            luminance_histogram,
             parse_image_dimensions,
             resize_luminance,
         )
@@ -178,7 +178,7 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                                 rw, rh = resize_to
                                 rl = resize_luminance(w0, h0, lum, rw, rh)
                                 res = {
-                                    "feature": _luminance_histogram(rw, rh, rl, 16),
+                                    "feature": luminance_histogram(rw, rh, rl, 16),
                                     "out_width": rw,
                                     "out_height": rh,
                                     "n_frames": 1,

@@ -693,8 +693,12 @@ def image_luminance(data: bytes) -> tuple[int, int, bytes]:
 
 def resize_luminance(width: int, height: int, lum: bytes,
                      target_w: int, target_h: int) -> bytes:
-    """Nearest-neighbor resample (PIL NEAREST semantics: floor index
-    mapping) — the real form of the multimodal stage's resize step."""
+    """Nearest-neighbor resample, PIL NEAREST semantics: source index
+    floor((i + 0.5) * src / dst) — Pillow's affine path samples at
+    destination pixel CENTERS, not corners; a plain floor(i*src/dst)
+    mapping picks different pixels on any downscale (code-review r4e),
+    which would silently change every feature vector if a real PIL
+    backend were swapped in behind the same interface."""
     import numpy as _np
 
     if target_w <= 0 or target_h <= 0:
@@ -702,9 +706,16 @@ def resize_luminance(width: int, height: int, lum: bytes,
     arr = _np.frombuffer(lum, dtype=_np.uint8, count=width * height).reshape(
         height, width
     )
-    yi = (_np.arange(target_h) * height) // target_h
-    xi = (_np.arange(target_w) * width) // target_w
+    yi = ((_np.arange(target_h) * 2 + 1) * height) // (2 * target_h)
+    xi = ((_np.arange(target_w) * 2 + 1) * width) // (2 * target_w)
     return bytes(arr[_np.ix_(yi, xi)].reshape(-1))
+
+
+def luminance_histogram(width: int, height: int, lum: bytes,
+                        bins: int = 16) -> list[float]:
+    """Public binning API over a decoded luminance buffer (the
+    module-boundary form of the internal helper)."""
+    return _luminance_histogram(width, height, lum, bins)
 
 
 def image_luminance_histogram(data: bytes, bins: int = 16) -> list[float]:

@@ -1486,10 +1486,15 @@ def test_unicode_normalize_udf(spark):
 
 
 def test_multimodal_resize_is_real(spark):
-    """resize_to drives an actual nearest-neighbor resample: a half-
-    dark/half-bright source keeps its 50/50 histogram through resize,
-    and a custom target is honored in out dims."""
-    from ocr_agent_spark.kernel.imagemeta import build_bmp, resize_luminance
+    """resize_to drives an actual PIL-NEAREST resample: the target dims
+    are honored, the histogram stays normalized, and the CONTENT split
+    of a half-dark/half-bright source survives exact-divisor resizes
+    (a count-preserving-but-scrambling index bug would fail this)."""
+    from ocr_agent_spark.kernel.imagemeta import (
+        build_bmp,
+        luminance_histogram,
+        resize_luminance,
+    )
 
     bmp = build_bmp(64, 64, seed=3)
     media = spark.createDataFrame(
@@ -1502,6 +1507,15 @@ def test_multimodal_resize_is_real(spark):
     assert (r["out_width"], r["out_height"]) == (16, 8)
     assert r["feature_source"] == "real"
     assert sum(r["feature"]) == pytest.approx(1.0, abs=1e-6)
-    # kernel-level: downscale of a solid block stays solid
+    # kernel-level content checks: half-dark/half-bright rows keep the
+    # exact 50/50 split through down- AND up-scale (exact divisors)
+    half = (bytes([10]) * 8 + bytes([250]) * 8) * 16  # 16x16, left/right
+    for tw, th in ((8, 8), (4, 16), (32, 32)):
+        hist = luminance_histogram(tw, th, resize_luminance(16, 16, half, tw, th))
+        assert hist[0] == pytest.approx(0.5)
+        assert hist[15] == pytest.approx(0.5)
+    # PIL-NEAREST center sampling: 4 -> 2 picks columns {1, 3}
+    assert list(resize_luminance(4, 1, bytes([10, 20, 30, 40]), 2, 1)) == [20, 40]
+    # downscale of a solid block stays solid
     solid = bytes([77]) * (10 * 10)
     assert set(resize_luminance(10, 10, solid, 3, 7)) == {77}
