@@ -567,6 +567,54 @@ def _crawl_delta(spark, sf):
     return crawl_delta(old, new, key="doc_id").select("doc_id", "status")
 
 
+def _frontier_schedule(spark, sf):
+    """Per-host politeness schedule (functions/frontier.py) with planted
+    crawl dynamics: url = http://h{doc_id%7}.example.com/doc/{doc_id},
+    status by doc_id%13 (0→changed, 1→new, 2→gone, else unchanged).
+    Priority bands, per-host rate bound (3 s delay from a fixed crawl
+    start) and the host_budget=25 cap are all SQL-replayable
+    (ROW_NUMBER + CASE + timestamp arithmetic)."""
+    import datetime
+
+    from ocr_agent_spark.functions.frontier import politeness_frontier
+
+    d = _t(spark, sf, "documents")
+    status = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit("changed"))
+        .when(F.col("doc_id") % 13 == 1, F.lit("new"))
+        .when(F.col("doc_id") % 13 == 2, F.lit("gone"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = d.select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        status.alias("status"),
+    )
+    return politeness_frontier(
+        delta, datetime.datetime(2026, 1, 1), per_host_delay_sec=3,
+        host_budget=25,
+    )
+
+
+def _shingle_df_stats(spark, sf):
+    """No-silent-caps report for the MinHash verify-join hot-shingle cap
+    (VERDICT r4 item 1): document-frequency profile of the 3-gram
+    shingle table over documents doc_id < 300 at cap df > 5. Fully
+    SQL-replayable (the shingle construction is the near_dedup_keep
+    oracle's, the stats a single aggregate over the df table)."""
+    from ocr_agent_spark.functions.dedup import shingle_df_stats, shingle_table
+    from ocr_agent_spark.functions.text import tokens
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter((F.col("doc_id") < 300) & (F.size(tokens("text")) >= 3))
+        .select("doc_id", "text")
+    )
+    return shingle_df_stats(shingle_table(d), max_shingle_df=5)
+
+
 def _sitemap_frontier(spark, sf):
     """Full oracle for sitemap ingestion: documents → 7 per-host urlset
     sitemaps (kernel writer, one gzipped) → read_sitemaps → (doc_id,
@@ -1072,18 +1120,21 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_synthetic_pages": _extract_synthetic_pages,
         "merged_artifact_hash": _merged_artifact_hash,
         "minhash_near_dups": _minhash_near_dups,
-        # aggregations / monitoring (SURVEY §2.4)
-        "a1_status_histogram": _a1_status_histogram,
-        "a2_category_totals": _a2_category_totals,
+        # aggregations / monitoring (SURVEY §2.4)  [a1/a2 rotated to
+        # tail in r5 — 4-round green history; slots reopened for the
+        # r5 additions below]
         "a6_ordered_concat": _a6_ordered_concat,
         "a_percentiles": _a_percentiles,
         # joins (§2.3)
         "j2_resume_antijoin": _j2_resume_antijoin,
-        # sorts / limits (§2.6)  [o2/o4 rotated to tail in r4 — 3-round
-        # green history; swapped for rollup/lag/except whose evidence
-        # was aging (VERDICT r3 item 5)]
-        "rollup_orders": _rollup_orders,
-        "w6_lag_delta": _w6_lag_delta,
+        # r5 additions: politeness frontier + verify-join cap report
+        "frontier_schedule": _frontier_schedule,
+        "shingle_df_stats": _shingle_df_stats,
+        # longest-parked tail entries rotated back IN for fresh driver
+        # hashes (VERDICT r4 item 6)
+        "w7_rolling_sum": _w7_rolling_sum,
+        "f7_normalize": _f7_normalize,
+        "f9_md_extension": _f9_md_extension,
         # windows (§2.5)
         "w1_order_key": _w1_order_key,
         # filters / predicates (§2.2)
@@ -1094,7 +1145,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_histogram": _host_histogram,
         # fan-out / scalar functions (§2.8, U3)
         "u3_page_fanout": _u3_page_fanout,
-        "set_except_nations": _set_except_nations,
         # WARC source round-trip (r4: Common-Crawl container ingest)
         "warc_roundtrip": _warc_roundtrip,
         # SURT canonical url keys (r4: crawl-native range-partition key)
@@ -1143,9 +1193,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moved to the tail mid-r4 for link_host_graph
         "a5_eta_progress": _a5_eta_progress,          # green r1+r2+r3;
         # moved to the tail mid-r4 for unicode_nfc
-        "w7_rolling_sum": _w7_rolling_sum,
-        "f7_normalize": _f7_normalize,
-        "f9_md_extension": _f9_md_extension,
+        "a1_status_histogram": _a1_status_histogram,  # green r1-r4; parked
+        # in r5 for frontier_schedule
+        "a2_category_totals": _a2_category_totals,    # green r1-r4; parked
+        # in r5 for shingle_df_stats
+        "set_except_nations": _set_except_nations,    # green r1-r4; parked
+        # in r5 for the w7/f7/f9 rotation back in
+        "rollup_orders": _rollup_orders,              # green r3+r4; parked
+        # in r5 for the rotation
+        "w6_lag_delta": _w6_lag_delta,                # green r3+r4; parked
+        # in r5 for the rotation
         "f10_epoch": _f10_epoch,
         "f13_mime_map": _f13_mime_map,
         "set_union_nations": _set_union_nations,
@@ -1403,6 +1460,67 @@ def oracle_sql() -> dict[str, str]:
                         WHEN old.fp = new.fp THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM old FULL OUTER JOIN new USING (doc_id)
+        """),
+        # politeness frontier: planted statuses → priority bands →
+        # per-host ROW_NUMBER rate/budget arithmetic, replayed exactly
+        "frontier_schedule": ("""
+            WITH u AS (
+              SELECT doc_id,
+                'http://h' || CAST(doc_id%7 AS VARCHAR)
+                  || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                CASE WHEN doc_id%13=0 THEN 'changed'
+                     WHEN doc_id%13=1 THEN 'new'
+                     WHEN doc_id%13=2 THEN 'gone'
+                     ELSE 'unchanged' END AS status
+              FROM documents
+            ),
+            p AS (
+              SELECT url, status,
+                CAST(CASE status WHEN 'new' THEN 3 WHEN 'changed' THEN 2
+                     ELSE 1 END AS DOUBLE) AS priority,
+                'h' || CAST(doc_id%7 AS VARCHAR) || '.example.com' AS host
+              FROM u WHERE status <> 'gone'
+            ),
+            r AS (
+              SELECT host, url, status, priority,
+                ROW_NUMBER() OVER (PARTITION BY host
+                                   ORDER BY priority DESC, url) AS rk
+              FROM p
+            )
+            SELECT host, url, status, priority,
+                   CAST(rk AS INT) AS fetch_rank,
+                   TIMESTAMP '2026-01-01 00:00:00'
+                     + (rk - 1) * 3 * INTERVAL 1 SECOND AS next_fetch_ts
+            FROM r WHERE rk <= 25
+        """),
+        # hot-shingle cap report: shingle construction is the
+        # near_dedup_keep oracle's; stats are one aggregate over the
+        # per-shingle document-frequency table
+        "shingle_df_stats": (r"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300
+                AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
+            ),
+            toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM docs
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+2], ' ') AS shingle
+              FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+            ),
+            dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles_distinct,
+                   CAST(SUM(df) AS BIGINT) AS n_rows_total,
+                   CAST(MAX(df) AS BIGINT) AS max_df,
+                   CAST(SUM(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_shingles_hot,
+                   CAST(SUM(CASE WHEN df > 5 THEN df ELSE 0 END) AS BIGINT)
+                     AS n_rows_dropped
+            FROM dfreq
         """),
         # sitemap: construction replayed directly over documents
         "sitemap_frontier": (

@@ -89,25 +89,97 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id",
     return toks_df.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
+def hot_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Shingles whose document frequency exceeds ``max_shingle_df``.
+
+    The shingle table is per-doc distinct (``shingle_table`` applies
+    ``array_distinct``), so ``count(*)`` per shingle IS the document
+    frequency. Heavy hitters are by definition few (≤ |rows| / max_df
+    of them), so the result always broadcasts.
+    """
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+    )
+
+
+def shingle_df_stats(sh: DataFrame, max_shingle_df: int) -> DataFrame:
+    """No-silent-caps report for the hot-shingle document-frequency cap
+    (mirrors ``embedding_lsh_bucket_stats`` on the embedding path).
+
+    One row: how many distinct shingles exist, how many exceed the cap
+    (and would be dropped from the verify join), the worst df, and how
+    many (doc, shingle) rows the cap removes. Surfacing this next to
+    any capped ``dedup_near`` run is what keeps the cap honest: a run
+    that silently drops 40% of its shingle mass is a different
+    computation, and this row says so.
+    """
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return df_tbl.agg(
+        F.count(F.lit(1)).alias("n_shingles_distinct"),
+        F.sum("df").cast("long").alias("n_rows_total"),
+        F.max("df").cast("long").alias("max_df"),
+        F.sum(F.when(F.col("df") > max_shingle_df, 1).otherwise(0))
+        .cast("long").alias("n_shingles_hot"),
+        F.sum(F.when(F.col("df") > max_shingle_df, F.col("df")).otherwise(0))
+        .cast("long").alias("n_rows_dropped"),
+    )
+
+
+def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Remove heavy-hitter shingles before a pair self-join.
+
+    A shingle shared by d candidate docs contributes d² rows to the
+    verify join under ONE key — at 100 TB a stopword 3-gram shared by
+    10⁶ docs is ~10¹² rows in a single partition. Shingles that common
+    carry near-zero Jaccard discrimination, so they are dropped from
+    BOTH the intersection count and the per-doc sizes (Jaccard over the
+    filtered shingle universe): a pair of identical docs still scores
+    1.0, and planted near-dups keep their score up to the (tiny)
+    removed mass. The hot set is a broadcast anti-join probe.
+    """
+    return sh.join(
+        F.broadcast(hot_shingles(sh, max_shingle_df).select("shingle")),
+        "shingle",
+        "left_anti",
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     Plan: explode → self-equi-join on shingle (hash join, AQE may pick
     broadcast for the distinct-shingle side) → pair-count aggregate →
     jaccard = |∩| / (|A|+|B|−|∩|). The (a<b) predicate halves the pair
     space. At 100 TB this runs per-LSH-bucket, not globally.
+
+    ``max_shingle_df`` (default off — exact semantics) drops shingles
+    with document frequency above the cap before the join; see
+    ``_drop_hot_shingles`` for why and ``shingle_df_stats`` for the
+    accompanying report.
     """
     return ngram_jaccard_from_shingles(
-        shingle_table(docs, id_col, text_col, n), threshold
+        shingle_table(docs, id_col, text_col, n), threshold, max_shingle_df
     )
 
 
 def ngram_jaccard_from_shingles(sh: DataFrame,
-                                threshold: float = 0.8) -> DataFrame:
+                                threshold: float = 0.8,
+                                max_shingle_df: int | None = None) -> DataFrame:
     """Jaccard pairs from a pre-built (doc_id, shingle) table — lets the
-    MinHash pipeline reuse one shingle pass for signatures AND verify."""
+    MinHash pipeline reuse one shingle pass for signatures AND verify.
+
+    With ``max_shingle_df`` set, heavy-hitter shingles are removed from
+    the join AND the sizes (Jaccard over the filtered universe) — the
+    skew guard for the verify stage; pair with ``shingle_df_stats`` so
+    the cap is never silent.
+    """
+    if max_shingle_df is not None:
+        sh = _drop_hot_shingles(sh, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     pairs = (
         sh.alias("a")
@@ -218,11 +290,22 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
                             num_hashes: int = 32, bands: int = 8,
                             threshold: float = 0.8,
-                            reuse_shingles: bool = True) -> DataFrame:
+                            reuse_shingles: bool = True,
+                            max_shingle_df: int | None = 1000) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates → exact-verify.
 
     The verification jaccard runs only on LSH candidates (semi-join
     pushdown onto the shingle table), so total cost stays near-linear.
+
+    ``max_shingle_df`` (default 1000) is the verify-join skew guard: a
+    shingle shared by d candidate docs makes d² join rows under one
+    key, so a stopword shingle across 10⁶ candidates would be ~10¹²
+    rows in one partition. Shingles above the cap are dropped from both
+    the intersection and the sizes (Jaccard over the filtered
+    universe) — near-zero discrimination loss, bounded worst key
+    (≤ 10⁶ rows at the default). Run ``shingle_df_stats`` on the same
+    shingle table to report what the cap removed (no silent caps);
+    ``None`` disables for exact-parity verification runs.
 
     ``reuse_shingles`` (default) persists the exploded shingle table so
     ONE tokenize+shingle pass feeds both the signature aggregation and
@@ -258,11 +341,12 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
     if reuse_shingles:
         verified = ngram_jaccard_from_shingles(
-            sh.join(cand_ids, "doc_id", "left_semi"), threshold
+            sh.join(cand_ids, "doc_id", "left_semi"), threshold, max_shingle_df
         )
     else:
         pruned = docs.join(cand_ids, docs[id_col] == cand_ids["doc_id"], "left_semi")
-        verified = ngram_jaccard_pairs(pruned, id_col, text_col, n, threshold)
+        verified = ngram_jaccard_pairs(pruned, id_col, text_col, n, threshold,
+                                       max_shingle_df)
     return verified.join(candidates, ["id_a", "id_b"], "left_semi")
 
 
@@ -376,6 +460,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
+                F.col("component").alias("_prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
@@ -389,27 +474,30 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
         )
         # Lineage cut (see docstring): eager checkpoint materializes
         # the round AND truncates the plan to the checkpointed blocks.
+        # The previous round's label rides along as ``_prev`` so the
+        # convergence check below is an aggregate scan over the
+        # already-materialized checkpoint blocks — NOT a separate
+        # full-table join against the old labels (one fewer join +
+        # exchange per round; _prev costs one long column in the
+        # checkpoint files).
         new_labels = cut(
             stepped.join(jump, "component", "left")
             .select(
                 "doc_id",
+                "_prev",
                 F.least(
                     F.col("component"), F.coalesce(F.col("_cc"), F.col("component"))
                 ).alias("component"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("component") != F.col("_prev")).count()
         labels.unpersist()
         labels = new_labels
         gc_superseded()
         if changed == 0:
             break
     edges.unpersist()
+    labels = labels.drop("_prev")
     if changed != 0:
         msg = (
             f"connected_components did not converge in {max_iterations} "
@@ -427,16 +515,20 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
 def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                n: int = 3, num_hashes: int = 32, bands: int = 8,
                threshold: float = 0.8,
-               checkpoint_dir: str | None = None) -> DataFrame:
+               checkpoint_dir: str | None = None,
+               max_shingle_df: int | None = 1000) -> DataFrame:
     """Remove near-duplicates: MinHash+LSH pairs → connected components
     → keep the min-id document per component (plus all untouched docs).
 
     The full fuzzy-dedup keep-policy of a training-data pipeline: two
     docs that never share an LSH band stay independent; clusters formed
     by transitive near-duplication collapse to one representative.
+    ``max_shingle_df``: see ``minhash_near_duplicates`` (verify-join
+    skew guard; report with ``shingle_df_stats``).
     """
     pairs = minhash_near_duplicates(docs, id_col, text_col, n, num_hashes,
-                                    bands, threshold)
+                                    bands, threshold,
+                                    max_shingle_df=max_shingle_df)
     components = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     losers = components.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(

@@ -1,0 +1,110 @@
+"""Per-host politeness scheduling (functions/frontier.py)."""
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_agent_spark.functions import frontier
+from ocr_agent_spark.functions.delta import (
+    STATUS_CHANGED,
+    STATUS_GONE,
+    STATUS_NEW,
+    STATUS_UNCHANGED,
+)
+
+START = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def delta(spark):
+    rows = [
+        ("http://a.example/new1", STATUS_NEW),
+        ("http://a.example/new2", STATUS_NEW),
+        ("http://a.example/chg1", STATUS_CHANGED),
+        ("http://a.example/same1", STATUS_UNCHANGED),
+        ("http://a.example/gone1", STATUS_GONE),
+        ("http://b.example/only", STATUS_CHANGED),
+    ]
+    return spark.createDataFrame(rows, "url string, status string").persist()
+
+
+def test_schedule_rate_and_order(spark, delta):
+    sched = frontier.politeness_frontier(delta, START, per_host_delay_sec=5)
+    rows = {r["url"]: r for r in sched.collect()}
+    # gone never re-fetches
+    assert "http://a.example/gone1" not in rows
+    # priority order within a.example: new1, new2 (url tiebreak), chg1, same1
+    a = sorted(
+        (r for u, r in rows.items() if u.startswith("http://a.example")),
+        key=lambda r: r["fetch_rank"],
+    )
+    assert [r["url"].rsplit("/", 1)[1] for r in a] == ["new1", "new2", "chg1", "same1"]
+    # rate bound: rank k fetches at start + (k-1)*delay, per host
+    for r in a:
+        assert r["next_fetch_ts"] == START + datetime.timedelta(
+            seconds=5 * (r["fetch_rank"] - 1)
+        )
+    # b.example schedules independently from rank 1
+    assert rows["http://b.example/only"]["fetch_rank"] == 1
+    assert rows["http://b.example/only"]["next_fetch_ts"] == START
+
+
+def test_host_budget_caps_mega_host(spark):
+    """A mega-host's tail dies inside the window pass; small hosts are
+    untouched — the per-cycle crawl-budget contract."""
+    rows = [(f"http://mega.example/p{i:05d}", STATUS_NEW) for i in range(500)]
+    rows += [("http://tiny.example/one", STATUS_UNCHANGED)]
+    delta = spark.createDataFrame(rows, "url string, status string")
+    sched = frontier.politeness_frontier(delta, START, host_budget=10)
+    counts = {r["host"]: r["n"] for r in
+              sched.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"mega.example": 10, "tiny.example": 1}
+    # the kept 10 are the highest-priority (lowest url) ones, ranks 1..10
+    kept = sched.filter(F.col("host") == "mega.example")
+    assert {r["fetch_rank"] for r in kept.collect()} == set(range(1, 11))
+
+
+def test_robots_filter_and_sitemap_recency(spark, delta):
+    from ocr_agent_spark.functions.robots import robots_rules_table
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /chg1\n")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules_table(robots)
+    lastmod = spark.createDataFrame(
+        [
+            ("http://a.example/new2", datetime.datetime(2026, 1, 15)),
+            ("http://a.example/new1", datetime.datetime(2020, 1, 1)),
+        ],
+        "url string, lastmod timestamp",
+    )
+    sched = frontier.politeness_frontier(
+        delta, START, robots_rules=rules, sitemap_lastmod=lastmod
+    )
+    rows = {r["url"]: r for r in sched.collect()}
+    assert "http://a.example/chg1" not in rows  # robots-disallowed
+    # recency bonus: new2 (2026 lastmod) now outranks new1 (2020)
+    assert rows["http://a.example/new2"]["fetch_rank"] < rows["http://a.example/new1"]["fetch_rank"]
+    # but recency never crosses a status band: both new pages still
+    # precede the unchanged one
+    assert rows["http://a.example/same1"]["fetch_rank"] == 3
+
+
+def test_schedule_plan_is_single_host_shuffle(spark, delta):
+    """One hash exchange on host, no UDFs (BatchEvalPython) anywhere."""
+    sched = frontier.politeness_frontier(delta, START)
+    plan = sched._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_delta_priority_mapping(spark):
+    df = spark.createDataFrame(
+        [(STATUS_NEW,), (STATUS_CHANGED,), (STATUS_UNCHANGED,), (STATUS_GONE,)],
+        "status string",
+    ).select("status", frontier.delta_priority("status").alias("p"))
+    got = {r["status"]: r["p"] for r in df.collect()}
+    assert got == {STATUS_NEW: 3, STATUS_CHANGED: 2, STATUS_UNCHANGED: 1,
+                   STATUS_GONE: None}

@@ -194,6 +194,33 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert len(rounds) == 1, rounds
 
 
+def test_connected_components_folded_convergence_check(spark):
+    """The convergence count is folded into the round's checkpoint (the
+    previous label rides along as _prev; changed = filter+count over the
+    already-materialized blocks) instead of a separate join against the
+    old label table. Evidence: total jobs/stages for a 3-round run stay
+    under the join-based formulation's footprint (measured on this
+    fixture: folded 42 jobs / 81 stages, join-based 49 jobs / 96 — the
+    bounds below sit between the two with margin for AQE jitter)."""
+    sc = spark.sparkContext
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    sc.setJobGroup("cc-fold", "cc folded-convergence evidence")
+    try:
+        comps = {r["doc_id"]: r["component"]
+                 for r in dedup.connected_components(pairs).collect()}
+    finally:
+        sc.setJobGroup(None, None)
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    st = sc.statusTracker()
+    jobs = st.getJobIdsForGroup("cc-fold")
+    total_stages = sum(len(st.getJobInfo(j).stageIds) for j in jobs)
+    assert len(jobs) <= 46, f"convergence check regressed to extra jobs: {len(jobs)}"
+    assert total_stages <= 90, f"convergence check regressed to extra stages: {total_stages}"
+
+
 def test_connected_components_nonconvergence_raises(spark):
     import pytest as _pytest
 
@@ -215,6 +242,80 @@ def test_dedup_near_collapses_transitive_cluster(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     kept = {r["doc_id"] for r in dedup.dedup_near(docs, threshold=0.6).collect()}
     assert kept == {0, 3}
+
+
+@pytest.fixture(scope="module")
+def stopword_corpus(spark):
+    """50 docs all sharing one stopword shingle ('it is known'), each with
+    otherwise-unique content, plus two planted near-dup pairs (100/101
+    and 102/103) that share REAL discriminating shingles."""
+    rows = []
+    for i in range(50):
+        rows.append((i, f"it is known that doc{i} alone covers subject{i} topic{i} theme{i}"))
+    dup_base = "it is known that ringed planets orbit distant binary stars slowly"
+    rows.append((100, dup_base))
+    rows.append((101, dup_base + " indeed"))
+    dup2 = "it is known that glacial meltwater carves deep basalt canyons yearly"
+    rows.append((102, dup2))
+    rows.append((103, dup2 + " truly"))
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_hot_shingle_cap_bounds_pairs_and_keeps_planted_dups(spark, stopword_corpus):
+    """The df cap removes the stopword shingle from the verify join: the
+    C(54,2)=1431 pairs it alone would generate disappear, while the
+    planted near-dup pairs (joined by their unique content shingles)
+    survive with high jaccard."""
+    sh = dedup.shingle_table(stopword_corpus)
+    uncapped = dedup.ngram_jaccard_from_shingles(sh, threshold=0.0)
+    capped = dedup.ngram_jaccard_from_shingles(sh, threshold=0.0, max_shingle_df=10)
+
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    assert n_uncapped >= 1431  # every pair shares 'it is known' (+ 'is known that')
+    assert n_capped < 50       # only pairs sharing a sub-cap shingle remain
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (100, 101) in got and got[(100, 101)] > 0.6
+    assert (102, 103) in got and got[(102, 103)] > 0.6
+
+
+def test_hot_shingle_cap_identical_docs_still_score_one(spark):
+    """Jaccard over the filtered universe: two identical docs keep 1.0
+    even when some of their shingles are capped away."""
+    rows = [(i, "common shared prefix words here unique" + ("" if i < 20 else " tail")) for i in range(22)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.99, max_shingle_df=15)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (20, 21) in got  # the two 'tail' docs are identical
+
+
+def test_shingle_df_stats_report(spark, stopword_corpus):
+    """No-silent-caps: the stats row quantifies exactly what a given cap
+    would drop (distinct hot shingles, rows removed, worst df)."""
+    sh = dedup.shingle_table(stopword_corpus)
+    row = dedup.shingle_df_stats(sh, max_shingle_df=10).collect()[0]
+    # 'it is known' and 'is known that' appear in all 54 docs; 'known
+    # that doc{i}'-style shingles are unique.
+    assert row["max_df"] == 54
+    assert row["n_shingles_hot"] == 2
+    assert row["n_rows_dropped"] == 108
+    assert row["n_shingles_distinct"] > 100
+    assert row["n_rows_total"] > row["n_rows_dropped"]
+    # consistency with the filter itself
+    kept_rows = dedup._drop_hot_shingles(sh, 10).count()
+    assert kept_rows == row["n_rows_total"] - row["n_rows_dropped"]
+
+
+def test_minhash_near_dups_unchanged_by_default_cap(spark, stopword_corpus):
+    """The default cap (1000) must not perturb results at test scale:
+    capped and uncapped pipelines return identical pairs."""
+    with_cap = dedup.minhash_near_duplicates(stopword_corpus, threshold=0.5)
+    no_cap = dedup.minhash_near_duplicates(stopword_corpus, threshold=0.5,
+                                           max_shingle_df=None)
+    a = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in with_cap.collect()}
+    b = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in no_cap.collect()}
+    assert a == b and a
 
 
 # -- similarity ------------------------------------------------------------

@@ -79,6 +79,22 @@ def main() -> int:
                       f"(driver would record err): {exc!r}")
                 n_fail += 1
                 continue
+            if name == "approx_distinct_users":
+                # No cross-engine oracle (HLL sketches are engine-
+                # specific) but a falsifiable bound: |est − exact| /
+                # exact < 3·rsd with rsd=0.05 (the
+                # approx_count_distinct default).
+                approx, exact = int(sdf["approx_users"][0]), int(sdf["exact_users"][0])
+                rel = abs(approx - exact) / max(exact, 1)
+                if rel >= 0.15:
+                    print(f"FAIL  {name}: HLL estimate {approx} vs exact "
+                          f"{exact} — rel err {rel:.4f} >= 3·rsd (0.15)")
+                    n_fail += 1
+                    continue
+                print(f"ROWS  {name}: {len(sdf)} rows (no oracle; "
+                      f"HLL rel err {rel:.4f} < 0.15 bound)")
+                n_rowsonly += 1
+                continue
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
             n_rowsonly += 1
             continue
