@@ -180,7 +180,16 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
         pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
         for k, (onum, off) in enumerate(pairs):
             end = first + pairs[k + 1][1] if k + 1 < n else len(decoded)
-            # direct (uncompressed) definitions win on conflict
+            # Direct (uncompressed) definitions win on conflict. Known
+            # limitation of the no-xref scanner (ADVICE r4): an
+            # incrementally-updated PDF whose NEWER copy of an object
+            # lives in an ObjStm while a stale direct definition
+            # remains earlier in the file resolves to the stale one —
+            # picking the live definition requires parsing the xref
+            # stream, which this scanner deliberately skips (it exists
+            # to read the torn/corrupt files xref-driven readers
+            # reject). Incremental updates are vanishingly rare in
+            # crawl payloads; revisit if they matter.
             objects.setdefault(onum, decoded[first + off:end])
     return objects
 

@@ -77,6 +77,11 @@ def _read_ifd(data: bytes) -> tuple[str, dict[int, list[int]]]:
         size = _TYPE_SIZES.get(typ)
         if size is None or typ in (2, 5, 10):
             continue
+        if cnt == 0:
+            # a zero-count tag would store an empty value list, turning
+            # the [0] accesses downstream into bare IndexError instead
+            # of this module's typed ImageFormatError (ADVICE r4)
+            continue
         total = size * cnt
         if total <= 4:
             src = base + 8

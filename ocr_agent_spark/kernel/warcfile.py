@@ -120,7 +120,14 @@ def decode_to_utf8(body: bytes, content_type: str | None = None) -> bytes:
             return body
         except UnicodeDecodeError:
             return body.decode("utf-8", "replace").encode("utf-8")
-    return body.decode(enc, "replace").encode("utf-8")
+    decoded = body.decode(enc, "replace")
+    # utf-8-sig strips its BOM during decode; the utf-16/32 codecs do
+    # NOT (the BOM decodes to a leading U+FEFF), which would otherwise
+    # re-encode as EF BB BF and pollute extracted text and dedup
+    # shingles for every UTF-16/32 crawl page (ADVICE r4).
+    if decoded.startswith("\ufeff"):
+        decoded = decoded[1:]
+    return decoded.encode("utf-8")
 
 
 # -- HTTP response parsing --------------------------------------------------

@@ -51,7 +51,7 @@ _OUT_BATCH_ROWS = 2048
 
 def _read_archives(batches: Iterator[pd.DataFrame],
                    with_errors: bool) -> Iterator[pd.DataFrame]:
-    from ocr_agent_spark.kernel.warcfile import iter_warc_pages
+    from ocr_agent_spark.kernel.warcfile import WarcFormatError, iter_warc_pages
 
     if with_errors:
         from ocr_agent_spark.kernel.warcfile import _iter_usable_responses
@@ -78,21 +78,28 @@ def _read_archives(batches: Iterator[pd.DataFrame],
     for batch in batches:
         rows: dict[str, list] = {c: [] for c in cols}
         for path in batch["path"]:
+            # open() failures are NOT corrupt deliveries: an archive
+            # that vanished or lost permissions between enqueue and run
+            # is an infrastructure error and must fail the task loudly
+            # rather than silently contribute zero pages (ADVICE r4).
+            fh = open(path, "rb")
             try:
-                with open(path, "rb") as fh:
-                    for url, ts, html in iter_warc_pages(fh):
-                        rows["url"].append(url)
-                        rows["warc_ts"].append(ts)
-                        rows["html"].append(html)
-                        rows["text"].append(None)
-                        rows["lang"].append(None)
-                        if len(rows["url"]) >= _OUT_BATCH_ROWS:
-                            yield pd.DataFrame(rows)
-                            rows = {c: [] for c in cols}
-            except Exception:
-                # corrupt tail: keep the pages already buffered; the
+                for url, ts, html in iter_warc_pages(fh):
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    rows["html"].append(html)
+                    rows["text"].append(None)
+                    rows["lang"].append(None)
+                    if len(rows["url"]) >= _OUT_BATCH_ROWS:
+                        yield pd.DataFrame(rows)
+                        rows = {c: [] for c in cols}
+            except (WarcFormatError, OSError, ValueError):
+                # corrupt tail / mid-read I/O error on an archive we
+                # DID open: keep the pages already buffered; the
                 # errors pass (read_warc_errors) reports the file.
                 continue
+            finally:
+                fh.close()
         if rows["url"]:
             yield pd.DataFrame(rows)
 

@@ -118,6 +118,26 @@ def test_tiff_unsupported_vs_corrupt():
         parse_tiff_dimensions(b"II*\x00\xff\xff\xff\xff")
 
 
+def test_tiff_zero_count_tag_keeps_typed_error():
+    """A crafted count=0 ImageWidth tag must surface as the module's
+    typed ImageFormatError (missing tag), not a bare IndexError from an
+    empty value list (ADVICE r4)."""
+    import struct
+
+    t = bytearray(build_tiff(8, 8, seed=2))
+    (ifd,) = struct.unpack_from("<I", t, 4)
+    (n,) = struct.unpack_from("<H", t, ifd)
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        tag, = struct.unpack_from("<H", t, base)
+        if tag == 256:  # ImageWidth → count 0
+            struct.pack_into("<I", t, base + 4, 0)
+    with pytest.raises(ImageFormatError):
+        parse_tiff_dimensions(bytes(t))
+    with pytest.raises((ImageFormatError, UnsupportedImageError)):
+        decode_tiff_luminance(bytes(t))
+
+
 def test_tiff_predictor2_non8bit_unsupported():
     """Predictor 2 is only undone for 8-bit samples; a 16-bit
     predictor-2 TIFF must fall back (unsupported), never decode

@@ -95,6 +95,20 @@ def test_sniff_charset_precedence():
     assert b"\xef\xbf\xbd" in decode_to_utf8(b"<p>\xff\xfa</p>")
 
 
+def test_decode_strips_utf16_utf32_boms():
+    """The utf-16/32 codecs decode their BOM to a leading U+FEFF (only
+    utf-8-sig strips it) — decode_to_utf8 must not leak EF BB BF into
+    the normalized html (ADVICE r4)."""
+    for enc, bom in (("utf-16-le", b"\xff\xfe"), ("utf-16-be", b"\xfe\xff"),
+                     ("utf-32-le", b"\xff\xfe\x00\x00"),
+                     ("utf-32-be", b"\x00\x00\xfe\xff")):
+        raw = bom + "<html>hi</html>".encode(enc)
+        out = decode_to_utf8(raw)
+        assert out == b"<html>hi</html>", (enc, out[:8])
+    # utf-8 BOM path unchanged
+    assert decode_to_utf8(b"\xef\xbb\xbf<p>x</p>") == b"<p>x</p>"
+
+
 def test_warc_corrupt_framing_raises_typed():
     with pytest.raises(WarcFormatError):
         list(iter_warc_records(io.BytesIO(b"NOT A WARC\r\n\r\n")))
@@ -175,6 +189,21 @@ def test_read_warc_errors_triage(spark, tmp_path):
     assert tri[bad]["error"] is not None
     # and the pages read itself survives the corrupt file
     assert read_warc(spark, [good, bad]).count() == 10
+
+
+def test_read_warc_missing_file_fails_loudly(spark, tmp_path):
+    """An archive that disappeared between enqueue and run is an
+    infrastructure error: the task must FAIL, not silently contribute
+    zero pages while the job reports success (ADVICE r4). Corrupt
+    content after a successful open stays non-fatal (previous test)."""
+    from ocr_agent_spark.sources.warc import read_warc
+
+    pages = _pages(3)
+    good = _write_archives(str(tmp_path), pages, shards=1)[0]
+    gone = os.path.join(str(tmp_path), "vanished.warc.gz")
+    with pytest.raises(Exception) as ei:
+        read_warc(spark, [good, gone]).count()
+    assert "vanished.warc.gz" in str(ei.value)
 
 
 # -- streaming WARC inbox ---------------------------------------------------
