@@ -275,6 +275,93 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     return centroids
 
 
+def append_ivf_index(embeddings: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Incrementally add vectors to the CURRENT index version.
+
+    The append path of the build-once/query-many shape (VERDICT r4 item
+    7): new vectors are assigned to the EXISTING centroids (no k-means,
+    no re-assignment of old vectors — one scan over just the new rows)
+    and appended into the same ``cluster_id=<j>`` partition layout, so
+    every subsequent ``ivf_index_topk`` sees them with unchanged probe
+    semantics. The quantizer does NOT move; as appended data drifts
+    away from the build-time distribution, recall decays — run
+    ``ivf_drift_report`` after appends and rebuild when it says so.
+
+    Returns the (unchanged) centroids.
+    """
+    import json
+    import os
+
+    vdir = _ivf_index_dir(path)
+    with open(os.path.join(vdir, "centroids.json")) as fh:
+        centroids = json.load(fh)
+    assigned = (
+        ivf_assign(embeddings, centroids, vec_col)
+        .withColumnRenamed("_cluster", "cluster_id")
+    )
+    assigned.write.mode("append").partitionBy("cluster_id").parquet(
+        os.path.join(vdir, "vectors")
+    )
+    return centroids
+
+
+def ivf_drift_report(spark, path: str, vec_col: str = "embedding",
+                     alignment_threshold: float = 0.9) -> DataFrame:
+    """Per-cluster quantizer health: has appended data drifted away
+    from the build-time centroids?
+
+    For each cluster: member count and ``alignment`` = cosine between
+    the centroid and the MEAN of the vectors currently assigned to it.
+    Right after a build, means coincide with centroids (alignment ≈ 1
+    up to the k-means convergence gap); appends pull the mean away —
+    ``rebuild_recommended`` flags clusters below
+    ``alignment_threshold``. Rebuild when any cluster flags (or when
+    the appended fraction is large): probing is against the OLD
+    centroids, so a drifted cluster's members are increasingly found
+    in probes that skip them.
+
+    Plan: posexplode (rows × dim) → per-(cluster, pos) avg (map-side
+    combine) → per-cluster ordered reassembly → broadcast-join the
+    tiny centroid table. One shuffle of |N|·dim slim rows — a
+    maintenance scan, not a query-path cost.
+    """
+    import json
+    import os
+
+    vdir = _ivf_index_dir(path)
+    with open(os.path.join(vdir, "centroids.json")) as fh:
+        centroids = json.load(fh)
+    vectors = spark.read.parquet(os.path.join(vdir, "vectors"))
+    ve = vectors.select("cluster_id", F.posexplode(F.col(vec_col)))
+    means = (
+        ve.groupBy("cluster_id", "pos")
+        .agg(F.avg("col").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    mv = means.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+        ).alias("mean_vec"),
+        F.max("n").alias("n_vectors"),
+    )
+    cent = spark.createDataFrame(
+        [(j, [float(v) for v in c]) for j, c in enumerate(centroids)],
+        "cluster_id int, centroid array<double>",
+    )
+    out = mv.join(F.broadcast(cent), "cluster_id", "full_outer").select(
+        "cluster_id",
+        F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+        F.round(
+            cosine_similarity(F.col("mean_vec"), F.col("centroid")), 6
+        ).alias("alignment"),
+    )
+    return out.withColumn(
+        "rebuild_recommended",
+        F.coalesce(F.col("alignment") < alignment_threshold, F.lit(False)),
+    )
+
+
 def _ivf_index_dir(path: str) -> str:
     import os
 

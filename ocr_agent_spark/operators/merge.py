@@ -103,6 +103,111 @@ def merge_extracted_to_markdown(
     return "\n".join(parts).rstrip() + "\n"
 
 
+def merge_extracted_to_sharded_files(
+    extracted: DataFrame,
+    dir_path: str,
+    style: str = "dollar",
+    num_partitions: int | None = None,
+    order_cols: tuple[str, ...] = ("url", "page_index"),
+) -> dict:
+    """The 100 TB merged-artifact shape: one ordered file PER RANGE
+    PARTITION plus an ordered manifest — no driver funnel at all.
+
+    ``merge_extracted_to_file`` still streams every byte through the
+    driver (one partition at a time); here each task renders AND writes
+    its own shard directly (executor-side, to a shared filesystem —
+    the same worker-visible-path contract as ``sources.warc``), and the
+    driver handles only the manifest plus a tail fix-up bounded by the
+    LAST shard's size. Concatenating header + shards in manifest order
+    is byte-identical to ``merge_extracted_to_markdown`` for any
+    partition count (tested). Shard writes are deterministic renders of
+    deterministic partitions, so a retried task rewrites the same bytes
+    (idempotent — rule D1).
+
+    Returns the manifest (also written to ``<dir>/manifest.json``):
+    ``{"files": [path, ...], "total_bytes": N}`` with files in
+    concatenation order, header first.
+    """
+    import json
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    header_path = os.path.join(dir_path, "part-header.md")
+    header = DOCUMENT_TITLE + "\n"
+    with open(header_path, "w", encoding="utf-8", newline="") as fh:
+        fh.write(header)
+
+    def write_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from ocr_agent_spark.kernel.merge import MergeRow, render_row_block
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        blocks: list[str] = []
+        for batch in batches:
+            for url, kind, page_index, total_pages, text in zip(
+                batch["url"], batch["kind"], batch["page_index"],
+                batch["total_pages"], batch["text"],
+            ):
+                row = MergeRow(
+                    url=url,
+                    kind=kind,
+                    page_index=None if pd.isna(page_index) else int(page_index),
+                    total_pages=None if pd.isna(total_pages) else int(total_pages),
+                    text=text,
+                )
+                block = render_row_block(row, style)
+                if block is not None:
+                    blocks.append(block)
+        if blocks:
+            # every shard starts with the separator that the single-file
+            # writer would place BEFORE this partition's chunk, so plain
+            # concatenation reproduces the exact join
+            data = ("\n" + "\n".join(blocks)).encode("utf-8")
+            shard = os.path.join(dir_path, f"part-{pid:05d}.md")
+            with open(shard, "wb") as fh:
+                fh.write(data)
+            yield pd.DataFrame(
+                {"pid": [pid], "path": [shard], "n_bytes": [len(data)]}
+            )
+
+    spark = extracted.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    needed = dict.fromkeys(
+        [*order_cols, "url", "kind", "page_index", "total_pages", "text"]
+    )
+    slim = extracted.select(*needed).filter(F.col("text").isNotNull())
+    ordered = slim.repartitionByRange(
+        num_partitions, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    meta = ordered.mapInPandas(
+        write_shards, schema="pid int, path string, n_bytes long"
+    ).collect()
+    meta.sort(key=lambda r: r["pid"])
+
+    # tail contract ('"\n".join(...).rstrip() + "\n"'): only the LAST
+    # file can carry trailing whitespace to trim — bounded driver work
+    last_path = meta[-1]["path"] if meta else header_path
+    with open(last_path, "rb") as fh:
+        tail_bytes = fh.read()
+    fixed = tail_bytes.decode("utf-8").rstrip() + "\n"
+    if fixed.encode("utf-8") != tail_bytes:
+        with open(last_path, "w", encoding="utf-8", newline="") as fh:
+            fh.write(fixed)
+
+    files = [header_path] + [r["path"] for r in meta]
+    sizes = {header_path: len(header.encode("utf-8"))}
+    for r in meta:
+        sizes[r["path"]] = r["n_bytes"]
+    sizes[last_path] = len(fixed.encode("utf-8"))
+    manifest = {"files": files, "total_bytes": sum(sizes[f] for f in files)}
+    with open(os.path.join(dir_path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
 def merge_extracted_to_file(
     extracted: DataFrame,
     path: str,

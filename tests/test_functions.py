@@ -902,6 +902,77 @@ def test_ivf_persisted_index_matches_inline_and_prunes(spark, embeddings, tmp_pa
     assert len(dirs) <= 8
 
 
+def test_ivf_append_matches_fresh_rebuild(spark, embeddings, tmp_path):
+    """append_ivf_index: new vectors become queryable with unchanged
+    probe semantics; results equal a fresh rebuild on the union AND the
+    exact brute-force top-k (planted-copy construction: 10 exact copies
+    of the query vector score cosine 1.0, land in the query's own probe
+    cluster, and fill the whole top-10 deterministically)."""
+    import random
+
+    dim = len(embeddings.first()["embedding"])
+    rng = random.Random("append-query")
+    qvec = [rng.uniform(-1, 1) for _ in range(dim)]
+    planted = spark.createDataFrame(
+        [(1000 + i, qvec, 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    union = embeddings.unionByName(planted)
+
+    idx = str(tmp_path / "ivf_append")
+    c0 = similarity.build_ivf_index(embeddings, idx, n_clusters=8,
+                                    sample_size=256)
+    c1 = similarity.append_ivf_index(planted, idx)
+    assert c1 == c0  # append never moves the quantizer
+
+    appended = [(r["neighbor_id"], r["cosine"]) for r in
+                similarity.ivf_index_topk(spark, idx, qvec, k=10,
+                                          n_probe=3).collect()]
+    idx2 = str(tmp_path / "ivf_fresh")
+    similarity.build_ivf_index(union, idx2, n_clusters=8, sample_size=256)
+    rebuilt = [(r["neighbor_id"], r["cosine"]) for r in
+               similarity.ivf_index_topk(spark, idx2, qvec, k=10,
+                                         n_probe=3).collect()]
+    exact = [(r["neighbor_id"], r["cosine"]) for r in
+             similarity.cosine_topk(union, qvec, k=10).collect()]
+    assert appended == rebuilt == exact
+    assert [i for i, _ in exact] == list(range(1000, 1010))
+
+
+def test_ivf_drift_report(spark, embeddings, tmp_path):
+    """Right after a build every cluster's mean aligns with its
+    centroid; appending a mass of vectors pulled toward one direction
+    degrades alignment in the clusters that absorb them and flips
+    rebuild_recommended."""
+    import random
+
+    dim = len(embeddings.first()["embedding"])
+    idx = str(tmp_path / "ivf_drift")
+    similarity.build_ivf_index(embeddings, idx, n_clusters=4, sample_size=256)
+
+    fresh = similarity.ivf_drift_report(spark, idx, alignment_threshold=0.8)
+    rows = fresh.collect()
+    assert sum(r["n_vectors"] for r in rows) == 200
+    populated = [r for r in rows if r["n_vectors"] > 0]
+    assert populated and all(r["alignment"] > 0.8 for r in populated)
+    assert not any(r["rebuild_recommended"] for r in rows)
+
+    # drift: append 400 near-identical vectors far from any centroid's
+    # build-time mean — whichever cluster absorbs them has its mean
+    # dragged onto the planted direction, away from its centroid
+    rng = random.Random("drift")
+    direction = [1.0] * dim
+    drifted = spark.createDataFrame(
+        [(2000 + i, [1.0 + rng.uniform(-0.01, 0.01) for _ in range(dim)], 0)
+         for i in range(400)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    similarity.append_ivf_index(drifted, idx)
+    after = similarity.ivf_drift_report(spark, idx, alignment_threshold=0.8)
+    flagged = [r for r in after.collect() if r["rebuild_recommended"]]
+    assert flagged, "drift mass did not trigger a rebuild recommendation"
+
+
 def test_png_adam7_interlaced_decodes_identically():
     """Adam7-interlaced PNGs decode to the same pixels as the
     non-interlaced encoding of the same image (per-pass unfiltering +

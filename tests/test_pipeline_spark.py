@@ -138,6 +138,34 @@ def test_merge_to_file_byte_identical(spark, completed_root, tmp_path):
     assert n == len(in_memory.encode("utf-8"))
 
 
+def test_merge_sharded_concat_byte_identical(spark, completed_root, tmp_path):
+    """The no-driver-funnel shape: per-range-partition shard files +
+    ordered manifest; concatenation in manifest order is byte-equal to
+    the single-file merge for ANY partition count, and total_bytes is
+    honest."""
+    import json
+
+    from ocr_agent_spark.operators.merge import merge_extracted_to_sharded_files
+
+    ext = read_extracted(spark, completed_root)
+    in_memory = merge_extracted_to_markdown(ext)
+    for p in (1, 3, 16):
+        d = str(tmp_path / f"shards_{p}")
+        manifest = merge_extracted_to_sharded_files(ext, d, num_partitions=p)
+        parts = []
+        for f in manifest["files"]:
+            with open(f, "rb") as fh:
+                parts.append(fh.read())
+        concat = b"".join(parts)
+        assert concat == in_memory.encode("utf-8"), f"p={p}"
+        assert manifest["total_bytes"] == len(concat)
+        on_disk = json.load(open(f"{d}/manifest.json"))
+        assert on_disk["files"] == manifest["files"]
+        # multiple shards actually exist at p=16 (not one giant file)
+        if p == 16:
+            assert len(manifest["files"]) > 2
+
+
 def test_merge_equals_sequential_reference_shape(spark, completed_root):
     """Distributed merge == pure sequential merge over the same rows."""
     from ocr_agent_spark.kernel.merge import MergeRow, render_merged_markdown
