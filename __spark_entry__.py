@@ -615,6 +615,26 @@ def _shingle_df_stats(spark, sf):
     return shingle_df_stats(shingle_table(d), max_shingle_df=5)
 
 
+def _gopher_quality(spark, sf):
+    """Gopher document-quality signals (functions/webquality.py) over
+    the documents table — word stats, symbol/bullet/ellipsis/alpha
+    fractions, stopword hits; all JVM array expressions, replayed
+    exactly with DuckDB list functions."""
+    from ocr_agent_spark.functions.webquality import gopher_quality_signals
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return gopher_quality_signals(d)
+
+
+def _repetition_stats(spark, sf):
+    """Gopher repetition signals: duplicate-line/paragraph fractions
+    (count- and char-weighted) + top-2-gram character coverage."""
+    from ocr_agent_spark.functions.webquality import repetition_stats
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return repetition_stats(d)
+
+
 def _sitemap_frontier(spark, sf):
     """Full oracle for sitemap ingestion: documents → 7 per-host urlset
     sitemaps (kernel writer, one gzipped) → read_sitemaps → (doc_id,
@@ -1120,16 +1140,17 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_synthetic_pages": _extract_synthetic_pages,
         "merged_artifact_hash": _merged_artifact_hash,
         "minhash_near_dups": _minhash_near_dups,
-        # aggregations / monitoring (SURVEY §2.4)  [a1/a2 rotated to
-        # tail in r5 — 4-round green history; slots reopened for the
-        # r5 additions below]
-        "a6_ordered_concat": _a6_ordered_concat,
-        "a_percentiles": _a_percentiles,
+        # aggregations / monitoring (SURVEY §2.4)  [a1/a2/a6/
+        # a_percentiles rotated to tail in r5 — 4-round green history;
+        # slots reopened for the r5 additions below]
         # joins (§2.3)
         "j2_resume_antijoin": _j2_resume_antijoin,
-        # r5 additions: politeness frontier + verify-join cap report
+        # r5 additions: politeness frontier + verify-join cap report +
+        # Gopher quality/repetition gates
         "frontier_schedule": _frontier_schedule,
         "shingle_df_stats": _shingle_df_stats,
+        "gopher_quality": _gopher_quality,
+        "repetition_stats": _repetition_stats,
         # longest-parked tail entries rotated back IN for fresh driver
         # hashes (VERDICT r4 item 6)
         "w7_rolling_sum": _w7_rolling_sum,
@@ -1203,6 +1224,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in r5 for the rotation
         "w6_lag_delta": _w6_lag_delta,                # green r3+r4; parked
         # in r5 for the rotation
+        "a6_ordered_concat": _a6_ordered_concat,      # green r1-r4; parked
+        # in r5 for gopher_quality
+        "a_percentiles": _a_percentiles,              # green r3+r4; parked
+        # in r5 for repetition_stats
         "f10_epoch": _f10_epoch,
         "f13_mime_map": _f13_mime_map,
         "set_union_nations": _set_union_nations,
@@ -1521,6 +1546,111 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN df > 5 THEN df ELSE 0 END) AS BIGINT)
                      AS n_rows_dropped
             FROM dfreq
+        """),
+        # Gopher quality signals: Spark array expressions replayed with
+        # DuckDB list functions
+        "gopher_quality": (r"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            ),
+            w AS (
+              SELECT doc_id, text,
+                list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '') AS words,
+                list_filter(list_transform(string_split(text, chr(10)),
+                                           x -> trim(x)),
+                            x -> x <> '') AS lines
+              FROM d
+            )
+            SELECT doc_id,
+              CAST(len(words) AS INT) AS n_words,
+              ROUND(CASE WHEN len(words) > 0 THEN
+                coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+                  * 1.0 / len(words) ELSE 0.0 END, 6) AS mean_word_len,
+              ROUND(CASE WHEN len(words) > 0 THEN
+                ((len(text) - len(replace(text, '#', '')))
+                 + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                  / len(words) ELSE 0.0 END, 6) AS symbol_word_ratio,
+              ROUND(CASE WHEN len(lines) > 0 THEN
+                len(list_filter(lines, x -> regexp_matches(x, '^[-*•]')))
+                  * 1.0 / len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
+              ROUND(CASE WHEN len(lines) > 0 THEN
+                len(list_filter(lines, x -> regexp_matches(x, '\.\.\.$')))
+                  * 1.0 / len(lines) ELSE 0.0 END, 6) AS ellipsis_line_frac,
+              ROUND(CASE WHEN len(words) > 0 THEN
+                len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                  * 1.0 / len(words) ELSE 0.0 END, 6) AS alpha_word_frac,
+              CAST(len(list_filter(list_transform(words, x -> lower(x)),
+                x -> list_contains(['the','be','to','of','and','that',
+                                    'have','with'], x))) AS INT)
+                AS stopword_hits
+            FROM w
+        """),
+        # Gopher repetition signals: per-unit counts via unnest+group,
+        # char-weighted dup fractions, top-2-gram coverage
+        "repetition_stats": (r"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            ),
+            ln AS (
+              SELECT doc_id,
+                unnest(list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> x <> '')) AS u
+              FROM d
+            ),
+            lc AS (SELECT doc_id, u, COUNT(*) AS c FROM ln GROUP BY 1, 2),
+            lstat AS (
+              SELECT doc_id,
+                ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_line_frac,
+                ROUND(SUM(CASE WHEN c > 1 THEN c * len(u) ELSE 0 END) * 1.0
+                      / SUM(c * len(u)), 6) AS dup_line_char_frac
+              FROM lc GROUP BY 1
+            ),
+            pr AS (
+              SELECT doc_id,
+                unnest(list_filter(list_transform(
+                    regexp_split_to_array(text, '\n{2,}'), x -> trim(x)),
+                  x -> x <> '')) AS u
+              FROM d
+            ),
+            pc AS (SELECT doc_id, u, COUNT(*) AS c FROM pr GROUP BY 1, 2),
+            pstat AS (
+              SELECT doc_id,
+                ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_para_frac,
+                ROUND(SUM(CASE WHEN c > 1 THEN c * len(u) ELSE 0 END) * 1.0
+                      / SUM(c * len(u)), 6) AS dup_para_char_frac
+              FROM pc GROUP BY 1
+            ),
+            wt AS (
+              SELECT doc_id, len(text) AS tl,
+                list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS w
+              FROM d
+            ),
+            gr AS (
+              SELECT doc_id, tl, w[i] || ' ' || w[i + 1] AS g
+              FROM wt, unnest(generate_series(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 2
+            ),
+            gc AS (SELECT doc_id, tl, g, COUNT(*) AS c
+                   FROM gr GROUP BY 1, 2, 3),
+            gstat AS (
+              SELECT doc_id,
+                ROUND(MAX(c * len(g)) * 1.0 / MAX(tl), 6)
+                  AS top_2gram_char_frac
+              FROM gc GROUP BY 1
+            )
+            SELECT d.doc_id,
+              COALESCE(dup_line_frac, 0.0) AS dup_line_frac,
+              COALESCE(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+              COALESCE(dup_para_frac, 0.0) AS dup_para_frac,
+              COALESCE(dup_para_char_frac, 0.0) AS dup_para_char_frac,
+              COALESCE(top_2gram_char_frac, 0.0) AS top_2gram_char_frac
+            FROM d
+            LEFT JOIN lstat USING (doc_id)
+            LEFT JOIN pstat USING (doc_id)
+            LEFT JOIN gstat USING (doc_id)
         """),
         # sitemap: construction replayed directly over documents
         "sitemap_frontier": (

@@ -40,7 +40,8 @@ MUST_BE_SWEPT = {
     "robots_allowed", "sitemap_frontier", "crawl_delta",
     "link_host_graph", "unicode_nfc",
     # r5 additions (no driver history yet)
-    "frontier_schedule", "shingle_df_stats",
+    "frontier_schedule", "shingle_df_stats", "gopher_quality",
+    "repetition_stats",
     # rotated back in for r5 (driver evidence was aging — VERDICT r4
     # item 6); keep in-window until CORRECTNESS_r5 records them
     "w7_rolling_sum", "f7_normalize", "f9_md_extension",
