@@ -615,6 +615,26 @@ def _shingle_df_stats(spark, sf):
     return shingle_df_stats(shingle_table(d), max_shingle_df=5)
 
 
+def _paragraph_dedup(spark, sf):
+    """Cross-document paragraph dedup with planted boilerplate: every
+    doc_id%3==0 document gets the same footer paragraph appended, so
+    the first such doc keeps it and every later one loses it — the
+    C4-style span rule, replayed in SQL (md5 + ROW_NUMBER + ordered
+    string_agg)."""
+    from ocr_agent_spark.functions.dedup import dedup_paragraphs
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"),
+                     F.lit("\n\nstandard footer boilerplate paragraph")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup_paragraphs(planted)
+
+
 def _gopher_quality(spark, sf):
     """Gopher document-quality signals (functions/webquality.py) over
     the documents table — word stats, symbol/bullet/ellipsis/alpha
@@ -1143,14 +1163,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregations / monitoring (SURVEY §2.4)  [a1/a2/a6/
         # a_percentiles rotated to tail in r5 — 4-round green history;
         # slots reopened for the r5 additions below]
-        # joins (§2.3)
-        "j2_resume_antijoin": _j2_resume_antijoin,
+        # joins (§2.3)  [j2 rotated to tail in r5 — 4-round green
+        # history + resume pytest coverage; slot for paragraph_dedup]
         # r5 additions: politeness frontier + verify-join cap report +
         # Gopher quality/repetition gates
         "frontier_schedule": _frontier_schedule,
         "shingle_df_stats": _shingle_df_stats,
         "gopher_quality": _gopher_quality,
         "repetition_stats": _repetition_stats,
+        "paragraph_dedup": _paragraph_dedup,
         # longest-parked tail entries rotated back IN for fresh driver
         # hashes (VERDICT r4 item 6)
         "w7_rolling_sum": _w7_rolling_sum,
@@ -1226,6 +1247,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in r5 for the rotation
         "a6_ordered_concat": _a6_ordered_concat,      # green r1-r4; parked
         # in r5 for gopher_quality
+        "j2_resume_antijoin": _j2_resume_antijoin,    # green r1-r4; parked
+        # in r5 for paragraph_dedup (resume behavior also pytest-covered)
         "a_percentiles": _a_percentiles,              # green r3+r4; parked
         # in r5 for repetition_stats
         "f10_epoch": _f10_epoch,
@@ -1546,6 +1569,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN df > 5 THEN df ELSE 0 END) AS BIGINT)
                      AS n_rows_dropped
             FROM dfreq
+        """),
+        # C4-style cross-document paragraph dedup: md5 fingerprint +
+        # first-occurrence keeper + ordered reassembly, replayed exactly
+        "paragraph_dedup": (r"""
+            WITH d AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || chr(10)
+                  || 'standard footer boilerplate paragraph'
+                ELSE text END AS text
+              FROM documents WHERE text IS NOT NULL
+            ),
+            arr AS (
+              SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS a
+              FROM d
+            ),
+            p AS (
+              SELECT doc_id, i - 1 AS para_idx, trim(a[i]) AS para
+              FROM arr, unnest(generate_series(1, len(a))) AS g(i)
+              WHERE trim(a[i]) <> ''
+            ),
+            r AS (
+              SELECT doc_id, para_idx, para,
+                ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                   ORDER BY doc_id, para_idx) AS rn
+              FROM p
+            )
+            SELECT doc_id,
+              string_agg(para, chr(10) || chr(10) ORDER BY para_idx) AS text
+            FROM r WHERE rn = 1 GROUP BY doc_id
         """),
         # Gopher quality signals: Spark array expressions replayed with
         # DuckDB list functions

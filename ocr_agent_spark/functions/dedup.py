@@ -536,6 +536,56 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Cross-document exact paragraph dedup (the C4-style span rule):
+    each distinct paragraph survives only at its FIRST occurrence
+    (min (doc_id, para_idx)); later repeats — nav footers, cookie
+    banners, license blocks — are cut out of their documents, and the
+    remaining paragraphs are reassembled in order. Documents left empty
+    are dropped.
+
+    Skew-safe by construction: the keeper per fingerprint comes from a
+    ``groupBy(fp).agg(min(struct(doc_id, para_idx)))`` — partial
+    (map-side) aggregation collapses even a boilerplate paragraph
+    shared by 10⁹ documents before the shuffle, where the obvious
+    ``row_number() over (partition by fp)`` formulation would pour all
+    10⁹ rows into ONE window partition. Cost: one agg shuffle on fp +
+    one broadcast-or-shuffle join back + one groupBy(doc) reassembly,
+    all on slim (id, idx, para) rows.
+
+    Fingerprint is exact md5 of the trimmed paragraph (engine-portable
+    — the ``paragraph_dedup`` query replays this verbatim in DuckDB).
+    """
+    arr = F.split(F.col(text_col), r"\n{2,}")
+    paras = (
+        docs.select(F.col(id_col), F.posexplode(arr).alias("para_idx", "_raw"))
+        .withColumn("para", F.trim(F.col("_raw")))
+        .filter(F.col("para") != "")
+        .drop("_raw")
+        .withColumn("fp", F.md5(F.col("para")))
+    )
+    keepers = paras.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col).alias("kid"),
+                       F.col("para_idx").alias("kidx"))).alias("k")
+    )
+    kept = (
+        paras.join(keepers, "fp")
+        .filter((F.col(id_col) == F.col("k.kid"))
+                & (F.col("para_idx") == F.col("k.kidx")))
+        .drop("fp", "k")
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias(text_col)
+    )
+
+
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        hash_fn: str = "xxhash64") -> DataFrame:

@@ -41,7 +41,7 @@ MUST_BE_SWEPT = {
     "link_host_graph", "unicode_nfc",
     # r5 additions (no driver history yet)
     "frontier_schedule", "shingle_df_stats", "gopher_quality",
-    "repetition_stats",
+    "repetition_stats", "paragraph_dedup",
     # rotated back in for r5 (driver evidence was aging — VERDICT r4
     # item 6); keep in-window until CORRECTNESS_r5 records them
     "w7_rolling_sum", "f7_normalize", "f9_md_extension",

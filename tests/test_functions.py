@@ -318,6 +318,40 @@ def test_minhash_near_dups_unchanged_by_default_cap(spark, stopword_corpus):
     assert a == b and a
 
 
+def test_dedup_paragraphs_cross_document(spark):
+    """Boilerplate paragraphs survive only at their first (doc, idx)
+    occurrence; documents reassemble in order; empty docs drop."""
+    footer = "subscribe to our newsletter for updates"
+    rows = [
+        (0, f"unique intro zero\n\n{footer}\n\nunique body zero"),
+        (1, f"{footer}\n\nunique body one"),
+        (2, footer),                       # nothing else → dropped
+        (3, "standalone document three"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dedup.dedup_paragraphs(docs).collect()}
+    assert got[0] == f"unique intro zero\n\n{footer}\n\nunique body zero"
+    assert got[1] == "unique body one"
+    assert 2 not in got
+    assert got[3] == "standalone document three"
+    # idempotent: running again changes nothing
+    again = {r["doc_id"]: r["text"]
+             for r in dedup.dedup_paragraphs(
+                 dedup.dedup_paragraphs(docs)).collect()}
+    assert again == got
+
+
+def test_dedup_paragraphs_within_document(spark):
+    """A paragraph repeated INSIDE one document keeps only its first
+    occurrence too (same first-occurrence rule)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta\n\ngamma delta\n\nalpha beta")],
+        "doc_id long, text string",
+    )
+    got = dedup.dedup_paragraphs(docs).collect()[0]["text"]
+    assert got == "alpha beta\n\ngamma delta"
+
+
 # -- similarity ------------------------------------------------------------
 
 
