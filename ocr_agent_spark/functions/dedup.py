@@ -551,8 +551,12 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
     shared by 10⁹ documents before the shuffle, where the obvious
     ``row_number() over (partition by fp)`` formulation would pour all
     10⁹ rows into ONE window partition. Cost: one agg shuffle on fp +
-    one broadcast-or-shuffle join back + one groupBy(doc) reassembly,
-    all on slim (id, idx, para) rows.
+    one join back + one groupBy(doc) reassembly, all on slim
+    (id, idx, para) rows. The join-back still keys on fp, so a hot
+    boilerplate key concentrates there — but its keeper side is ONE
+    row per fp, exactly the shape AQE's skew-join split handles
+    (enabled in session.py), and every non-keeper row dies in the
+    filter immediately after.
 
     Fingerprint is exact md5 of the trimmed paragraph (engine-portable
     — the ``paragraph_dedup`` query replays this verbatim in DuckDB).

@@ -134,14 +134,14 @@ def politeness_frontier(delta: DataFrame, crawl_start: datetime.datetime | str,
         )
         base = base.join(lm, "url", "left").withColumn(
             "priority",
-            # bonus = lastmod seconds scaled into [0, 0.5): strictly
-            # inside one priority band, so recency NEVER outranks a
-            # higher delta status.
+            # bonus = epoch/8e9, monotone in lastmod and < 0.5 for any
+            # epoch before year 2096 — strictly inside one priority
+            # band, so recency NEVER outranks a higher delta status
+            # (and never wraps, unlike a modulo fold).
             F.col("priority")
             + F.when(
                 F.col("_lm").isNotNull(),
-                F.pmod(F.unix_timestamp("_lm").cast("double"), F.lit(10**9))
-                / F.lit(2e9),
+                F.unix_timestamp("_lm").cast("double") / F.lit(8e9),
             ).otherwise(F.lit(0.0)),
         ).drop("_lm")
     hosted = base.withColumn("host", url_host(F.col("url")))
