@@ -1581,7 +1581,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE text IS NOT NULL
             ),
             arr AS (
-              SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS a
+              SELECT doc_id, regexp_split_to_array(text, '(?:\r?\n){2,}') AS a
               FROM d
             ),
             p AS (
@@ -1609,8 +1609,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text,
                 list_filter(regexp_split_to_array(trim(text), '\s+'),
                             x -> x <> '') AS words,
-                list_filter(list_transform(string_split(text, chr(10)),
-                                           x -> trim(x)),
+                list_filter(list_transform(
+                              regexp_split_to_array(text, '\r?\n'),
+                              x -> trim(x)),
                             x -> x <> '') AS lines
               FROM d
             )
@@ -1646,9 +1647,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             ln AS (
               SELECT doc_id,
-                unnest(list_filter(list_transform(string_split(text, chr(10)),
-                                                  x -> trim(x)),
-                                   x -> x <> '')) AS u
+                unnest(list_filter(list_transform(
+                    regexp_split_to_array(text, '\r?\n'), x -> trim(x)),
+                  x -> x <> '')) AS u
               FROM d
             ),
             lc AS (SELECT doc_id, u, COUNT(*) AS c FROM ln GROUP BY 1, 2),
@@ -1662,7 +1663,7 @@ def oracle_sql() -> dict[str, str]:
             pr AS (
               SELECT doc_id,
                 unnest(list_filter(list_transform(
-                    regexp_split_to_array(text, '\n{2,}'), x -> trim(x)),
+                    regexp_split_to_array(text, '(?:\r?\n){2,}'), x -> trim(x)),
                   x -> x <> '')) AS u
               FROM d
             ),

@@ -135,9 +135,14 @@ def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
     10⁶ docs is ~10¹² rows in a single partition. Shingles that common
     carry near-zero Jaccard discrimination, so they are dropped from
     BOTH the intersection count and the per-doc sizes (Jaccard over the
-    filtered shingle universe): a pair of identical docs still scores
-    1.0, and planted near-dups keep their score up to the (tiny)
-    removed mass. The hot set is a broadcast anti-join probe.
+    filtered shingle universe): identical docs still score 1.0 while
+    their df stays at or under the cap, and planted near-dups keep
+    their score up to the (tiny) removed mass. CAVEAT (code-review r5):
+    a text mass-duplicated past the cap has ALL its shingles dropped —
+    its copies then verify as nothing. Collapse exact duplicates before
+    any capped verify (``dedup_near`` does this); the cap is only safe
+    over a table where each distinct text appears once. The hot set is
+    a broadcast anti-join probe.
     """
     return sh.join(
         F.broadcast(hot_shingles(sh, max_shingle_df).select("shingle")),
@@ -525,12 +530,31 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     by transitive near-duplication collapse to one representative.
     ``max_shingle_df``: see ``minhash_near_duplicates`` (verify-join
     skew guard; report with ``shingle_df_stats``).
+
+    Exact duplicates collapse FIRST (one fingerprint-window shuffle):
+    a boilerplate page copied 100k times would otherwise push every
+    one of its shingles past ``max_shingle_df``, emptying its shingle
+    set in the capped verify stage and silently keeping every copy
+    (code-review r5). After the collapse each distinct text enters the
+    MinHash stage once, so the cap only ever drops genuinely
+    cross-document stopword shingles. The final keep set is identical
+    to the uncollapsed formulation: an exact-dup group's keeper is its
+    min id — exactly what the near-dup cluster keeper would select —
+    and a group's near-dup relations are text-determined, so they
+    survive intact on the representative.
     """
-    pairs = minhash_near_duplicates(docs, id_col, text_col, n, num_hashes,
+    uniques = dedup_exact(docs, id_col, text_col)
+    exact_losers = docs.select(F.col(id_col).alias("doc_id")).join(
+        uniques.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
+    )
+    pairs = minhash_near_duplicates(uniques, id_col, text_col, n, num_hashes,
                                     bands, threshold,
                                     max_shingle_df=max_shingle_df)
     components = connected_components(pairs, checkpoint_dir=checkpoint_dir)
-    losers = components.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    near_losers = components.filter(
+        F.col("doc_id") != F.col("component")
+    ).select("doc_id")
+    losers = exact_losers.union(near_losers)
     return docs.join(
         losers, docs[id_col] == losers["doc_id"], "left_anti"
     )
@@ -561,7 +585,7 @@ def dedup_paragraphs(docs: DataFrame, id_col: str = "doc_id",
     Fingerprint is exact md5 of the trimmed paragraph (engine-portable
     — the ``paragraph_dedup`` query replays this verbatim in DuckDB).
     """
-    arr = F.split(F.col(text_col), r"\n{2,}")
+    arr = F.split(F.col(text_col), r"(?:\r?\n){2,}")
     paras = (
         docs.select(F.col(id_col), F.posexplode(arr).alias("para_idx", "_raw"))
         .withColumn("para", F.trim(F.col("_raw")))

@@ -134,14 +134,18 @@ def politeness_frontier(delta: DataFrame, crawl_start: datetime.datetime | str,
         )
         base = base.join(lm, "url", "left").withColumn(
             "priority",
-            # bonus = epoch/8e9, monotone in lastmod and < 0.5 for any
-            # epoch before year 2096 — strictly inside one priority
-            # band, so recency NEVER outranks a higher delta status
-            # (and never wraps, unlike a modulo fold).
+            # bonus = clamp(epoch, 0, 4e9)/8e9 ∈ [0, 0.5] — monotone in
+            # lastmod through year 2096 and HARD-BOUNDED inside one
+            # priority band even for hostile sitemap data (a lastmod of
+            # 9999-12-31 or 0001-01-01 is attacker-controlled input and
+            # must never cross a delta-status band; code-review r5).
             F.col("priority")
             + F.when(
                 F.col("_lm").isNotNull(),
-                F.unix_timestamp("_lm").cast("double") / F.lit(8e9),
+                F.greatest(
+                    F.lit(0.0),
+                    F.least(F.unix_timestamp("_lm").cast("double"), F.lit(4e9)),
+                ) / F.lit(8e9),
             ).otherwise(F.lit(0.0)),
         ).drop("_lm")
     hosted = base.withColumn("host", url_host(F.col("url")))

@@ -283,16 +283,25 @@ def append_ivf_index(embeddings: DataFrame, path: str,
     The append path of the build-once/query-many shape (VERDICT r4 item
     7): new vectors are assigned to the EXISTING centroids (no k-means,
     no re-assignment of old vectors — one scan over just the new rows)
-    and appended into the same ``cluster_id=<j>`` partition layout, so
+    into their own ``cluster_id=<j>``-partitioned delta directory, so
     every subsequent ``ivf_index_topk`` sees them with unchanged probe
     semantics. The quantizer does NOT move; as appended data drifts
     away from the build-time distribution, recall decays — run
     ``ivf_drift_report`` after appends and rebuild when it says so.
 
+    Crash atomicity mirrors the build's pointer flip (code-review r5):
+    each append lands under ``<version>/appends/<uuid>/`` and becomes
+    visible only when its ``_COMMITTED`` marker is atomically renamed
+    into place AFTER the write finishes. A job that dies mid-append
+    leaves an uncommitted directory that no reader ever lists — never
+    partial rows inside the live index (``mode("append")`` into the
+    base dir would expose exactly that during the commit window).
+
     Returns the (unchanged) centroids.
     """
     import json
     import os
+    import uuid
 
     vdir = _ivf_index_dir(path)
     with open(os.path.join(vdir, "centroids.json")) as fh:
@@ -301,10 +310,31 @@ def append_ivf_index(embeddings: DataFrame, path: str,
         ivf_assign(embeddings, centroids, vec_col)
         .withColumnRenamed("_cluster", "cluster_id")
     )
-    assigned.write.mode("append").partitionBy("cluster_id").parquet(
-        os.path.join(vdir, "vectors")
-    )
+    adir = os.path.join(vdir, "appends", uuid.uuid4().hex[:12])
+    assigned.write.mode("errorifexists").partitionBy("cluster_id").parquet(adir)
+    tmp = os.path.join(vdir, "appends", f".commit-{os.path.basename(adir)}")
+    with open(tmp, "w") as fh:
+        fh.write("committed")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(adir, "_COMMITTED"))
     return centroids
+
+
+def _ivf_vector_frames(spark, vdir: str):
+    """Base vectors + every COMMITTED append delta, as separate
+    DataFrames (separate roots keep per-root partition discovery and
+    pruning intact — a multi-root read would refuse the layout)."""
+    import os
+
+    frames = [spark.read.parquet(os.path.join(vdir, "vectors"))]
+    adir = os.path.join(vdir, "appends")
+    if os.path.isdir(adir):
+        for name in sorted(os.listdir(adir)):
+            d = os.path.join(adir, name)
+            if os.path.isdir(d) and os.path.exists(os.path.join(d, "_COMMITTED")):
+                frames.append(spark.read.parquet(d))
+    return frames
 
 
 def ivf_drift_report(spark, path: str, vec_col: str = "embedding",
@@ -323,9 +353,10 @@ def ivf_drift_report(spark, path: str, vec_col: str = "embedding",
     in probes that skip them.
 
     Plan: posexplode (rows × dim) → per-(cluster, pos) avg (map-side
-    combine) → per-cluster ordered reassembly → broadcast-join the
-    tiny centroid table. One shuffle of |N|·dim slim rows — a
-    maintenance scan, not a query-path cost.
+    combine) → per-cluster ordered reassembly → join the tiny centroid
+    table (both join sides are ≤ n_clusters rows by then — the heavy
+    shuffle is the |N|·dim aggregation, a maintenance scan, not a
+    query-path cost). Sees base vectors plus committed appends.
     """
     import json
     import os
@@ -333,7 +364,10 @@ def ivf_drift_report(spark, path: str, vec_col: str = "embedding",
     vdir = _ivf_index_dir(path)
     with open(os.path.join(vdir, "centroids.json")) as fh:
         centroids = json.load(fh)
-    vectors = spark.read.parquet(os.path.join(vdir, "vectors"))
+    frames = _ivf_vector_frames(spark, vdir)
+    vectors = frames[0].select("cluster_id", vec_col)
+    for f in frames[1:]:
+        vectors = vectors.unionByName(f.select("cluster_id", vec_col))
     ve = vectors.select("cluster_id", F.posexplode(F.col(vec_col)))
     means = (
         ve.groupBy("cluster_id", "pos")
@@ -349,7 +383,10 @@ def ivf_drift_report(spark, path: str, vec_col: str = "embedding",
         [(j, [float(v) for v in c]) for j, c in enumerate(centroids)],
         "cluster_id int, centroid array<double>",
     )
-    out = mv.join(F.broadcast(cent), "cluster_id", "full_outer").select(
+    # no broadcast hint: Spark cannot build a full-outer join from a
+    # broadcast side (the hint would be silently dropped), and both
+    # inputs are ≤ n_clusters rows here anyway (code-review r5)
+    out = mv.join(cent, "cluster_id", "full_outer").select(
         "cluster_id",
         F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
         F.round(
@@ -388,10 +425,14 @@ def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
     with open(os.path.join(vdir, "centroids.json")) as fh:
         centroids = json.load(fh)
     probe = _probe_clusters(centroids, query_vec, n_probe)
-    vectors = spark.read.parquet(os.path.join(vdir, "vectors")).filter(
-        F.col("cluster_id").isin(probe)
-    )
-    return cosine_topk(vectors.drop("cluster_id"), query_vec, k, id_col, vec_col)
+    frames = [
+        f.filter(F.col("cluster_id").isin(probe)).drop("cluster_id")
+        for f in _ivf_vector_frames(spark, vdir)
+    ]
+    vectors = frames[0]
+    for f in frames[1:]:
+        vectors = vectors.unionByName(f)
+    return cosine_topk(vectors, query_vec, k, id_col, vec_col)
 
 
 def embedding_near_duplicates_exact(embeddings: DataFrame, threshold: float = 0.95,

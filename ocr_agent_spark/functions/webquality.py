@@ -65,8 +65,12 @@ def _words(text: Column) -> Column:
 
 
 def _lines(text: Column) -> Column:
+    # split on \r?\n so CRLF text never leaves a trailing \r inside the
+    # line content — Java's '$' matches before a final \r while RE2's
+    # does not, so a stray \r would silently diverge the line-anchor
+    # rules from their DuckDB oracles (code-review r5)
     return F.filter(
-        F.transform(F.split(text, r"\n"), lambda ln: F.trim(ln)),
+        F.transform(F.split(text, r"\r?\n"), lambda ln: F.trim(ln)),
         lambda ln: ln != F.lit(""),
     )
 
@@ -149,7 +153,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
 
     - ``dup_line_frac`` / ``dup_para_frac``: 1 − distinct/total over
       trimmed non-empty lines (split ``\\n``) and paragraphs (split on
-      blank lines, ``\\n{2,}``).
+      blank lines, ``(?:\\r?\\n){2,}``).
     - ``dup_line_char_frac`` / ``dup_para_char_frac``: fraction of
       line/paragraph characters living in units that occur more than
       once (count × length weighted).
@@ -182,7 +186,7 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
 
     lines = _lines(t)
     paras = F.filter(
-        F.transform(F.split(t, r"\n{2,}"), lambda p: F.trim(p)),
+        F.transform(F.split(t, r"(?:\r?\n){2,}"), lambda p: F.trim(p)),
         lambda p: p != F.lit(""),
     )
     line_stats = unit_stats(lines, "line")
@@ -252,7 +256,7 @@ def c4_clean_lines(docs: DataFrame, id_col: str = "doc_id",
     One projection pass, no shuffle, no Python.
     """
     t = F.col(text_col)
-    lines = F.transform(F.split(t, r"\n"), lambda ln: F.trim(ln))
+    lines = F.transform(F.split(t, r"\r?\n"), lambda ln: F.trim(ln))
     kept = F.filter(
         lines,
         lambda ln: ln.rlike(r'[.!?]["”’]?$')

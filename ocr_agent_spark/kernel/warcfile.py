@@ -101,10 +101,14 @@ def _codec_exists(name: str) -> bool:
     import codecs
 
     try:
-        codecs.lookup(name)
-        return True
+        info = codecs.lookup(name)
     except LookupError:
         return False
+    # codecs.lookup also resolves binary transforms (hex, base64, zlib,
+    # rot13…) whose .decode() raises LookupError("not a text encoding")
+    # — a crawled page declaring <meta charset="hex"> must fall through
+    # to utf-8, not blow up the archive task (code-review r5).
+    return bool(getattr(info, "_is_text_encoding", True))
 
 
 def decode_to_utf8(body: bytes, content_type: str | None = None) -> bytes:

@@ -30,42 +30,43 @@ from pyspark.sql import functions as F
 from ocr_agent_spark.kernel.merge import DOCUMENT_TITLE
 
 
-def _render_chunks(style: str):
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
+def _partition_blocks(batches: Iterator[pd.DataFrame],
+                      style: str) -> tuple[int, list[str]]:
+    """One task's (partition id, rendered blocks) — THE shared render
+    loop: both the chunk collector and the sharded writer consume it,
+    so block rendering can never drift between the two artifacts."""
+    from pyspark import TaskContext
 
-        from ocr_agent_spark.kernel.merge import MergeRow, render_row_block
+    from ocr_agent_spark.kernel.merge import MergeRow, render_row_block
 
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else -1
-        blocks: list[str] = []
-        for batch in batches:
-            for url, kind, page_index, total_pages, text in zip(
-                batch["url"], batch["kind"], batch["page_index"],
-                batch["total_pages"], batch["text"],
-            ):
-                row = MergeRow(
-                    url=url,
-                    kind=kind,
-                    page_index=None if pd.isna(page_index) else int(page_index),
-                    total_pages=None if pd.isna(total_pages) else int(total_pages),
-                    text=text,
-                )
-                block = render_row_block(row, style)
-                if block is not None:
-                    blocks.append(block)
-        if blocks:
-            yield pd.DataFrame({"pid": [pid], "chunk": ["\n".join(blocks)]})
-
-    return render
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    blocks: list[str] = []
+    for batch in batches:
+        for url, kind, page_index, total_pages, text in zip(
+            batch["url"], batch["kind"], batch["page_index"],
+            batch["total_pages"], batch["text"],
+        ):
+            row = MergeRow(
+                url=url,
+                kind=kind,
+                page_index=None if pd.isna(page_index) else int(page_index),
+                total_pages=None if pd.isna(total_pages) else int(total_pages),
+                text=text,
+            )
+            block = render_row_block(row, style)
+            if block is not None:
+                blocks.append(block)
+    return pid, blocks
 
 
-def _ordered_chunks(
+def _ordered_slim(
     extracted: DataFrame,
-    style: str,
     num_partitions: int | None,
     order_cols: tuple[str, ...],
 ) -> DataFrame:
+    """Pruned + range-partitioned + partition-sorted merge input (the
+    shared phase-1 plan of every merge artifact)."""
     spark = extracted.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -76,11 +77,25 @@ def _ordered_chunks(
     )
     slim = extracted.select(*needed).filter(F.col("text").isNotNull())
 
-    ordered = slim.repartitionByRange(
+    return slim.repartitionByRange(
         num_partitions, *[F.col(c) for c in order_cols]
     ).sortWithinPartitions(*order_cols)
 
-    return ordered.mapInPandas(_render_chunks(style), schema="pid int, chunk string")
+
+def _ordered_chunks(
+    extracted: DataFrame,
+    style: str,
+    num_partitions: int | None,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid, blocks = _partition_blocks(batches, style)
+        if blocks:
+            yield pd.DataFrame({"pid": [pid], "chunk": ["\n".join(blocks)]})
+
+    return _ordered_slim(extracted, num_partitions, order_cols).mapInPandas(
+        render, schema="pid int, chunk string"
+    )
 
 
 def merge_extracted_to_markdown(
@@ -138,28 +153,7 @@ def merge_extracted_to_sharded_files(
         fh.write(header)
 
     def write_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        from ocr_agent_spark.kernel.merge import MergeRow, render_row_block
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
-        blocks: list[str] = []
-        for batch in batches:
-            for url, kind, page_index, total_pages, text in zip(
-                batch["url"], batch["kind"], batch["page_index"],
-                batch["total_pages"], batch["text"],
-            ):
-                row = MergeRow(
-                    url=url,
-                    kind=kind,
-                    page_index=None if pd.isna(page_index) else int(page_index),
-                    total_pages=None if pd.isna(total_pages) else int(total_pages),
-                    text=text,
-                )
-                block = render_row_block(row, style)
-                if block is not None:
-                    blocks.append(block)
+        pid, blocks = _partition_blocks(batches, style)
         if blocks:
             # every shard starts with the separator that the single-file
             # writer would place BEFORE this partition's chunk, so plain
@@ -172,17 +166,7 @@ def merge_extracted_to_sharded_files(
                 {"pid": [pid], "path": [shard], "n_bytes": [len(data)]}
             )
 
-    spark = extracted.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    needed = dict.fromkeys(
-        [*order_cols, "url", "kind", "page_index", "total_pages", "text"]
-    )
-    slim = extracted.select(*needed).filter(F.col("text").isNotNull())
-    ordered = slim.repartitionByRange(
-        num_partitions, *[F.col(c) for c in order_cols]
-    ).sortWithinPartitions(*order_cols)
-    meta = ordered.mapInPandas(
+    meta = _ordered_slim(extracted, num_partitions, order_cols).mapInPandas(
         write_shards, schema="pid int, path string, n_bytes long"
     ).collect()
     meta.sort(key=lambda r: r["pid"])

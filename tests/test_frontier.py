@@ -92,6 +92,30 @@ def test_robots_filter_and_sitemap_recency(spark, delta):
     assert rows["http://a.example/same1"]["fetch_rank"] == 3
 
 
+def test_hostile_lastmod_never_crosses_priority_bands(spark):
+    """Sitemap lastmod is attacker-controlled: a year-9999 (or
+    pre-1970) date must stay a sub-band tiebreak, never outrank a
+    higher delta status (code-review r5)."""
+    delta = spark.createDataFrame(
+        [("http://h.example/new", STATUS_NEW),
+         ("http://h.example/spam", STATUS_UNCHANGED),
+         ("http://h.example/old", STATUS_CHANGED)],
+        "url string, status string",
+    )
+    lastmod = spark.createDataFrame(
+        [("http://h.example/spam", datetime.datetime(9999, 12, 31)),
+         ("http://h.example/old", datetime.datetime(1, 1, 2))],
+        "url string, lastmod timestamp",
+    )
+    sched = frontier.politeness_frontier(delta, START, sitemap_lastmod=lastmod)
+    rows = {r["url"].rsplit("/", 1)[1]: r for r in sched.collect()}
+    assert rows["new"]["fetch_rank"] == 1      # 9999 bonus didn't outrank it
+    assert rows["old"]["fetch_rank"] == 2      # negative epoch didn't demote below band
+    assert rows["spam"]["fetch_rank"] == 3
+    assert 1.0 <= rows["spam"]["priority"] <= 1.5
+    assert 2.0 <= rows["old"]["priority"] <= 2.5
+
+
 def test_schedule_plan_is_single_host_shuffle(spark, delta):
     """One hash exchange on host, no UDFs (BatchEvalPython) anywhere."""
     sched = frontier.politeness_frontier(delta, START)

@@ -318,6 +318,21 @@ def test_minhash_near_dups_unchanged_by_default_cap(spark, stopword_corpus):
     assert a == b and a
 
 
+def test_dedup_near_mass_duplicated_doc_survives_cap(spark):
+    """code-review r5: a text copied more times than max_shingle_df
+    must still collapse to ONE keeper — the exact-collapse-first step
+    protects the capped verify from emptying its shingle set."""
+    boiler = "identical boilerplate page body repeated verbatim everywhere"
+    rows = [(i, boiler) for i in range(30)]                  # 30 > cap 10
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows += [(100, base), (101, base + " lambda"),           # near-dup pair
+             (200, "completely standalone document with its own words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            dedup.dedup_near(docs, threshold=0.6, max_shingle_df=10).collect()}
+    assert kept == {0, 100, 200}
+
+
 def test_dedup_paragraphs_cross_document(spark):
     """Boilerplate paragraphs survive only at their first (doc, idx)
     occurrence; documents reassemble in order; empty docs drop."""
@@ -971,6 +986,36 @@ def test_ivf_append_matches_fresh_rebuild(spark, embeddings, tmp_path):
              similarity.cosine_topk(union, qvec, k=10).collect()]
     assert appended == rebuilt == exact
     assert [i for i, _ in exact] == list(range(1000, 1010))
+
+
+def test_ivf_uncommitted_append_is_invisible(spark, embeddings, tmp_path):
+    """Crash atomicity (code-review r5): an append directory without
+    its _COMMITTED marker — a job that died mid-append — must never
+    contribute rows to queries or the drift report."""
+    import os
+    import random
+
+    dim = len(embeddings.first()["embedding"])
+    rng = random.Random("uncommitted-q")
+    qvec = [rng.uniform(-1, 1) for _ in range(dim)]
+    idx = str(tmp_path / "ivf_crash")
+    similarity.build_ivf_index(embeddings, idx, n_clusters=4, sample_size=256)
+    planted = spark.createDataFrame(
+        [(3000 + i, qvec, 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    similarity.append_ivf_index(planted, idx)
+    vdir = similarity._ivf_index_dir(idx)
+    adir = os.path.join(vdir, "appends")
+    (committed,) = os.listdir(adir)
+    # simulate the crash: marker never landed
+    os.remove(os.path.join(adir, committed, "_COMMITTED"))
+    got = {r["neighbor_id"] for r in
+           similarity.ivf_index_topk(spark, idx, qvec, k=5, n_probe=4).collect()}
+    assert not (got & {3000, 3001, 3002, 3003, 3004})
+    total = sum(r["n_vectors"] for r in
+                similarity.ivf_drift_report(spark, idx).collect())
+    assert total == 200  # base only
 
 
 def test_ivf_drift_report(spark, embeddings, tmp_path):

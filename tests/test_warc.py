@@ -109,6 +109,23 @@ def test_decode_strips_utf16_utf32_boms():
     assert decode_to_utf8(b"\xef\xbb\xbf<p>x</p>") == b"<p>x</p>"
 
 
+def test_binary_transform_charset_names_fall_through():
+    """codecs.lookup resolves binary transforms (hex, base64, zlib…)
+    whose .decode raises LookupError('not a text encoding') — a page
+    declaring such a charset must decode via the utf-8 fallback, not
+    kill the archive task (code-review r5)."""
+    for name in ("hex", "base64", "zlib", "uu", "quopri"):
+        page = f"<meta charset={name}><p>hello page</p>".encode()
+        assert sniff_charset(page) == "utf-8", name
+        assert b"hello page" in decode_to_utf8(page), name
+        assert b"hello page" in decode_to_utf8(
+            b"<p>hello page</p>", f"text/html; charset={name}"
+        ), name
+    # rot13 IS a text transform codec in CPython — it decodes without
+    # raising, so whichever way the gate treats it must still succeed
+    decode_to_utf8(b"<meta charset=rot13><p>uryyb</p>")
+
+
 def test_warc_corrupt_framing_raises_typed():
     with pytest.raises(WarcFormatError):
         list(iter_warc_records(io.BytesIO(b"NOT A WARC\r\n\r\n")))
