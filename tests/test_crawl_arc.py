@@ -115,8 +115,29 @@ def test_full_crawl_arc(spark, tmp_path):
         "url", doc_fingerprint("text").alias("fingerprint"))
     new_fp = extract_pages_fused(read_warc(spark, [arc2])).select(
         "url", doc_fingerprint("text").alias("fingerprint"))
-    delta = {r["url"]: r["status"] for r in crawl_delta(old_fp, new_fp).collect()}
+    delta_df = crawl_delta(old_fp, new_fp)
+    delta = {r["url"]: r["status"] for r in delta_df.collect()}
     assert delta["https://h1.example.com/doc/1"] == "changed"
     assert delta["https://h1.example.com/doc/5"] == "gone"
     assert delta["https://h0.example.com/doc/6"] == "new"
     assert sum(1 for s in delta.values() if s == "unchanged") == 4
+
+    # 9. the loop closes: delta + robots + sitemap lastmods compose into
+    # the NEXT cycle's per-host rate-bounded fetch schedule
+    from ocr_agent_spark.functions.frontier import politeness_frontier
+
+    sched = politeness_frontier(
+        delta_df, dt.datetime(2026, 6, 1), per_host_delay_sec=2,
+        robots_rules=robots_rules_table(robots),
+        sitemap_lastmod=frontier.select("url", "lastmod"),
+    )
+    rows = {r["url"]: r for r in sched.collect()}
+    assert "https://h1.example.com/doc/5" not in rows          # gone
+    # each host's first fetch is the new/changed page, at the cycle start
+    assert rows["https://h0.example.com/doc/6"]["fetch_rank"] == 1
+    assert rows["https://h1.example.com/doc/1"]["fetch_rank"] == 1
+    # rate bound holds per host
+    for r in rows.values():
+        assert r["next_fetch_ts"] == dt.datetime(2026, 6, 1) + dt.timedelta(
+            seconds=2 * (r["fetch_rank"] - 1))
+    assert len(rows) == 6  # the 6 gen2 urls (doc/5 gone), nothing private
