@@ -14,7 +14,9 @@ from ocr_agent_spark.kernel.mathdown import (
 )
 from ocr_agent_spark.kernel.minipdf import (
     build_pdf,
+    build_pdf_positioned,
     extract_pdf_page_text,
+    extract_pdf_page_text_columns,
     is_pdf_payload,
     pdf_page_count,
 )
@@ -26,8 +28,10 @@ __all__ = [
     "MATH_STYLE_DOLLAR",
     "MATH_STYLE_LATEX",
     "build_pdf",
+    "build_pdf_positioned",
     "pdf_page_count",
     "extract_pdf_page_text",
+    "extract_pdf_page_text_columns",
     "is_pdf_payload",
     "MergeRow",
     "render_merged_markdown",

@@ -47,18 +47,48 @@ def _escape_pdf_string(text: str) -> str:
     return "".join(out)
 
 
+def build_pdf_positioned(pages: list[list[tuple[float, float, str]]],
+                         compress: bool = False) -> bytes:
+    """Build a minimal PDF whose text chunks sit at explicit (x, y)
+    positions (via ``Tm``) — the fixture writer for layout tests
+    (multi-column pages, headers spanning columns)."""
+    content_pages: list[list[str]] = []
+    for chunks in pages:
+        ops = ["BT", "/F1 12 Tf"]
+        for x, y, text in chunks:
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append(f"({_escape_pdf_string(text)}) Tj")
+        ops.append("ET")
+        content_pages.append(ops)
+    return _assemble_pdf(content_pages, compress)
+
+
 def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
     """Build a valid minimal PDF: one text line per list entry per page."""
+    content_pages: list[list[str]] = []
+    for lines in pages:
+        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+        for j, line in enumerate(lines):
+            if j > 0:
+                ops.append("0 -14 Td")
+            ops.append(f"({_escape_pdf_string(line)}) Tj")
+        ops.append("ET")
+        content_pages.append(ops)
+    return _assemble_pdf(content_pages, compress)
+
+
+def _assemble_pdf(content_pages: list[list[str]], compress: bool) -> bytes:
+    """Shared writer back half: page ops → object table + xref."""
     objects: list[bytes] = []  # 1-indexed bodies, object i = objects[i-1]
 
-    n_pages = len(pages)
+    n_pages = len(content_pages)
     font_obj_num = 3 + 2 * n_pages
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode("ascii")
     )
-    for i, lines in enumerate(pages):
+    for i, ops in enumerate(content_pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
         objects.append(
@@ -68,12 +98,6 @@ def build_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
                 f"/Contents {content_num} 0 R >>"
             ).encode("ascii")
         )
-        ops = ["BT", "/F1 12 Tf", "72 720 Td"]
-        for j, line in enumerate(lines):
-            if j > 0:
-                ops.append("0 -14 Td")
-            ops.append(f"({_escape_pdf_string(line)}) Tj")
-        ops.append("ET")
         stream = "\n".join(ops).encode("latin-1")
         if compress:
             stream = zlib.compress(stream)
@@ -595,7 +619,9 @@ def _extract_positioned_strings(
     return chunks
 
 
-def _render_page(objects: dict[int, bytes], page_obj: int) -> str:
+def _render_page(objects: dict[int, bytes], page_obj: int,
+                 columns: bool = False,
+                 min_column_gap: float = 50.0) -> str:
     body = objects.get(page_obj, b"")
     m = _CONTENTS_RE.search(body)
     if m is None:
@@ -618,7 +644,14 @@ def _render_page(objects: dict[int, bytes], page_obj: int) -> str:
         streams_of([int(r.group(1)) for r in _REF_RE.finditer(m.group(1))])
     )
     chunks = _extract_positioned_strings(stream, _page_fontmaps(objects, page_obj))
-    # Group into lines by quantized y, top-down; left-to-right within.
+    if columns:
+        return _render_columns(chunks, min_column_gap)
+    return _render_lines(chunks)
+
+
+def _render_lines(chunks: list[tuple[float, float, str]]) -> str:
+    """Group positioned chunks into lines by quantized y, top-down;
+    left-to-right within a line."""
     lines: dict[float, list[tuple[float, str]]] = {}
     for cy, cx, text in chunks:
         key = round(cy * 2) / 2
@@ -627,6 +660,45 @@ def _render_page(objects: dict[int, bytes], page_obj: int) -> str:
     for key in sorted(lines, reverse=True):
         rendered.append(" ".join(t for _, t in sorted(lines[key], key=lambda p: p[0])))
     return "\n".join(rendered)
+
+
+def _render_columns(chunks: list[tuple[float, float, str]],
+                    min_column_gap: float) -> str:
+    """Column-aware reading order (pdfminer-style layout analysis,
+    scaled to what a no-font-metrics scanner can know).
+
+    A plain y-sort INTERLEAVES multi-column text (left line 1, right
+    line 1, left line 2, …). This pass splits the page at persistent
+    vertical whitespace bands — gaps ≥ ``min_column_gap`` points
+    between the sorted distinct chunk x-starts — and renders each
+    column fully (top-down) before moving right, joining columns with
+    a blank line.
+
+    Known limits, by construction: chunk WIDTHS are unknown (no glyph
+    metrics in the scanner), so the split keys on start positions —
+    a chunk that *starts* left of a gap but extends across it stays in
+    the left column, and a full-width heading sorts into the column
+    its x-start falls in (pdfminer has the same ambiguity class).
+    Pages whose chunk starts pepper the full width (per-word TJ
+    positioning) produce no persistent gap and fall back to the
+    line-order render, which is the correct answer for them.
+    """
+    import bisect
+
+    if not chunks:
+        return ""
+    xs = sorted({cx for _, cx, _ in chunks})
+    splits = [
+        (a + b) / 2 for a, b in zip(xs, xs[1:]) if b - a >= min_column_gap
+    ]
+    if not splits:
+        return _render_lines(chunks)
+    cols: list[list[tuple[float, float, str]]] = [
+        [] for _ in range(len(splits) + 1)
+    ]
+    for ch in chunks:
+        cols[bisect.bisect(splits, ch[1])].append(ch)
+    return "\n\n".join(_render_lines(c) for c in cols if c)
 
 
 def extract_pdf_page_text(data: bytes, page_index: int) -> str:
@@ -644,6 +716,25 @@ def extract_pdf_page_text(data: bytes, page_index: int) -> str:
             f"page_index {page_index} out of range for {len(page_nums)}-page PDF"
         )
     return _render_page(objects, page_nums[page_index])
+
+
+def extract_pdf_page_text_columns(data: bytes, page_index: int,
+                                  min_column_gap: float = 50.0) -> str:
+    """Column-aware variant of :func:`extract_pdf_page_text` — the
+    pdfminer-style layout-reconstruction mode: multi-column pages read
+    column-by-column instead of y-interleaved. Single-column pages
+    (no persistent vertical gap) render identically to the plain
+    function. Kept SEPARATE from the default so the golden
+    byte-equality contract on the fused extraction path never moves.
+    """
+    objects = _parse_objects(data)
+    page_nums = _page_object_numbers(objects)
+    if page_index < 0 or page_index >= len(page_nums):
+        raise IndexError(
+            f"page_index {page_index} out of range for {len(page_nums)}-page PDF"
+        )
+    return _render_page(objects, page_nums[page_index], columns=True,
+                        min_column_gap=min_column_gap)
 
 
 class PdfDocument:
@@ -669,10 +760,12 @@ class PdfDocument:
     def page_count(self) -> int:
         return len(self._pages)
 
-    def page_text(self, page_index: int) -> str:
+    def page_text(self, page_index: int, columns: bool = False,
+                  min_column_gap: float = 50.0) -> str:
         if page_index < 0 or page_index >= len(self._pages):
             raise IndexError(
                 f"page_index {page_index} out of range for "
                 f"{len(self._pages)}-page PDF"
             )
-        return _render_page(self._objects, self._pages[page_index])
+        return _render_page(self._objects, self._pages[page_index],
+                            columns=columns, min_column_gap=min_column_gap)

@@ -102,7 +102,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 FUSED_OUT_BATCH_ROWS = 4096
 
 
-def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame],
+                                 pdf_columns: bool = False) -> Iterator[pd.DataFrame]:
     """Fused probe+fan-out+extract over raw pages (runs on executors).
 
     One Arrow trip: the raw payload enters Python exactly once; page
@@ -189,7 +190,7 @@ def _extract_pages_fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd
                     continue
                 for p in range(total):
                     try:
-                        text = doc.page_text(p)
+                        text = doc.page_text(p, columns=pdf_columns)
                         text = text.rstrip() + "\n" if text.strip() else ""
                         emit("pdf_page", url, p, total, created_ts, text,
                              STATUS_COMPLETED, None, n)
@@ -211,8 +212,15 @@ FUSED_SCHEMA = (
 )
 
 
-def extract_pages_fused(pages: DataFrame) -> DataFrame:
+def extract_pages_fused(pages: DataFrame,
+                        pdf_columns: bool = False) -> DataFrame:
     """Raw pages → extracted rows in ONE payload pass (the hot path).
+
+    ``pdf_columns=True`` switches PDF page rendering to the
+    column-aware layout mode (``minipdf.extract_pdf_page_text_columns``
+    — multi-column pages read column-by-column). Default OFF: the
+    golden byte-equality contract against the reference fixtures pins
+    the plain line-order render.
 
     The staged path (build_task_table → extract_tasks) mirrors the
     reference's enqueue/run phases and materializes the queue table
@@ -230,8 +238,13 @@ def extract_pages_fused(pages: DataFrame) -> DataFrame:
     take the staged path, whose explode + shuffle spreads pages across
     the cluster before the per-page extraction.
     """
+    if pdf_columns:
+        def fn(batches):
+            return _extract_pages_fused_batches(batches, pdf_columns=True)
+    else:
+        fn = _extract_pages_fused_batches
     return pages.select("url", "warc_ts", "html").mapInPandas(
-        _extract_pages_fused_batches, schema=FUSED_SCHEMA
+        fn, schema=FUSED_SCHEMA
     )
 
 

@@ -64,6 +64,64 @@ def test_line_order_is_layout_not_stream_order():
     assert extract_pdf_page_text(data, 0).splitlines() == ["top line", "bottom line"]
 
 
+def test_two_column_layout_reading_order():
+    """Column-aware mode reads a 2-column page column-by-column; the
+    plain mode y-interleaves the same page (documented behavior)."""
+    from ocr_agent_spark.kernel import build_pdf_positioned
+    from ocr_agent_spark.kernel.minipdf import extract_pdf_page_text_columns
+
+    chunks = []
+    left = ["left one", "left two", "left three"]
+    right = ["right one", "right two", "right three"]
+    for j, t in enumerate(left):
+        chunks.append((72, 720 - 14 * j, t))
+    for j, t in enumerate(right):
+        chunks.append((330, 720 - 14 * j, t))
+    data = build_pdf_positioned([chunks])
+
+    cols = extract_pdf_page_text_columns(data, 0)
+    assert cols.split("\n\n") == ["\n".join(left), "\n".join(right)]
+    # plain mode interleaves by line — both modes keep every chunk
+    plain = extract_pdf_page_text(data, 0)
+    assert plain.splitlines() == [
+        "left one right one", "left two right two", "left three right three"
+    ]
+
+
+def test_three_column_layout_and_single_column_fallback():
+    from ocr_agent_spark.kernel import build_pdf_positioned
+    from ocr_agent_spark.kernel.minipdf import extract_pdf_page_text_columns
+
+    three = [(40, 700, "a1"), (40, 686, "a2"),
+             (250, 700, "b1"), (250, 686, "b2"),
+             (460, 700, "c1"), (460, 686, "c2")]
+    data = build_pdf_positioned([three])
+    assert extract_pdf_page_text_columns(data, 0).split("\n\n") == [
+        "a1\na2", "b1\nb2", "c1\nc2"
+    ]
+
+    # single column (indents < gap threshold): identical to plain mode
+    single = [(72, 700, "only one"), (90, 686, "indented two"), (72, 672, "three")]
+    d2 = build_pdf_positioned([single])
+    assert extract_pdf_page_text_columns(d2, 0) == extract_pdf_page_text(d2, 0)
+
+
+def test_pdf_document_handle_columns_mode(tmp_path):
+    from ocr_agent_spark.kernel import build_pdf_positioned
+    from ocr_agent_spark.kernel.minipdf import (
+        PdfDocument,
+        extract_pdf_page_text_columns,
+    )
+
+    chunks = [(72, 700, "L"), (400, 700, "R")]
+    data = build_pdf_positioned([chunks, chunks])
+    doc = PdfDocument(data)
+    for i in range(2):
+        assert doc.page_text(i, columns=True) == \
+            extract_pdf_page_text_columns(data, i) == "L\n\nR"
+        assert doc.page_text(i) == extract_pdf_page_text(data, i) == "L R"
+
+
 def test_pdf_document_handle_equals_per_page_function():
     from ocr_agent_spark.kernel.minipdf import (
         PdfDocument,
