@@ -244,23 +244,28 @@ def minhash_signatures_from_shingles(sh: DataFrame,
 
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 3,
-                           num_hashes: int = 32, bands: int = 8) -> DataFrame:
+                           num_hashes: int = 32, bands: int = 8,
+                           max_bucket_size: int = 10_000) -> DataFrame:
     """LSH banding: docs agreeing on any full band are candidate pairs.
 
     rows-per-band r = num_hashes/bands; collision prob ≈ 1-(1-s^r)^b.
     Plan: signatures → explode band slices → hash band → self-join per
     (band_idx, band_hash) bucket — the all-pairs join never happens.
+    ``max_bucket_size``: see ``_lsh_band_pairs``.
     """
     return _lsh_band_pairs(
         minhash_signatures(docs, id_col, text_col, n, num_hashes),
-        num_hashes, bands,
+        num_hashes, bands, max_bucket_size,
     )
 
 
-def _lsh_band_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, minhash) signatures → distinct candidate id pairs."""
+def _minhash_banded_table(sig: DataFrame, num_hashes: int,
+                          bands: int) -> DataFrame:
+    """(doc_id, minhash) → (doc_id, band, bucket) — ids only; shared by
+    candidate generation and the bucket-stats report so both see the
+    exact same bucketing."""
     r = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -280,9 +285,31 @@ def _lsh_band_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def _lsh_band_pairs(sig: DataFrame, num_hashes: int, bands: int,
+                    max_bucket_size: int = 10_000) -> DataFrame:
+    """(doc_id, minhash) signatures → distinct candidate id pairs.
+
+    ``max_bucket_size`` is the banding-join skew backstop (mirrors
+    ``embedding_lsh_candidates``, code-review symmetry pass r5): a
+    degenerate (band, bucket) shared by d docs makes d² join rows
+    under one key — near-identical template pages at crawl scale can
+    share full bands by the million even after exact-dup collapse.
+    Oversized buckets are dropped from candidate generation (hard cost
+    ceiling; recall inside pathological clusters traded away) — NOT
+    silent: ``minhash_band_bucket_stats`` reports what a corpus drops.
+    """
+    banded = _minhash_banded_table(sig, num_hashes, bands)
+    w = Window.partitionBy("band", "bucket")
+    capped = (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
     return (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
+        capped.alias("a")
+        .join(capped.alias("b"), ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
@@ -291,12 +318,33 @@ def _lsh_band_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def minhash_band_bucket_stats(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 3,
+                              num_hashes: int = 32, bands: int = 8,
+                              max_bucket_size: int = 10_000) -> DataFrame:
+    """No-silent-caps report for the banding-join bucket cap: per band,
+    how many buckets exist, the largest, and how many (doc, band) rows
+    the cap would drop from candidate generation."""
+    banded = _minhash_banded_table(
+        minhash_signatures(docs, id_col, text_col, n, num_hashes),
+        num_hashes, bands,
+    )
+    per = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    return per.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > max_bucket_size, F.col("sz")).otherwise(0))
+        .cast("long").alias("n_rows_dropped"),
+    )
+
+
 def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
                             num_hashes: int = 32, bands: int = 8,
                             threshold: float = 0.8,
                             reuse_shingles: bool = True,
-                            max_shingle_df: int | None = 1000) -> DataFrame:
+                            max_shingle_df: int | None = 1000,
+                            max_bucket_size: int = 10_000) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates → exact-verify.
 
     The verification jaccard runs only on LSH candidates (semi-join
@@ -320,6 +368,11 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     ``reuse_shingles=False`` (recompute just the small pruned slice) or
     materialize the shingle table to storage between stages.
 
+    ``max_bucket_size`` is the BANDING-join counterpart (see
+    ``_lsh_band_pairs``): it bounds the candidate-generation self-join
+    the same way ``max_shingle_df`` bounds the verify join. Report with
+    ``minhash_band_bucket_stats``.
+
     The candidate pairs are persisted either way: they feed three
     consumers (id pruning, the final semi-join, the verify scope) and
     are id pairs only — tiny at any scale.
@@ -331,13 +384,14 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
         candidates = persist_tracked(
             _lsh_band_pairs(
                 minhash_signatures_from_shingles(sh, num_hashes),
-                num_hashes, bands,
+                num_hashes, bands, max_bucket_size,
             )
         )
     else:
         sh = None
         candidates = persist_tracked(
-            minhash_lsh_candidates(docs, id_col, text_col, n, num_hashes, bands)
+            minhash_lsh_candidates(docs, id_col, text_col, n, num_hashes,
+                                   bands, max_bucket_size)
         )
     cand_ids = (
         candidates.select(F.col("id_a").alias("doc_id"))
@@ -521,7 +575,8 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                n: int = 3, num_hashes: int = 32, bands: int = 8,
                threshold: float = 0.8,
                checkpoint_dir: str | None = None,
-               max_shingle_df: int | None = 1000) -> DataFrame:
+               max_shingle_df: int | None = 1000,
+               max_bucket_size: int = 10_000) -> DataFrame:
     """Remove near-duplicates: MinHash+LSH pairs → connected components
     → keep the min-id document per component (plus all untouched docs).
 
@@ -549,7 +604,8 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
     pairs = minhash_near_duplicates(uniques, id_col, text_col, n, num_hashes,
                                     bands, threshold,
-                                    max_shingle_df=max_shingle_df)
+                                    max_shingle_df=max_shingle_df,
+                                    max_bucket_size=max_bucket_size)
     components = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     near_losers = components.filter(
         F.col("doc_id") != F.col("component")
@@ -672,12 +728,19 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            max_bucket_size: int = 10_000) -> DataFrame:
     """Near-dups by SimHash Hamming distance ≤ max_hamming.
 
     Candidate generation by 4-band banding of the 64-bit signature
     (pigeonhole: distance ≤3 ⇒ at least one 16-bit band equal), then
     exact popcount verification on candidates only.
+
+    ``max_bucket_size`` is the banding-join skew backstop (same class
+    as ``_lsh_band_pairs``'s, r5 symmetry pass): a degenerate 16-bit
+    band value shared by d docs makes d² join rows under one key;
+    oversized buckets are dropped from candidate generation. Collapse
+    exact duplicates upstream so identical texts can't fill a bucket.
     """
     sig = simhash_signatures(docs, id_col, text_col)
     banded = sig.select(
@@ -693,6 +756,12 @@ def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    wcap = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(wcap))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
     # Hamming popcount + threshold are evaluated INSIDE the bucket join
     # (map-side of the dedup), so the distinct's exchange carries only
     # (id_a, id_b, hamming) for SURVIVING pairs — not two 64-bit

@@ -318,6 +318,53 @@ def test_minhash_near_dups_unchanged_by_default_cap(spark, stopword_corpus):
     assert a == b and a
 
 
+def test_minhash_band_bucket_cap_and_stats(spark):
+    """Banding-join skew backstop (r5 symmetry with the embedding
+    path): an oversized (band, bucket) is dropped from candidate
+    generation, bounded-pairs guaranteed; the stats report quantifies
+    the drop; and dedup_near still collapses the mass-dup cluster via
+    its exact-collapse-first step."""
+    boiler = "identical template page body repeated verbatim across sites"
+    rows = [(i, boiler) for i in range(30)]  # one bucket of 30 per band
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows += [(100, base), (101, base + " lambda")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.minhash_lsh_candidates(docs, max_bucket_size=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs          # small buckets unaffected
+    assert not any(a < 30 and b < 30 for a, b in pairs)  # 30-doc bucket dropped
+
+    uncapped = dedup.minhash_lsh_candidates(docs)
+    assert sum(1 for a, b in
+               {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+               if a < 30 and b < 30) == 435  # C(30,2) — what the cap kills
+
+    stats = dedup.minhash_band_bucket_stats(docs, max_bucket_size=10).collect()
+    assert all(r["max_bucket"] == 30 for r in stats)
+    assert all(r["n_rows_dropped"] == 30 for r in stats)
+
+    # the full keep-policy still collapses the cluster (exact-first)
+    kept = {r["doc_id"] for r in
+            dedup.dedup_near(docs, threshold=0.6, max_shingle_df=10,
+                             max_bucket_size=10).collect()}
+    assert kept == {0, 100}
+
+
+def test_simhash_bucket_cap(spark):
+    docs = spark.createDataFrame(
+        [(i, "same tokens everywhere forever") for i in range(20)]
+        + [(100, "one unusual document standing apart"),
+           (101, "one unusual document standing apart")],
+        "doc_id long, text string",
+    )
+    capped = dedup.simhash_near_duplicates(docs, max_hamming=3,
+                                           max_bucket_size=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert not any(a < 20 and b < 20 for a, b in pairs)
+    assert (100, 101) in pairs
+
+
 def test_dedup_near_mass_duplicated_doc_survives_cap(spark):
     """code-review r5: a text copied more times than max_shingle_df
     must still collapse to ONE keeper — the exact-collapse-first step
