@@ -261,6 +261,63 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_schedule(args) -> int:
+    """Next-cycle fetch schedule from two committed crawl snapshots.
+
+    Diffs the current job's extracted table against a previous crawl's
+    (url-level fingerprints over the ordered page texts), classifies
+    each url (new/changed/unchanged/gone), and emits the per-host
+    rate-bounded fetch plan (functions/frontier.py). ``--start`` is an
+    explicit ISO timestamp — no wall-clock reads, so the same two
+    snapshots always produce the identical schedule (rule D1).
+    """
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ocr_agent_spark.functions.delta import crawl_delta, delta_counts
+    from ocr_agent_spark.functions.frontier import politeness_frontier
+    from ocr_agent_spark.pipeline import read_extracted
+
+    spark = _spark(args.cores)
+    new = read_extracted(spark, args.job_root)
+    old = read_extracted(spark, args.previous_root)
+    if new is None or old is None:
+        which = "job-root" if new is None else "previous-root"
+        print(f"schedule: nothing committed under --{which}", file=sys.stderr)
+        return 2
+
+    def url_fingerprints(df):
+        # page texts concatenated in page order → one url-level
+        # fingerprint; failed pages contribute their absence (NULL text
+        # rows are dropped), so a page that starts failing reads as a
+        # content change — which is what a re-crawl wants.
+        ordered = F.transform(
+            F.array_sort(F.collect_list(F.struct("page_index", "text"))),
+            lambda s: s["text"],
+        )
+        return (
+            df.filter(F.col("text").isNotNull())
+            .groupBy("url")
+            .agg(F.md5(F.concat_ws("\x1e", ordered)).alias("fingerprint"))
+        )
+
+    delta = crawl_delta(url_fingerprints(old), url_fingerprints(new))
+    start = datetime.datetime.fromisoformat(args.start)
+    sched = politeness_frontier(
+        delta, start, per_host_delay_sec=args.delay_sec,
+        host_budget=args.host_budget,
+    )
+    out_dir = os.path.join(args.job_root, "schedule")
+    sched.write.mode("overwrite").parquet(out_dir)
+    for r in delta_counts(delta).orderBy("status").collect():
+        print(f"{r['status']}: {r['n']}")
+    n = sched.count()
+    hosts = sched.select("host").distinct().count()
+    print(f"scheduled {n} fetches across {hosts} hosts -> {out_dir}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="ocr_agent_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -296,6 +353,18 @@ def main(argv: list[str] | None = None) -> int:
     p_compact.add_argument("--keep-snapshots", type=int, default=1)
     common(p_compact)
 
+    p_sched = sub.add_parser(
+        "schedule",
+        help="Diff against a previous crawl and emit the next fetch plan",
+    )
+    p_sched.add_argument("--previous-root", required=True)
+    p_sched.add_argument("--start", required=True,
+                         help="crawl-cycle start (ISO timestamp; explicit so "
+                              "the schedule is deterministic)")
+    p_sched.add_argument("--delay-sec", type=int, default=1)
+    p_sched.add_argument("--host-budget", type=int, default=None)
+    common(p_sched)
+
     args = parser.parse_args(argv)
     return {
         "enqueue": cmd_enqueue,
@@ -303,6 +372,7 @@ def main(argv: list[str] | None = None) -> int:
         "status": cmd_status,
         "reset": cmd_reset,
         "compact": cmd_compact,
+        "schedule": cmd_schedule,
     }[args.command](args)
 
 

@@ -143,3 +143,50 @@ def test_cli_warc_lifecycle(spark, tmp_path, capsys):
     assert main(["run", "--job-root", job_root]) == 0
     assert "processed=0" in capsys.readouterr().out
     assert n_warc > 0
+
+
+def test_cli_schedule_between_crawls(spark, tmp_path, capsys):
+    """Two crawl generations → re-crawl delta → rate-bounded fetch
+    schedule parquet (the crawl-cycle closing loop via the CLI)."""
+    pages_a = str(tmp_path / "pages_a")
+    pages_b = str(tmp_path / "pages_b")
+    write_pages_parquet(pages_a, 24)
+    # second crawl = first 18 docs only (6 "gone"), same content
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    t = pq.read_table(pages_a)
+    pq.write_table(t.slice(0, 18), os.path.join(tmp_path, "b.parquet"))
+    os.makedirs(pages_b, exist_ok=True)
+    os.replace(os.path.join(tmp_path, "b.parquet"),
+               os.path.join(pages_b, "part-0.parquet"))
+
+    root_a = str(tmp_path / "job_a")
+    root_b = str(tmp_path / "job_b")
+    for pages, root in ((pages_a, root_a), (pages_b, root_b)):
+        assert main(["enqueue", pages, "--job-root", root]) == 0
+        assert main(["run", "--job-root", root]) == 0
+        capsys.readouterr()
+
+    assert main(["schedule", "--job-root", root_b,
+                 "--previous-root", root_a,
+                 "--start", "2026-06-01T00:00:00",
+                 "--delay-sec", "3", "--host-budget", "50"]) == 0
+    out = capsys.readouterr().out
+    assert "gone: 6" in out
+    assert "unchanged: 18" in out
+    assert "scheduled 18 fetches" in out
+
+    sched = spark.read.parquet(os.path.join(root_b, "schedule"))
+    rows = sched.collect()
+    assert len(rows) == 18
+    assert {r["status"] for r in rows} == {"unchanged"}
+    import datetime
+    for r in rows:
+        assert r["next_fetch_ts"] == datetime.datetime(2026, 6, 1) + \
+            datetime.timedelta(seconds=3 * (r["fetch_rank"] - 1))
+
+    # missing previous snapshot → typed exit, no traceback
+    assert main(["schedule", "--job-root", root_b,
+                 "--previous-root", str(tmp_path / "nope"),
+                 "--start", "2026-06-01T00:00:00"]) == 2
+    assert "nothing committed" in capsys.readouterr().err
