@@ -635,6 +635,38 @@ def _paragraph_dedup(spark, sf):
     return dedup_paragraphs(planted)
 
 
+def _url_blocklist(spark, sf):
+    """Blocklist gate (functions/urlfilter.py) with planted verdicts:
+    doc_id%4 picks the url shape — 1 hits the domain list through a
+    cased subdomain, 2 hits a path pattern, 0/3 must pass (3 is the
+    prefix-confusion probe: '...net.example.org' contains the blocked
+    domain's labels but is NOT under it)."""
+    from ocr_agent_spark.functions.urlfilter import blocked_url_expr
+
+    d = _t(spark, sf, "documents")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://keep"),
+                        (F.col("doc_id") % 7).cast("string"),
+                        F.lit(".example.org/doc/"),
+                        F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://Sub.Blocked.NET/doc/"),
+                       F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://ok.example.org/ads/"),
+                       F.col("doc_id").cast("string")))
+        .otherwise(
+            F.concat(F.lit("https://notblocked.net.example.org/doc/"),
+                     F.col("doc_id").cast("string")))
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id", "url",
+        blocked_url_expr(["blocked.net"], ["/ads/"]).alias("blocked"),
+    )
+
+
 def _gopher_quality(spark, sf):
     """Gopher document-quality signals (functions/webquality.py) over
     the documents table — word stats, symbol/bullet/ellipsis/alpha
@@ -1257,6 +1289,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_nations": _set_intersect_nations,
         "cube_events": _cube_events,
         "monthly_revenue": _monthly_revenue,
+        # r5 addition placed directly in the tail (planted verdicts are
+        # SQL-decidable; local evidence via tools/tail_evidence.py)
+        "url_blocklist": _url_blocklist,
     }
 
 
@@ -1704,6 +1739,24 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lstat USING (doc_id)
             LEFT JOIN pstat USING (doc_id)
             LEFT JOIN gstat USING (doc_id)
+        """),
+        # blocklist: planted url construction makes every verdict
+        # decidable without replaying the SURT chain
+        "url_blocklist": ("""
+            SELECT doc_id,
+              CASE
+                WHEN doc_id%4=0 THEN 'https://keep'
+                  || CAST(doc_id%7 AS VARCHAR) || '.example.org/doc/'
+                  || CAST(doc_id AS VARCHAR)
+                WHEN doc_id%4=1 THEN 'https://Sub.Blocked.NET/doc/'
+                  || CAST(doc_id AS VARCHAR)
+                WHEN doc_id%4=2 THEN 'https://ok.example.org/ads/'
+                  || CAST(doc_id AS VARCHAR)
+                ELSE 'https://notblocked.net.example.org/doc/'
+                  || CAST(doc_id AS VARCHAR)
+              END AS url,
+              doc_id%4 IN (1, 2) AS blocked
+            FROM documents
         """),
         # sitemap: construction replayed directly over documents
         "sitemap_frontier": (
