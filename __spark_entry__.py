@@ -635,6 +635,31 @@ def _paragraph_dedup(spark, sf):
     return dedup_paragraphs(planted)
 
 
+def _corpus_mix_sample(spark, sf):
+    """Deterministic stratified corpus mixing (functions/sampling.py):
+    per-source keep fractions over the md5-uniform — the exact rows are
+    SQL-decidable because the uniform is engine-portable."""
+    from ocr_agent_spark.functions.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    mixed = stratified_sample(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        strata_col="source",
+    )
+    return mixed.select("doc_id", "source")
+
+
+def _dataset_split_assign(spark, sf):
+    """Deterministic train/val/test assignment by cumulative weight over
+    the md5-uniform — disjoint, exhaustive, rerun-stable."""
+    from ocr_agent_spark.functions.sampling import split_dataset
+
+    d = _t(spark, sf, "documents")
+    return split_dataset(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
 def _url_blocklist(spark, sf):
     """Blocklist gate (functions/urlfilter.py) with planted verdicts:
     doc_id%4 picks the url shape — 1 hits the domain list through a
@@ -1292,6 +1317,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 addition placed directly in the tail (planted verdicts are
         # SQL-decidable; local evidence via tools/tail_evidence.py)
         "url_blocklist": _url_blocklist,
+        "corpus_mix_sample": _corpus_mix_sample,
+        "dataset_split_assign": _dataset_split_assign,
     }
 
 
@@ -1739,6 +1766,36 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lstat USING (doc_id)
             LEFT JOIN pstat USING (doc_id)
             LEFT JOIN gstat USING (doc_id)
+        """),
+        # sampling: the md5 uniform is engine-portable — DuckDB computes
+        # the identical keep/drop and split verdicts
+        "corpus_mix_sample": ("""
+            WITH u AS (
+              SELECT doc_id, source,
+                CAST(concat('0x', substring(
+                  md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0 AS uni
+              FROM documents
+            )
+            SELECT doc_id, source FROM u
+            WHERE uni < CASE source
+              WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+              WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+              ELSE 0.0 END
+        """),
+        "dataset_split_assign": ("""
+            WITH u AS (
+              SELECT doc_id,
+                CAST(concat('0x', substring(
+                  md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0 AS uni
+              FROM documents
+            )
+            SELECT doc_id,
+              CASE WHEN uni < 0.1 THEN 'test'
+                   WHEN uni < 0.9 THEN 'train'
+                   ELSE 'val' END AS split
+            FROM u
         """),
         # blocklist: planted url construction makes every verdict
         # decidable without replaying the SURT chain
