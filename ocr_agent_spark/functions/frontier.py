@@ -53,10 +53,11 @@ def delta_priority(status: str | Column) -> Column:
 
 
 def fetch_schedule(urls: DataFrame, crawl_start: datetime.datetime | str,
-                   per_host_delay_sec: int = 1,
+                   per_host_delay_sec: float = 1,
                    host_budget: int | None = None,
                    host_col: str = "host", url_col: str = "url",
-                   priority_col: str = "priority") -> DataFrame:
+                   priority_col: str = "priority",
+                   delay_col: str | None = None) -> DataFrame:
     """(host, url, priority) → (host, url, priority, fetch_rank,
     next_fetch_ts): the rate-bounded per-host fetch plan.
 
@@ -66,7 +67,9 @@ def fetch_schedule(urls: DataFrame, crawl_start: datetime.datetime | str,
     ``crawl_start + (k-1) * per_host_delay_sec`` — the crawl-delay
     contract. ``host_budget`` drops ranks past the per-host cap inside
     the same window pass, bounding any mega-host's contribution to the
-    cycle.
+    cycle. With ``delay_col`` set, that PER-ROW column (seconds —
+    e.g. a robots.txt Crawl-delay joined per host) replaces the
+    constant, so each host is paced at its own declared rate.
 
     One hash shuffle on the host key; everything else is codegen
     (window + timestamp arithmetic). Fully SQL-replayable —
@@ -79,20 +82,25 @@ def fetch_schedule(urls: DataFrame, crawl_start: datetime.datetime | str,
     if host_budget is not None:
         out = out.filter(F.col("fetch_rank") <= host_budget)
     start = F.lit(crawl_start).cast("timestamp")
+    delay = (
+        F.col(delay_col).cast("double") if delay_col is not None
+        else F.lit(float(per_host_delay_sec))
+    )
     return out.withColumn(
         "next_fetch_ts",
         start
         + F.make_interval(
-            secs=(F.col("fetch_rank") - 1).cast("double") * per_host_delay_sec
+            secs=(F.col("fetch_rank") - 1).cast("double") * delay
         ),
     )
 
 
 def politeness_frontier(delta: DataFrame, crawl_start: datetime.datetime | str,
-                        per_host_delay_sec: int = 1,
+                        per_host_delay_sec: float = 1,
                         host_budget: int | None = None,
                         robots_rules: DataFrame | None = None,
                         sitemap_lastmod: DataFrame | None = None,
+                        host_delays: DataFrame | None = None,
                         url_col: str = "url") -> DataFrame:
     """Compose the crawl signals into the next cycle's fetch schedule.
 
@@ -105,6 +113,10 @@ def politeness_frontier(delta: DataFrame, crawl_start: datetime.datetime | str,
       within the same priority, a more recently modified page fetches
       first (left join; urls without sitemap data keep their rank by
       url alone).
+    - ``host_delays``: (host, crawl_delay) from ``robots_crawl_delays``
+      — a host that declares ``Crawl-delay`` is paced at its own rate
+      (broadcast join; hosts without a declaration fall back to
+      ``per_host_delay_sec``).
 
     Host comes from the url via ``operators.skew.url_host`` (JVM
     regexp). The sitemap recency tie-break folds INTO the priority
@@ -149,6 +161,17 @@ def politeness_frontier(delta: DataFrame, crawl_start: datetime.datetime | str,
             ).otherwise(F.lit(0.0)),
         ).drop("_lm")
     hosted = base.withColumn("host", url_host(F.col("url")))
+    delay_col = None
+    if host_delays is not None:
+        hd = host_delays.select(
+            F.lower(F.col("host")).alias("host"),
+            F.col("crawl_delay").cast("double").alias("_hd"),
+        )
+        hosted = hosted.join(F.broadcast(hd), "host", "left").withColumn(
+            "_delay", F.coalesce(F.col("_hd"), F.lit(float(per_host_delay_sec)))
+        ).drop("_hd")
+        delay_col = "_delay"
     return fetch_schedule(
-        hosted, crawl_start, per_host_delay_sec, host_budget
+        hosted, crawl_start, per_host_delay_sec, host_budget,
+        delay_col=delay_col,
     ).select("host", "url", "status", "priority", "fetch_rank", "next_fetch_ts")

@@ -65,6 +65,32 @@ def robots_rules_table(robots: DataFrame, user_agent: str = "*",
     return robots.select(host_col, content_col).mapInPandas(parse, RULES_DDL)
 
 
+def robots_crawl_delays(robots: DataFrame, user_agent: str = "*",
+                        host_col: str = "host",
+                        content_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) → (host, crawl_delay) for hosts that declare
+    one — feed to ``frontier.politeness_frontier(host_delays=...)`` so
+    each host's schedule honors its own declared pace. Hosts without a
+    (valid) Crawl-delay emit no row; the frontier falls back to its
+    default delay."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_agent_spark.kernel.robots import crawl_delay
+
+        for batch in batches:
+            rows: dict[str, list] = {"host": [], "crawl_delay": []}
+            for host, content in zip(batch[host_col], batch[content_col]):
+                d = crawl_delay(content or "", user_agent)
+                if d is not None:
+                    rows["host"].append((host or "").lower())
+                    rows["crawl_delay"].append(float(d))
+            if rows["host"]:
+                yield pd.DataFrame(rows)
+
+    return robots.select(host_col, content_col).mapInPandas(
+        run, "host string, crawl_delay double"
+    )
+
+
 def robots_sitemaps(robots: DataFrame, host_col: str = "host",
                     content_col: str = "robots_txt") -> DataFrame:
     """(host, robots_txt) → (host, sitemap_url) rows from ``Sitemap:``

@@ -93,6 +93,53 @@ def parse_robots(content: str, user_agent: str = "*") -> list[RobotsRule]:
     return merged
 
 
+def crawl_delay(content: str, user_agent: str = "*") -> float | None:
+    """``Crawl-delay`` of the group governing ``user_agent``.
+
+    Not in RFC 9309 but ubiquitous in the wild (Bing/Yandex honor it;
+    Google ignores it). Group selection mirrors :func:`parse_robots`
+    (most specific agent match wins); among equal-specificity groups
+    the LARGEST delay wins — the politeness-conservative merge. Returns
+    seconds as float, or None when absent/invalid (non-numeric,
+    negative).
+    """
+    groups: list[tuple[int, float | None]] = []
+    cur_spec = 0
+    cur_delay: float | None = None
+    cur_open = False
+    in_agent_run = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                if cur_open:
+                    groups.append((cur_spec, cur_delay))
+                cur_spec, cur_delay, cur_open = 0, None, True
+                in_agent_run = True
+            cur_spec = max(cur_spec, _agent_matches(value, user_agent))
+        else:
+            in_agent_run = False
+            if field == "crawl-delay" and cur_open:
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                if d >= 0:
+                    cur_delay = d if cur_delay is None else max(cur_delay, d)
+    if cur_open:
+        groups.append((cur_spec, cur_delay))
+    best = max((spec for spec, _ in groups), default=0)
+    if best == 0:
+        return None
+    delays = [d for spec, d in groups if spec == best and d is not None]
+    return max(delays) if delays else None
+
+
 def sitemap_urls(content: str) -> list[str]:
     """``Sitemap:`` directives of a robots.txt (RFC 9309 §2.2.4 treats
     them as non-group lines valid anywhere in the file) — the hook that

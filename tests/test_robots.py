@@ -158,3 +158,52 @@ def test_sitemap_directives(spark):
         ("e.com", "https://e.com/sm1.xml"),
         ("e.com", "https://e.com/sm2.xml.gz"),
     ]
+
+
+def test_kernel_crawl_delay_group_selection():
+    from ocr_agent_spark.kernel.robots import crawl_delay
+
+    txt = ("User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+           "User-agent: mybot\nCrawl-delay: 7.5\nDisallow: /y\n")
+    assert crawl_delay(txt, "*") == 2.0
+    assert crawl_delay(txt, "mybot") == 7.5       # specific group wins
+    assert crawl_delay(txt, "otherbot") == 2.0    # falls back to *
+    # equal-specificity groups merge politeness-conservatively (max)
+    two = "User-agent: *\nCrawl-delay: 1\n\nUser-agent: *\nCrawl-delay: 4\n"
+    assert crawl_delay(two) == 4.0
+    # absent / invalid / negative → None
+    assert crawl_delay("User-agent: *\nDisallow: /x\n") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: -3\n") is None
+    assert crawl_delay("") is None
+    # delay before any User-agent line is ignored
+    assert crawl_delay("Crawl-delay: 9\nUser-agent: *\nDisallow: /x\n") is None
+
+
+def test_frontier_honors_per_host_crawl_delay(spark):
+    import datetime
+
+    from ocr_agent_spark.functions.frontier import politeness_frontier
+    from ocr_agent_spark.functions.robots import robots_crawl_delays
+
+    robots = spark.createDataFrame(
+        [("Slow.example", "User-agent: *\nCrawl-delay: 10\n"),
+         ("fast.example", "User-agent: *\nDisallow:\n")],  # no delay
+        "host string, robots_txt string",
+    )
+    delays = robots_crawl_delays(robots)
+    assert {(r["host"], r["crawl_delay"]) for r in delays.collect()} == {
+        ("slow.example", 10.0)
+    }
+    delta = spark.createDataFrame(
+        [(f"http://slow.example/p{i}", "new") for i in range(3)]
+        + [(f"http://fast.example/p{i}", "new") for i in range(3)],
+        "url string, status string",
+    )
+    start = datetime.datetime(2026, 7, 1)
+    sched = politeness_frontier(delta, start, per_host_delay_sec=2,
+                                host_delays=delays)
+    rows = {(r["host"], r["fetch_rank"]): r["next_fetch_ts"]
+            for r in sched.collect()}
+    assert rows[("slow.example", 3)] == start + datetime.timedelta(seconds=20)
+    assert rows[("fast.example", 3)] == start + datetime.timedelta(seconds=4)
