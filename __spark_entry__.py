@@ -662,24 +662,32 @@ def _dataset_split_assign(spark, sf):
 
 def _url_blocklist(spark, sf):
     """Blocklist gate (functions/urlfilter.py) with planted verdicts:
-    doc_id%4 picks the url shape — 1 hits the domain list through a
-    cased subdomain, 2 hits a path pattern, 0/3 must pass (3 is the
-    prefix-confusion probe: '...net.example.org' contains the blocked
-    domain's labels but is NOT under it)."""
+    doc_id%6 picks the url shape — 1 hits the domain list through a
+    cased subdomain, 2 hits a path pattern, 4 hits through an explicit
+    non-default port, 5 hits a list entry written with a leading
+    'www.'; 0/3 must pass (3 is the prefix-confusion probe:
+    '...net.example.org' contains the blocked domain's labels but is
+    NOT under it)."""
     from ocr_agent_spark.functions.urlfilter import blocked_url_expr
 
     d = _t(spark, sf, "documents")
     url = (
-        F.when(F.col("doc_id") % 4 == 0,
+        F.when(F.col("doc_id") % 6 == 0,
                F.concat(F.lit("https://keep"),
                         (F.col("doc_id") % 7).cast("string"),
                         F.lit(".example.org/doc/"),
                         F.col("doc_id").cast("string")))
-        .when(F.col("doc_id") % 4 == 1,
+        .when(F.col("doc_id") % 6 == 1,
               F.concat(F.lit("https://Sub.Blocked.NET/doc/"),
                        F.col("doc_id").cast("string")))
-        .when(F.col("doc_id") % 4 == 2,
+        .when(F.col("doc_id") % 6 == 2,
               F.concat(F.lit("https://ok.example.org/ads/"),
+                       F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("https://Blocked.NET:8080/doc/"),
+                       F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 6 == 5,
+              F.concat(F.lit("https://sub.wlist.org/doc/"),
                        F.col("doc_id").cast("string")))
         .otherwise(
             F.concat(F.lit("https://notblocked.net.example.org/doc/"),
@@ -688,7 +696,8 @@ def _url_blocklist(spark, sf):
     u = d.select("doc_id", url.alias("url"))
     return u.select(
         "doc_id", "url",
-        blocked_url_expr(["blocked.net"], ["/ads/"]).alias("blocked"),
+        blocked_url_expr(["blocked.net", "www.wlist.org"],
+                         ["/ads/"]).alias("blocked"),
     )
 
 
@@ -1684,13 +1693,14 @@ def oracle_sql() -> dict[str, str]:
                   * 1.0 / len(words) ELSE 0.0 END, 6) AS mean_word_len,
               ROUND(CASE WHEN len(words) > 0 THEN
                 ((len(text) - len(replace(text, '#', '')))
-                 + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                 + (len(text) - len(replace(text, '...', ''))) / 3.0
+                 + (len(text) - len(replace(text, '…', ''))))
                   / len(words) ELSE 0.0 END, 6) AS symbol_word_ratio,
               ROUND(CASE WHEN len(lines) > 0 THEN
                 len(list_filter(lines, x -> regexp_matches(x, '^[-*•]')))
                   * 1.0 / len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
               ROUND(CASE WHEN len(lines) > 0 THEN
-                len(list_filter(lines, x -> regexp_matches(x, '\.\.\.$')))
+                len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)$')))
                   * 1.0 / len(lines) ELSE 0.0 END, 6) AS ellipsis_line_frac,
               ROUND(CASE WHEN len(words) > 0 THEN
                 len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
@@ -1802,17 +1812,21 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": ("""
             SELECT doc_id,
               CASE
-                WHEN doc_id%4=0 THEN 'https://keep'
+                WHEN doc_id%6=0 THEN 'https://keep'
                   || CAST(doc_id%7 AS VARCHAR) || '.example.org/doc/'
                   || CAST(doc_id AS VARCHAR)
-                WHEN doc_id%4=1 THEN 'https://Sub.Blocked.NET/doc/'
+                WHEN doc_id%6=1 THEN 'https://Sub.Blocked.NET/doc/'
                   || CAST(doc_id AS VARCHAR)
-                WHEN doc_id%4=2 THEN 'https://ok.example.org/ads/'
+                WHEN doc_id%6=2 THEN 'https://ok.example.org/ads/'
+                  || CAST(doc_id AS VARCHAR)
+                WHEN doc_id%6=4 THEN 'https://Blocked.NET:8080/doc/'
+                  || CAST(doc_id AS VARCHAR)
+                WHEN doc_id%6=5 THEN 'https://sub.wlist.org/doc/'
                   || CAST(doc_id AS VARCHAR)
                 ELSE 'https://notblocked.net.example.org/doc/'
                   || CAST(doc_id AS VARCHAR)
               END AS url,
-              doc_id%4 IN (1, 2) AS blocked
+              doc_id%6 IN (1, 2, 4, 5) AS blocked
             FROM documents
         """),
         # sitemap: construction replayed directly over documents

@@ -127,13 +127,30 @@ def cmd_enqueue(args) -> int:
     if warc_paths:
         from ocr_agent_spark.sources.warc import read_warc_errors
 
-        tri = read_warc_errors(spark, warc_paths).collect()
-        for r in tri:
-            if r["error"]:
-                print(f"warning: {r['path']}: partial/unreadable archive "
-                      f"({r['pages_emitted']} pages before: {r['error']})",
-                      file=sys.stderr)
-        n += sum(r["pages_emitted"] for r in tri)
+        from pyspark.sql import functions as F
+
+        tri_df = read_warc_errors(spark, warc_paths)
+        # aggregate counts cluster-side; collect only a bounded head of
+        # the error report — at 10^6 archives an unbounded collect of
+        # per-archive rows is a driver funnel (advice r5)
+        totals = tri_df.agg(
+            F.sum("pages_emitted").alias("pages"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+            .alias("n_err"),
+        ).collect()[0]
+        max_err_report = 20
+        errs = (tri_df.filter(F.col("error").isNotNull())
+                .orderBy("path").limit(max_err_report).collect())
+        for r in errs:
+            print(f"warning: {r['path']}: partial/unreadable archive "
+                  f"({r['pages_emitted']} pages before: {r['error']})",
+                  file=sys.stderr)
+        n_err = int(totals["n_err"] or 0)
+        if n_err > max_err_report:
+            print(f"warning: ... and {n_err - max_err_report} more "
+                  f"partial/unreadable archives ({n_err} total)",
+                  file=sys.stderr)
+        n += int(totals["pages"] or 0)
     if n == 0:
         print("nothing enqueued", file=sys.stderr)
         return EXIT_CODE_NOTHING_ENQUEUED

@@ -75,7 +75,13 @@ def split_column(key: str | Column, weights: dict[str, float],
     exactly one split, by insertion-independent (sorted-name) cumsum —
     disjoint and exhaustive (the last split absorbs float residue).
     """
+    if not weights:
+        raise ValueError("split_column: weights must be non-empty")
+    if any(v < 0 for v in weights.values()):
+        raise ValueError(f"split_column: negative weight in {weights!r}")
     total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError(f"split_column: weights must sum > 0, got {weights!r}")
     u = deterministic_uniform(key, seed)
     names = sorted(weights)
     # nest so the FIRST (smallest-threshold) match wins

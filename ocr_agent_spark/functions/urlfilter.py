@@ -28,8 +28,17 @@ from ocr_agent_spark.operators.skew import surt_key
 
 
 def _surt_domain_prefix(domain: str) -> str:
-    """``Sub.Example.COM`` → ``com,example,sub`` (no path part)."""
-    labels = [p for p in domain.strip().lower().rstrip(".").split(".") if p]
+    """``Sub.Example.COM`` → ``com,example,sub`` (no path part).
+
+    A leading ``www.`` label is stripped to mirror ``surt_key``'s URL
+    canonicalization — UT1-style lists routinely write
+    ``www.example.com``, and without the strip that entry's prefix
+    (``com,example,www``) could never match any canonicalized key.
+    """
+    d = domain.strip().lower().rstrip(".")
+    if d.startswith("www."):
+        d = d[4:]
+    labels = [p for p in d.split(".") if p]
     return ",".join(reversed(labels))
 
 
@@ -49,7 +58,9 @@ def blocked_url_expr(blocked_domains: list[str],
     hit = F.lit(False)
     for d in blocked_domains:
         p = _surt_domain_prefix(d)
-        hit = hit | s.startswith(p + ")") | s.startswith(p + ",")
+        # ")" exact domain/path, "," subdomain label, ":" explicit
+        # non-default port (SURT keeps it: com,bad:8080)/...)
+        hit = hit | s.startswith(p + ")") | s.startswith(p + ",") | s.startswith(p + ":")
     for pat in blocked_patterns or []:
         hit = hit | c.contains(pat)
     return hit
@@ -75,6 +86,7 @@ def filter_blocked_urls(urls: DataFrame, blocked_domains: list[str],
         cond = (
             surt_key(F.col(url_col)).startswith(F.concat(F.col("prefix"), F.lit(")")))
             | surt_key(F.col(url_col)).startswith(F.concat(F.col("prefix"), F.lit(",")))
+            | surt_key(F.col(url_col)).startswith(F.concat(F.col("prefix"), F.lit(":")))
         )
         dom_hit = urls.join(dom_df, cond, "left_semi")
     else:

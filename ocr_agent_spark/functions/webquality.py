@@ -92,12 +92,17 @@ def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
     total_word_chars = F.aggregate(
         words, F.lit(0), lambda acc, w: acc + F.length(w)
     )
+    # "…" (U+2026) counts as one ellipsis alongside ASCII "..." —
+    # scraped HTML overwhelmingly uses the typographic form (advice r5)
     n_symbols = (
         F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
         + (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+        + (F.length(t) - F.length(F.regexp_replace(t, "…", "")))
     )
     n_bullet = F.size(F.filter(lines, lambda ln: ln.rlike(r"^[-*•]")))
-    n_ellipsis = F.size(F.filter(lines, lambda ln: ln.rlike(r"\.\.\.$")))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: ln.rlike("(\\.\\.\\.|…)$"))
+    )
     n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     lowered = F.transform(words, lambda w: F.lower(w))
     stop_hits = F.size(

@@ -160,8 +160,14 @@ def merge_extracted_to_sharded_files(
             # concatenation reproduces the exact join
             data = ("\n" + "\n".join(blocks)).encode("utf-8")
             shard = os.path.join(dir_path, f"part-{pid:05d}.md")
-            with open(shard, "wb") as fh:
+            # temp + atomic rename: a task dying mid-write can never
+            # leave a torn part file visible under the manifest name,
+            # and a retried attempt's os.replace lands the identical
+            # deterministic bytes (advice r5)
+            tmp = f"{shard}.tmp-{os.getpid()}"
+            with open(tmp, "wb") as fh:
                 fh.write(data)
+            os.replace(tmp, shard)
             yield pd.DataFrame(
                 {"pid": [pid], "path": [shard], "n_bytes": [len(data)]}
             )
@@ -172,14 +178,27 @@ def merge_extracted_to_sharded_files(
     meta.sort(key=lambda r: r["pid"])
 
     # tail contract ('"\n".join(...).rstrip() + "\n"'): only the LAST
-    # file can carry trailing whitespace to trim — bounded driver work
+    # file can carry trailing whitespace to trim — bounded driver work.
+    # The trimmed copy goes under a NEW name referenced from the
+    # manifest: a zombie/speculative attempt still flushing the
+    # task-owned part file after collect() returns can then never
+    # clobber the driver's fix-up (advice r5).
     last_path = meta[-1]["path"] if meta else header_path
     with open(last_path, "rb") as fh:
         tail_bytes = fh.read()
     fixed = tail_bytes.decode("utf-8").rstrip() + "\n"
     if fixed.encode("utf-8") != tail_bytes:
-        with open(last_path, "w", encoding="utf-8", newline="") as fh:
+        trimmed = last_path[:-3] + "-tail.md" \
+            if last_path.endswith(".md") else last_path + ".tail"
+        import os as _os
+        tmp = f"{trimmed}.tmp-{_os.getpid()}"
+        with open(tmp, "w", encoding="utf-8", newline="") as fh:
             fh.write(fixed)
+        _os.replace(tmp, trimmed)
+        if meta:
+            meta[-1] = {"pid": meta[-1]["pid"], "path": trimmed,
+                        "n_bytes": len(fixed.encode("utf-8"))}
+        last_path = trimmed
 
     files = [header_path] + [r["path"] for r in meta]
     sizes = {header_path: len(header.encode("utf-8"))}

@@ -190,3 +190,30 @@ def test_cli_schedule_between_crawls(spark, tmp_path, capsys):
                  "--previous-root", str(tmp_path / "nope"),
                  "--start", "2026-06-01T00:00:00"]) == 2
     assert "nothing committed" in capsys.readouterr().err
+
+
+def test_cli_warc_error_report_bounded(spark, tmp_path, capsys):
+    """With more corrupt archives than the report cap, enqueue prints a
+    bounded head plus a 'and N more' total — never one warning per
+    archive (advice r5: the collect is bounded by the cap, not by
+    archive count)."""
+    from ocr_agent_spark.sources.warc import write_pages_warc
+
+    n_bad = 25  # > max_err_report (20)
+    good = str(tmp_path / "ok.warc.gz")
+    import datetime as dt
+    ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    write_pages_warc([("https://ok.org/1", ts,
+                       b"<html><body><p>hello world</p></body></html>")], good)
+    paths = [good]
+    for i in range(n_bad):
+        bad = str(tmp_path / f"bad-{i:02d}.warc.gz")
+        with open(bad, "wb") as fh:
+            fh.write(b"\x1f\x8b\x08\x00" + b"garbage" * 8)
+        paths.append(bad)
+    job_root = str(tmp_path / "job")
+    assert main(["enqueue", *paths, "--job-root", job_root]) == 0
+    err = capsys.readouterr().err
+    n_warn = err.count("pages before:")
+    assert n_warn == 20  # bounded head
+    assert f"and {n_bad - 20} more" in err and f"({n_bad} total)" in err

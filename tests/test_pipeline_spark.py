@@ -6,6 +6,8 @@ resume anti-join J2), ordered merge determinism under parallelism (D1),
 lineage (A7), and the ordering contract W1.
 """
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -164,6 +166,15 @@ def test_merge_sharded_concat_byte_identical(spark, completed_root, tmp_path):
         # multiple shards actually exist at p=16 (not one giant file)
         if p == 16:
             assert len(manifest["files"]) > 2
+        # atomic-write discipline (advice r5): no torn temp files left,
+        # and if the driver trimmed the tail it wrote a NEW file rather
+        # than rewriting the task-owned shard (zombie-attempt safety)
+        leftovers = [f for f in os.listdir(d) if ".tmp-" in f]
+        assert leftovers == []
+        last = manifest["files"][-1]
+        if last.endswith("-tail.md"):
+            orig = last.replace("-tail.md", ".md")
+            assert os.path.exists(orig)  # task-owned file untouched
 
 
 def test_merge_equals_sequential_reference_shape(spark, completed_root):

@@ -72,3 +72,12 @@ def test_sampling_plans_stay_jvm(spark, corpus):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan              # pure projection/filter
+
+def test_split_weight_validation(spark, corpus):
+    """Bad weights fail loudly instead of breaking the disjoint /
+    exhaustive contract (advice r5)."""
+    for bad in ({}, {"a": 0.0, "b": 0.0}, {"a": -0.5, "b": 1.5}):
+        with pytest.raises(ValueError):
+            sampling.split_column("doc_id", bad)
+    # valid weights still fine
+    sampling.split_column("doc_id", {"train": 1.0})

@@ -63,6 +63,39 @@ def test_subdomain_and_case_semantics(spark):
     assert kept2 == {"https://example.com/x"}
 
 
+def test_nondefault_port_still_blocked(spark):
+    """SURT keeps an explicit non-default port (com,bad:8080)/...) —
+    the ':' prefix test must not let it fail open (advice r5)."""
+    df = spark.createDataFrame(
+        [("http://bad.com:8080/x",), ("https://bad.com:8443/y",),
+         ("https://sub.bad.com:8080/z",), ("https://bad.common:8080/w",)],
+        "url string",
+    )
+    for fn in (
+        lambda d: d.filter(~urlfilter.blocked_url_expr(["bad.com"])),
+        lambda d: urlfilter.filter_blocked_urls(d, ["bad.com"]),
+    ):
+        kept = {r["url"] for r in fn(df).collect()}
+        assert kept == {"https://bad.common:8080/w"}
+
+
+def test_www_prefixed_entry_matches(spark):
+    """A blocklist entry written 'www.example.com' (UT1 style) must
+    block example.com and subdomains — surt_key strips 'www.' so the
+    entry must be normalized the same way (advice r5)."""
+    df = spark.createDataFrame(
+        [("https://example.com/x",), ("https://www.example.com/y",),
+         ("https://sub.example.com/z",), ("https://other.org/w",)],
+        "url string",
+    )
+    kept = {r["url"] for r in urlfilter.filter_blocked_urls(
+        df, ["www.example.com"]).collect()}
+    assert kept == {"https://other.org/w"}
+    kept2 = {r["url"] for r in df.filter(
+        ~urlfilter.blocked_url_expr(["www.example.com"])).collect()}
+    assert kept2 == {"https://other.org/w"}
+
+
 def test_empty_blocklist_and_plan(spark, urls):
     assert urlfilter.filter_blocked_urls(urls, []).count() == len(URLS)
     assert urlfilter.filter_blocked_urls(urls, [], keep_blocked=True).count() == 0

@@ -119,3 +119,14 @@ def test_webquality_plans_stay_jvm(spark):
                wq.c4_clean_lines(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_typographic_ellipsis_counted(spark):
+    """U+2026 counts as an ellipsis alongside ASCII '...' in both the
+    line fraction and the symbol ratio (advice r5)."""
+    text = "one two three…\nfour five six...\nseven eight nine"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = _one(wq.gopher_quality_signals(df))
+    assert r["ellipsis_line_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    # one '…' (weight 1) + one '...' (3 chars / 3) over 9 words
+    assert r["symbol_word_ratio"] == pytest.approx(2 / 9, abs=1e-6)
