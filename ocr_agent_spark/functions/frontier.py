@@ -19,8 +19,11 @@ Skew note: politeness is inherently per-host-sequential, so the host
 IS the correct partition unit — a 10^8-url mega-host cannot be fetched
 in parallel anyway and its schedule rows are a slim (url, ts) stream.
 The `host_budget` cap bounds what leaves the operator per host per
-crawl cycle; apply it in the same window pass (rank filter) so the
-mega-host's tail rows die before any downstream shuffle.
+crawl cycle; with the cap set, over-budget hosts are first reduced by
+a salted partial top-k (`_precap_over_budget_hosts`) so the exact
+per-host rank window never sorts more than `salts × budget` rows of
+any one host in a single task — the r5 verdict's one remaining
+100×-scale hazard.
 """
 
 from __future__ import annotations
@@ -52,12 +55,56 @@ def delta_priority(status: str | Column) -> Column:
     return expr
 
 
+def _precap_over_budget_hosts(urls: DataFrame, host_budget: int,
+                              host_col: str, url_col: str,
+                              priority_col: str, salts: int) -> DataFrame:
+    """Salted partial top-k pre-cap for mega-hosts (VERDICT r5 #1).
+
+    ``Window.partitionBy(host)`` makes ONE task sort each host; a
+    10^7–10^8-url mega-host turns that task into the straggler even
+    though ``host_budget`` immediately discards the tail. Fix shape:
+
+    1. per-host count (slim, map-side combined);
+    2. hosts with more than ``salts × host_budget`` rows — by
+       definition few, so the host list broadcasts — get a salted
+       partial top-k: each of the ``salts`` shards of the host keeps
+       its own top ``host_budget`` rows by (priority DESC, url);
+    3. under-budget hosts pass through untouched.
+
+    Every row of the true per-host top ``host_budget`` is also in the
+    top ``host_budget`` of its salt shard, so the union the exact
+    window then ranks is a superset of the answer — the final schedule
+    is byte-identical to the uncapped plan (tested) — while no single
+    task ever sorts more than ``salts × host_budget`` rows per host.
+    """
+    counts = urls.groupBy(host_col).agg(F.count(F.lit(1)).alias("_hn"))
+    big_hosts = (
+        counts.filter(F.col("_hn") > salts * host_budget).select(host_col)
+    )
+    big = urls.join(F.broadcast(big_hosts), host_col, "left_semi")
+    small = urls.join(F.broadcast(big_hosts), host_col, "left_anti")
+    ws = Window.partitionBy(host_col, "_salt").orderBy(
+        F.col(priority_col).desc(), F.col(url_col)
+    )
+    big_top = (
+        big.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(salts))
+        )
+        .withColumn("_srk", F.row_number().over(ws))
+        .filter(F.col("_srk") <= host_budget)
+        .drop("_salt", "_srk")
+    )
+    # joins on host_col move the key first — restore the caller's order
+    return small.unionByName(big_top).select(*urls.columns)
+
+
 def fetch_schedule(urls: DataFrame, crawl_start: datetime.datetime | str,
                    per_host_delay_sec: float = 1,
                    host_budget: int | None = None,
                    host_col: str = "host", url_col: str = "url",
                    priority_col: str = "priority",
-                   delay_col: str | None = None) -> DataFrame:
+                   delay_col: str | None = None,
+                   pre_cap_salts: int | None = 16) -> DataFrame:
     """(host, url, priority) → (host, url, priority, fetch_rank,
     next_fetch_ts): the rate-bounded per-host fetch plan.
 
@@ -74,7 +121,19 @@ def fetch_schedule(urls: DataFrame, crawl_start: datetime.datetime | str,
     One hash shuffle on the host key; everything else is codegen
     (window + timestamp arithmetic). Fully SQL-replayable —
     ``frontier_schedule`` carries the DuckDB oracle.
+
+    Skew: with ``host_budget`` set, hosts holding more than
+    ``pre_cap_salts × host_budget`` rows are first reduced by a salted
+    partial top-k (:func:`_precap_over_budget_hosts`) so the exact
+    per-host window never sorts an unbounded mega-host in one task;
+    the schedule stays byte-identical. ``pre_cap_salts=None`` disables
+    the pre-cap (used by tests to assert that identity).
     """
+    if host_budget is not None and pre_cap_salts is not None:
+        urls = _precap_over_budget_hosts(
+            urls, host_budget, host_col, url_col, priority_col,
+            pre_cap_salts,
+        )
     w = Window.partitionBy(host_col).orderBy(
         F.col(priority_col).desc(), F.col(url_col)
     )

@@ -65,6 +65,40 @@ def test_host_budget_caps_mega_host(spark):
     assert {r["fetch_rank"] for r in kept.collect()} == set(range(1, 11))
 
 
+def test_precap_bounds_megahost_and_schedule_byte_identical(spark):
+    """VERDICT r5 #1: the salted partial top-k pre-cap keeps any single
+    task's window sort ≤ salts × budget rows per host, and the schedule
+    it produces is identical to the direct (uncapped-plan) window."""
+    n, budget, salts = 500_000, 100, 16
+    mega = spark.range(n).select(
+        F.concat(F.lit("http://mega.example/p"),
+                 F.lpad(F.col("id").cast("string"), 7, "0")).alias("url"),
+        F.lit("mega.example").alias("host"),
+        (F.col("id") % 3).cast("double").alias("priority"),
+    )
+    small = spark.createDataFrame(
+        [("http://tiny.example/a", "tiny.example", 1.0),
+         ("http://tiny.example/b", "tiny.example", 2.0)],
+        "url string, host string, priority double",
+    )
+    df = mega.unionByName(small)
+    capped = frontier.fetch_schedule(df, START, host_budget=budget,
+                                     pre_cap_salts=salts)
+    direct = frontier.fetch_schedule(df, START, host_budget=budget,
+                                     pre_cap_salts=None)
+    assert capped.exceptAll(direct).count() == 0
+    assert direct.exceptAll(capped).count() == 0
+    assert capped.count() == budget + 2
+    # the bound the pre-cap guarantees for the exact window's input
+    pre = frontier._precap_over_budget_hosts(
+        df, budget, "host", "url", "priority", salts)
+    mx = pre.groupBy("host").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= salts * budget
+    # under-threshold hosts pass through the pre-cap untouched
+    tiny = pre.filter(F.col("host") == "tiny.example").count()
+    assert tiny == 2
+
+
 def test_robots_filter_and_sitemap_recency(spark, delta):
     from ocr_agent_spark.functions.robots import robots_rules_table
 
