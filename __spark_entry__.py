@@ -660,6 +660,23 @@ def _dataset_split_assign(spark, sf):
     ).select("doc_id", "split")
 
 
+def _doc_embeddings(spark, sf):
+    """Hashed-ngram document embeddings (functions/embed.py) in
+    engine-neutral long form: (doc_id, dim_index, value) — the md5
+    bucket/sign hashing and the L2 normalization are replayed verbatim
+    in DuckDB (value-level hash oracle). Closes the text→ANN loop:
+    these vectors feed build_ivf_index / embedding_near_duplicates."""
+    from ocr_agent_spark.functions.embed import embed_documents_long
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    out = embed_documents_long(d)
+    return out.select(
+        "doc_id",
+        F.col("dim_index").cast("int").alias("dim_index"),
+        "value",
+    )
+
+
 def _url_blocklist(spark, sf):
     """Blocklist gate (functions/urlfilter.py) with planted verdicts:
     doc_id%6 picks the url shape — 1 hits the domain list through a
@@ -1238,9 +1255,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _gopher_quality,
         "repetition_stats": _repetition_stats,
         "paragraph_dedup": _paragraph_dedup,
+        # r6 additions: the text→ANN loop closer (VERDICT r5 item 2)
+        "doc_embeddings": _doc_embeddings,
         # longest-parked tail entries rotated back IN for fresh driver
         # hashes (VERDICT r4 item 6)
-        "w7_rolling_sum": _w7_rolling_sum,
         "f7_normalize": _f7_normalize,
         "f9_md_extension": _f9_md_extension,
         # windows (§2.5)
@@ -1317,6 +1335,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in r5 for paragraph_dedup (resume behavior also pytest-covered)
         "a_percentiles": _a_percentiles,              # green r3+r4; parked
         # in r5 for repetition_stats
+        "w7_rolling_sum": _w7_rolling_sum,            # green r1-r3+r5; parked
+        # in r6 for doc_embeddings
         "f10_epoch": _f10_epoch,
         "f13_mime_map": _f13_mime_map,
         "set_union_nations": _set_union_nations,
@@ -1776,6 +1796,53 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lstat USING (doc_id)
             LEFT JOIN pstat USING (doc_id)
             LEFT JOIN gstat USING (doc_id)
+        """),
+        # hashed-ngram embeddings: md5 bucket/sign hashing + L2
+        # normalization replayed verbatim (engine-neutral long form)
+        "doc_embeddings": (r"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 50
+            ),
+            wt AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS w
+              FROM d
+            ),
+            toks AS (
+              SELECT doc_id, unnest(w) AS tok FROM wt
+              UNION ALL
+              SELECT doc_id, w[i] || ' ' || w[i + 1] AS tok
+              FROM wt, unnest(generate_series(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 2
+            ),
+            hashed AS (
+              SELECT doc_id,
+                CAST(concat('0x', substring(md5('emb:' || tok), 1, 8))
+                     AS BIGINT) % 64 AS bucket,
+                CASE WHEN CAST(concat('0x',
+                       substring(md5('emb:' || tok), 9, 1)) AS BIGINT) % 2 = 0
+                     THEN 1.0 ELSE -1.0 END AS sign
+              FROM toks
+            ),
+            sums AS (
+              SELECT doc_id, bucket, SUM(sign) AS v FROM hashed GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT w.doc_id, g.i AS dim_index
+              FROM wt w, unnest(range(64)) AS g(i)
+            ),
+            dense AS (
+              SELECT grid.doc_id, grid.dim_index, COALESCE(s.v, 0.0) AS v
+              FROM grid LEFT JOIN sums s
+                ON s.doc_id = grid.doc_id AND s.bucket = grid.dim_index
+            ),
+            norms AS (
+              SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM dense GROUP BY 1
+            )
+            SELECT dense.doc_id, CAST(dim_index AS INT) AS dim_index,
+                   CASE WHEN nrm > 0 THEN ROUND(v / nrm, 6) ELSE v END AS value
+            FROM dense JOIN norms USING (doc_id)
         """),
         # sampling: the md5 uniform is engine-portable — DuckDB computes
         # the identical keep/drop and split verdicts
