@@ -1,0 +1,168 @@
+"""Real merges-table BPE tokenization (VERDICT r5 item 4).
+
+``text.bpe_ish_token_count`` is an honest regex proxy; what a
+training-data pipeline actually budgets with is a byte-pair-encoding
+token count from a frozen merges table — token counts drive mixing
+ratios (``sampling.stratified_sample``) and sequence packing. This
+module carries the real thing, GPT-2-shaped but self-contained:
+
+- :func:`learn_bpe_merges` — the classic Sennrich et al. 2016 trainer
+  (count adjacent symbol pairs over a word-frequency table, merge the
+  most frequent, repeat). Deterministic: ties break to the
+  lexicographically smallest pair. Used once by
+  ``tools/build_bpe_merges.py`` to produce the FROZEN vendored table
+  in ``bpe_merges.py`` (built from the deterministic synthetic corpus
+  — nothing downloaded).
+- :func:`bpe_encode` — the GPT-2 merge loop: repeatedly merge every
+  occurrence of the lowest-rank adjacent pair until none applies.
+- :func:`bpe_token_count_col` — the Spark operator: an Arrow-batched
+  pandas UDF with a cross-batch pre-token memo (Zipf makes the memo
+  hit rate extreme), never row-at-a-time Python.
+
+Pre-tokenization is a GPT-2-flavored regex: apostrophe suffixes,
+space-attached word/number/punct runs, residual whitespace. A
+pre-token never merges across its boundary — exactly the property
+that makes the memo sound.
+
+Scale shape: embarrassingly parallel per-document work, zero shuffle;
+the UDF is the unavoidable Python (iterative merges have no JVM
+expression form), batched via Arrow. Cross-engine oracle: counts are
+deterministic, so ``bpe_real_token_histogram`` verifies against a
+precomputed expected-value table (not a SQL replay — DuckDB cannot
+run the merge loop either; the freeze IS the regression oracle).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# GPT-2-flavored pre-tokenizer (ASCII-ish, self-contained): apostrophe
+# contractions, space-attached letter/digit/punct runs, whitespace.
+PRETOK = re.compile(
+    r"'[A-Za-z]{1,2}| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def pre_tokenize(text: str) -> list[str]:
+    return PRETOK.findall(text)
+
+
+def _merge_all(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    """Merge every occurrence of ``pair`` in one left-to-right pass."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    a, b = pair
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_bpe_merges(texts, n_merges: int = 256) -> list[tuple[str, str]]:
+    """Classic BPE training over ``texts`` (iterable of str).
+
+    Deterministic: the best pair is max-by-count with ties to the
+    lexicographically smallest pair, so the same corpus always yields
+    the same table.
+    """
+    from collections import Counter
+
+    word_freq: Counter = Counter()
+    for t in texts:
+        if t:
+            word_freq.update(pre_tokenize(t))
+    vocab = {w: tuple(w) for w in word_freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, f in word_freq.items():
+            syms = vocab[w]
+            for p in zip(syms, syms[1:]):
+                pairs[p] += f
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append(best)
+        vocab = {w: _merge_all(s, best) for w, s in vocab.items()}
+    return merges
+
+
+def _ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    return {pair: i for i, pair in enumerate(merges)}
+
+
+def bpe_encode(pre_token: str,
+               ranks: dict[tuple[str, str], int]) -> list[str]:
+    """GPT-2 merge loop: merge all occurrences of the lowest-rank
+    adjacent pair, repeat until no learned pair remains."""
+    syms: tuple[str, ...] = tuple(pre_token)
+    while len(syms) >= 2:
+        best_pair, best_rank = None, None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_pair, best_rank = p, r
+        if best_pair is None:
+            break
+        syms = _merge_all(syms, best_pair)
+    return list(syms)
+
+
+def bpe_token_count(text: str,
+                    ranks: dict[tuple[str, str], int],
+                    _memo: dict | None = None) -> int:
+    """Token count of ``text`` under the merges table."""
+    if not text:
+        return 0
+    memo = _memo if _memo is not None else {}
+    n = 0
+    for w in pre_tokenize(text):
+        c = memo.get(w)
+        if c is None:
+            c = len(bpe_encode(w, ranks))
+            memo[w] = c
+        n += c
+    return n
+
+
+@lru_cache(maxsize=1)
+def default_ranks() -> dict[tuple[str, str], int]:
+    """Ranks of the frozen vendored merges table."""
+    from ocr_agent_spark.functions.bpe_merges import MERGES
+
+    return _ranks([tuple(m) for m in MERGES])
+
+
+def bpe_token_count_col(col: str | Column = "text",
+                        merges: list[tuple[str, str]] | None = None) -> Column:
+    """Arrow-batched real-BPE token count column.
+
+    The pre-token memo lives at closure scope, so it persists across
+    Arrow batches inside each Python worker — on Zipf-shaped text the
+    encoder runs once per DISTINCT pre-token per worker, not once per
+    occurrence.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    ranks = _ranks(merges) if merges is not None else default_ranks()
+    memo: dict[str, int] = {}
+
+    @pandas_udf(IntegerType())
+    def _count(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: bpe_token_count(t, ranks, memo) if t is not None else 0
+        ).astype("int32")
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _count(c)
