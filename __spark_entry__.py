@@ -1156,10 +1156,13 @@ def _multimodal_features(spark, sf):
     one scalar CSV string here. The library API keeps the real array."""
     from ocr_agent_spark.functions.multimodal import (
         extract_media_features,
+        fake_compressed_media_table,
         fake_media_table,
     )
 
-    media = fake_media_table(spark, n=48)
+    media = fake_media_table(spark, n=48).unionByName(
+        fake_compressed_media_table(spark, n=18)
+    )
     feats = extract_media_features(media, decode_backend="headers", num_partitions=8)
     return feats.select(
         "media_id", "kind", "status", "error",
@@ -1168,6 +1171,7 @@ def _multimodal_features(spark, sf):
         ).alias("feature_csv"),
         "feature_source", "format",
         "src_width", "src_height", "out_width", "out_height", "n_frames",
+        "duration_ms", "sample_rate", "channels", "codec",
     )
 
 

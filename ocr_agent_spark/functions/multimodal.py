@@ -26,7 +26,11 @@ but image **metadata** decoding is real (stdlib header parsing):
   spectral band energies) and RIFF/AVI uncompressed BI_RGB video
   (kernel/avivideo.py — timeline frame sampling + pooled luminance
   histogram). Compressed codecs (MP3/OGG audio, MJPG/H.264 video —
-  need ffmpeg) fall back to fake features.
+  need ffmpeg) fall back to fake SAMPLE features, but their container
+  headers parse for real (kernel/mediacontainer.py: ID3v2/MPEG frame
+  headers, MP4 boxes, Matroska EBML) → typed duration_ms /
+  sample_rate / channels / codec / dims columns with
+  ``feature_source='header'``.
 - ``decode_backend="fake"``  → everything faked, keyed on payload
   bytes (stable hashes → stable "pixels") — plumbing-only mode.
 - ``decode_backend="none"``  → NotImplementedError per row, surfaced as
@@ -55,7 +59,8 @@ FEATURES_SCHEMA = (
     "media_id long, kind string, status string, error string, "
     "feature array<float>, feature_source string, format string, "
     "src_width int, src_height int, "
-    "out_width int, out_height int, n_frames int"
+    "out_width int, out_height int, n_frames int, "
+    "duration_ms int, sample_rate int, channels int, codec string"
 )
 
 
@@ -129,14 +134,44 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
             parse_image_dimensions,
             resize_luminance,
         )
+        from ocr_agent_spark.kernel.mediacontainer import (
+            MediaContainerError,
+            UnsupportedContainerError,
+            parse_media_container,
+        )
         from ocr_agent_spark.kernel.wavaudio import (
             UnsupportedAudioError,
             audio_feature_vector,
         )
 
+        def try_container(data: bytes) -> dict | None:
+            """Compressed-container header parse (mp3/mp4/mkv).
+
+            A payload that POSITIVELY identifies as one of these
+            containers (ID3 tag, ftyp box, EBML magic) but is broken
+            raises → failure row, same D2 contract as a corrupt WAV;
+            anything merely unrecognized returns None (fake fallback —
+            it may be a codec we can't even sniff).
+            """
+            definite = (
+                data[:3] == b"ID3"
+                or data[4:8] == b"ftyp"
+                or data[:4] == b"\x1a\x45\xdf\xa3"
+            )
+            try:
+                return parse_media_container(data)
+            except UnsupportedContainerError:
+                return None
+            except MediaContainerError:
+                if definite:
+                    raise
+                return None
+
         cols = ["media_id", "kind", "status", "error", "feature",
                 "feature_source", "format",
-                "src_width", "src_height", "out_width", "out_height", "n_frames"]
+                "src_width", "src_height", "out_width", "out_height",
+                "n_frames", "duration_ms", "sample_rate", "channels",
+                "codec"]
         for batch in batches:
             rows: dict[str, list] = {c: [] for c in cols}
             for media_id, kind, payload in zip(
@@ -151,6 +186,7 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                         )
                     data = bytes(payload)
                     fmt = src_w = src_h = None
+                    dur = sr = ch = codec = None
                     source = "fake"
                     if kind == "image":
                         if decode_backend == "headers":
@@ -204,11 +240,28 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                             try:
                                 feats, ameta = audio_feature_vector(data)
                                 fmt = "wav"
+                                codec = "pcm"
+                                sr = ameta["sample_rate"]
+                                ch = ameta["channels"]
+                                dur = ameta["duration_ms"]
                                 res = {"feature": feats, "out_width": None,
                                        "out_height": None, "n_frames": 1}
                                 source = "real"
                             except UnsupportedAudioError:
                                 res = None
+                        if res is None and decode_backend == "headers":
+                            # compressed container (mp3 etc.): REAL
+                            # typed header metadata, honestly-fake
+                            # sample features (no codec in this env)
+                            cmeta = try_container(data)
+                            if cmeta is not None:
+                                fmt = cmeta["format"]
+                                codec = cmeta["codec"]
+                                dur = cmeta["duration_ms"]
+                                sr = cmeta["sample_rate"]
+                                ch = cmeta["channels"]
+                                source = "header"
+                                res = _fake_audio_features(data)
                         if res is None:
                             res = _fake_audio_features(data)
                     elif kind == "video":
@@ -224,6 +277,8 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                                     data, every_ms=frame_every_ms
                                 )
                                 fmt = "avi"
+                                codec = "rawvideo"
+                                dur = vmeta["duration_ms"]
                                 src_w = vmeta["width"]
                                 src_h = vmeta["height"]
                                 res = {"feature": feats,
@@ -233,6 +288,21 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                                 source = "real"
                             except UnsupportedVideoError:
                                 res = None
+                        if res is None and decode_backend == "headers":
+                            # mp4 / mkv / webm container metadata
+                            cmeta = try_container(data)
+                            if cmeta is not None:
+                                fmt = cmeta["format"]
+                                codec = cmeta["codec"]
+                                dur = cmeta["duration_ms"]
+                                sr = cmeta["sample_rate"]
+                                ch = cmeta["channels"]
+                                src_w = cmeta["width"]
+                                src_h = cmeta["height"]
+                                source = "header"
+                                res = _fake_video_frame_sample(
+                                    data, frame_every_ms
+                                )
                         if res is None:
                             res = _fake_video_frame_sample(data, frame_every_ms)
                     else:
@@ -247,12 +317,18 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                     rows["out_width"].append(res["out_width"])
                     rows["out_height"].append(res["out_height"])
                     rows["n_frames"].append(res["n_frames"])
+                    rows["duration_ms"].append(dur)
+                    rows["sample_rate"].append(sr)
+                    rows["channels"].append(ch)
+                    rows["codec"].append(codec)
                 except Exception as exc:
                     rows["status"].append("failed")
                     rows["error"].append(repr(exc))
                     for c in ("feature", "feature_source", "format",
                               "src_width", "src_height",
-                              "out_width", "out_height", "n_frames"):
+                              "out_width", "out_height", "n_frames",
+                              "duration_ms", "sample_rate", "channels",
+                              "codec"):
                         rows[c].append(None)
             yield pd.DataFrame(rows)
 
@@ -311,4 +387,54 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
                                 fps=fps, seed=i)
             rows.append((i, kind, payload, "video/x-msvideo", w, h,
                          int(round(nf * 1000 / fps))))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def fake_compressed_media_table(spark, n: int = 18, seed: int = 42) -> DataFrame:
+    """Deterministic COMPRESSED-container media rows (mp3/mp4/mkv).
+
+    Payloads are real spec-conformant container bytes from the
+    hand-rolled writers (kernel/mediacontainer.py) — the ``headers``
+    backend extracts genuine duration/codec/dims/sample-rate from them
+    (``feature_source='header'``); sample data is absent by
+    construction, exactly like a real crawl payload whose codec this
+    environment can't decode.
+    """
+    import random
+
+    from ocr_agent_spark.kernel.mediacontainer import (
+        build_mkv,
+        build_mp3,
+        build_mp4,
+    )
+
+    rows = []
+    for i in range(n):
+        rng = random.Random(f"{seed}:cmedia:{i}")
+        which = i % 3
+        if which == 0:
+            sr = rng.choice([44100, 48000, 32000])
+            ch = rng.choice([1, 2])
+            dur = rng.randint(1000, 30000)
+            payload = build_mp3(duration_ms=dur, sample_rate=sr,
+                                channels=ch,
+                                with_id3=bool(i % 2),
+                                with_xing=bool((i // 2) % 2))
+            rows.append((1000 + i, "audio", payload, "audio/mpeg",
+                         None, None, dur))
+        elif which == 1:
+            w, h = rng.choice([(320, 240), (1280, 720), (640, 360)])
+            dur = rng.randint(1000, 60000)
+            payload = build_mp4(duration_ms=dur, width=w, height=h,
+                                audio=(rng.choice([44100, 48000]),
+                                       rng.choice([1, 2])))
+            rows.append((1000 + i, "video", payload, "video/mp4",
+                         w, h, dur))
+        else:
+            w, h = rng.choice([(640, 360), (1920, 1080)])
+            dur = rng.randint(1000, 60000)
+            payload = build_mkv(duration_ms=dur, width=w, height=h,
+                                doctype=rng.choice(["webm", "matroska"]))
+            rows.append((1000 + i, "video", payload, "video/webm",
+                         w, h, dur))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -715,6 +715,8 @@ def test_multimodal_feature_source_column(spark):
     from ocr_agent_spark.kernel.avivideo import build_avi
     from ocr_agent_spark.kernel.jpegdecode import build_jpeg
 
+    from ocr_agent_spark.kernel.mediacontainer import build_mp3
+
     arith = bytearray(build_jpeg(16, 16, seed=1))
     sof = arith.index(b"\xff\xc0")
     arith[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
@@ -726,7 +728,7 @@ def test_multimodal_feature_source_column(spark):
             [
                 (900, "image", b"corrupt bytes", "image/x", 9, 9, None),
                 (901, "image", bytes(arith), "image/jpeg", 16, 16, None),
-                (902, "audio", b"ID3\x04" + b"\xfb" * 64, "audio/mpeg",
+                (902, "audio", build_mp3(duration_ms=1000), "audio/mpeg",
                  None, None, 1000),
                 (903, "video", bytes(mjpg), "video/x-msvideo",
                  32, 24, 1200),
@@ -739,8 +741,8 @@ def test_multimodal_feature_source_column(spark):
     assert rows[900]["feature_source"] is None  # failure row
     assert rows[901]["status"] == "completed"
     assert rows[901]["feature_source"] == "fake"  # arithmetic → stand-in
-    assert rows[902]["feature_source"] == "fake"  # mp3 bytes → stand-in
-    assert rows[902]["status"] == "completed"
+    assert rows[902]["feature_source"] == "header"  # real mp3 metadata,
+    assert rows[902]["status"] == "completed"       # fake sample features
     assert rows[903]["feature_source"] == "fake"  # MJPG codec → stand-in
     assert rows[903]["status"] == "completed"
     for i, r in rows.items():
@@ -748,7 +750,8 @@ def test_multimodal_feature_source_column(spark):
             continue
         assert r["format"] in ("png", "gif", "bmp", "jpeg", "tiff", "wav", "avi"), i
         assert r["feature_source"] == "real", (i, r["format"])
-    assert {r["feature_source"] for r in rows.values()} == {"real", "fake", None}
+    assert {r["feature_source"] for r in rows.values()} == {
+        "real", "fake", "header", None}
     # the fake backend never claims real features
     fake_rows = multimodal.extract_media_features(
         media.filter("media_id < 24"), decode_backend="fake"
@@ -1817,3 +1820,67 @@ def test_multimodal_resize_is_real(spark):
     # downscale of a solid block stays solid
     solid = bytes([77]) * (10 * 10)
     assert set(resize_luminance(10, 10, solid, 3, 7)) == {77}
+
+
+def test_multimodal_compressed_container_metadata(spark):
+    """mp3/mp4/mkv payloads get REAL typed header metadata
+    (feature_source='header') even though sample decode is impossible
+    here (VERDICT r5 item 5)."""
+    media = multimodal.fake_compressed_media_table(spark, n=18)
+    feats = multimodal.extract_media_features(media, decode_backend="headers")
+    rows = {r["media_id"]: r for r in feats.collect()}
+    meta = {r["media_id"]: r for r in media.collect()}
+    assert len(rows) == 18
+    for mid, r in rows.items():
+        m = meta[mid]
+        assert r["status"] == "completed", r["error"]
+        assert r["feature_source"] == "header"
+        # mp3 durations quantize to whole frames (≤ ~36 ms); mp4/mkv
+        # carry the exact millisecond value
+        tol = 40 if m["mime"] == "audio/mpeg" else 0
+        assert abs(r["duration_ms"] - m["duration_ms"]) <= tol
+        assert r["codec"] is not None
+        if m["mime"] == "audio/mpeg":
+            assert r["format"] == "mp3"
+            assert r["sample_rate"] in (44100, 48000, 32000)
+            assert r["channels"] in (1, 2)
+        elif m["mime"] == "video/mp4":
+            assert r["format"] == "mp4"
+            assert (r["src_width"], r["src_height"]) == (m["width"], m["height"])
+        else:
+            assert r["format"] in ("webm", "mkv")
+            assert (r["src_width"], r["src_height"]) == (m["width"], m["height"])
+
+
+def test_multimodal_wav_avi_rows_carry_typed_metadata(spark):
+    """The REAL-decode paths now also fill duration/sample_rate/
+    channels/codec (schema extension is uniform, not header-only)."""
+    media = multimodal.fake_media_table(spark, n=24)
+    feats = multimodal.extract_media_features(media, decode_backend="headers")
+    rows = feats.collect()
+    wavs = [r for r in rows if r["format"] == "wav"]
+    avis = [r for r in rows if r["format"] == "avi"]
+    assert wavs and avis
+    for r in wavs:
+        assert r["codec"] == "pcm" and r["sample_rate"] == 8000
+        assert r["channels"] in (1, 2) and r["duration_ms"] > 0
+    for r in avis:
+        assert r["codec"] == "rawvideo" and r["duration_ms"] > 0
+
+
+def test_multimodal_corrupt_container_is_failure_row(spark):
+    """A payload that positively identifies as a container (ID3/ftyp/
+    EBML magic) but is broken becomes a failure row (D2); merely
+    unrecognized bytes still fall back to fake features."""
+    corrupt_id3 = b"ID3\x04\x00\x00\x00\x00\x01\x00" + b"\xde\xad" * 600
+    unknown = b"OggS\x00 some codec this env cannot even sniff" * 10
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(corrupt_id3), "audio/mpeg", None, None, None),
+         (1, "audio", bytearray(unknown), "audio/ogg", None, None, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in multimodal.extract_media_features(
+        media, decode_backend="headers").collect()}
+    assert rows[0]["status"] == "failed" and "MediaContainerError" in rows[0]["error"]
+    assert rows[1]["status"] == "completed"
+    assert rows[1]["feature_source"] == "fake"
