@@ -1279,34 +1279,27 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and real merges-table BPE (item 4)
         "doc_embeddings": _doc_embeddings,
         "bpe_real_token_histogram": _bpe_real_token_histogram,
-        # longest-parked tail entries rotated back IN for fresh driver
-        # hashes (VERDICT r4 item 6)
-        "f7_normalize": _f7_normalize,
-        "f9_md_extension": _f9_md_extension,
-        # windows (§2.5)
-        "w1_order_key": _w1_order_key,
-        # filters / predicates (§2.2)
-        "p_filters": _p_filters,
-        # triage/classify report (§2.1 S2)
-        "s2_triage_counts": _s2_triage_counts,
-        # host extraction / skew detection (north-star bucketing)
-        "host_histogram": _host_histogram,
-        # fan-out / scalar functions (§2.8, U3)
-        "u3_page_fanout": _u3_page_fanout,
+        # r6 rotation IN (VERDICT r5 item 6): the 8 entries parked in
+        # r5 come back for fresh driver hashes, per the 2-round parking
+        # promise, plus the two longest-parked scalar gap-fills.
+        "a1_status_histogram": _a1_status_histogram,
+        "a2_category_totals": _a2_category_totals,
+        "a6_ordered_concat": _a6_ordered_concat,
+        "a_percentiles": _a_percentiles,
+        "set_except_nations": _set_except_nations,
+        "rollup_orders": _rollup_orders,
+        "w6_lag_delta": _w6_lag_delta,
+        "j2_resume_antijoin": _j2_resume_antijoin,
+        "f10_epoch": _f10_epoch,
+        "f13_mime_map": _f13_mime_map,
         # WARC source round-trip (r4: Common-Crawl container ingest)
         "warc_roundtrip": _warc_roundtrip,
-        # SURT canonical url keys (r4: crawl-native range-partition key)
-        "surt_keys": _surt_keys,
         # robots.txt politeness gate (r4: RFC 9309 longest-match)
         "robots_allowed": _robots_allowed,
         # sitemap frontier ingestion (r4: crawl-discovery companion)
         "sitemap_frontier": _sitemap_frontier,
         # re-crawl delta classification (r4: incremental-pipeline core)
         "crawl_delta": _crawl_delta,
-        # web-graph extraction (r4: the Common-Crawl host-graph product)
-        "link_host_graph": _link_host_graph,
-        # unicode normalization (r4: cross-engine NFC differential)
-        "unicode_nfc": _unicode_nfc,
         "f15_result_coalesce": _f15_result_coalesce,
         # round-3 training-data additions (must stay in-window)
         "pii_redaction": _pii_redaction,
@@ -1341,26 +1334,20 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moved to the tail mid-r4 for link_host_graph
         "a5_eta_progress": _a5_eta_progress,          # green r1+r2+r3;
         # moved to the tail mid-r4 for unicode_nfc
-        "a1_status_histogram": _a1_status_histogram,  # green r1-r4; parked
-        # in r5 for frontier_schedule
-        "a2_category_totals": _a2_category_totals,    # green r1-r4; parked
-        # in r5 for shingle_df_stats
-        "set_except_nations": _set_except_nations,    # green r1-r4; parked
-        # in r5 for the w7/f7/f9 rotation back in
-        "rollup_orders": _rollup_orders,              # green r3+r4; parked
-        # in r5 for the rotation
-        "w6_lag_delta": _w6_lag_delta,                # green r3+r4; parked
-        # in r5 for the rotation
-        "a6_ordered_concat": _a6_ordered_concat,      # green r1-r4; parked
-        # in r5 for gopher_quality
-        "j2_resume_antijoin": _j2_resume_antijoin,    # green r1-r4; parked
-        # in r5 for paragraph_dedup (resume behavior also pytest-covered)
-        "a_percentiles": _a_percentiles,              # green r3+r4; parked
-        # in r5 for repetition_stats
         "w7_rolling_sum": _w7_rolling_sum,            # green r1-r3+r5; parked
         # in r6 for doc_embeddings
-        "f10_epoch": _f10_epoch,
-        "f13_mime_map": _f13_mime_map,
+        # r6 parking (VERDICT r5 item 6): multi-round driver-green
+        # entries swapped out for the a1/a2/a6/… rotation back in.
+        "f7_normalize": _f7_normalize,                # green r1+r2+r5
+        "f9_md_extension": _f9_md_extension,          # green r1+r2+r5
+        "w1_order_key": _w1_order_key,                # green r1-r3+r5
+        "p_filters": _p_filters,                      # green r3+r4+r5
+        "s2_triage_counts": _s2_triage_counts,        # green r3+r4+r5
+        "host_histogram": _host_histogram,            # green r3+r4+r5
+        "u3_page_fanout": _u3_page_fanout,            # green r3+r4+r5
+        "surt_keys": _surt_keys,                      # green r4+r5
+        "link_host_graph": _link_host_graph,          # green r4+r5
+        "unicode_nfc": _unicode_nfc,                  # green r4+r5
         "set_union_nations": _set_union_nations,
         "set_intersect_nations": _set_intersect_nations,
         "cube_events": _cube_events,

@@ -287,9 +287,21 @@ def _minhash_banded_table(sig: DataFrame, num_hashes: int,
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
-def _lsh_band_pairs(sig: DataFrame, num_hashes: int, bands: int,
-                    max_bucket_size: int = 10_000) -> DataFrame:
-    """(doc_id, minhash) signatures → distinct candidate id pairs.
+def _hot_band_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(band, bucket, sz) for buckets over the cap. Partial (map-side)
+    aggregation collapses even a degenerate mega-bucket to one row per
+    mapper before the shuffle, and the result is tiny by definition
+    (≤ |banded| / max_bucket_size rows) — always broadcastable."""
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > max_bucket_size)
+    )
+
+
+def _lsh_band_pairs_from_banded(banded: DataFrame,
+                                max_bucket_size: int = 10_000) -> DataFrame:
+    """(doc_id, band, bucket) table → distinct candidate id pairs.
 
     ``max_bucket_size`` is the banding-join skew backstop (mirrors
     ``embedding_lsh_candidates``, code-review symmetry pass r5): a
@@ -298,14 +310,25 @@ def _lsh_band_pairs(sig: DataFrame, num_hashes: int, bands: int,
     share full bands by the million even after exact-dup collapse.
     Oversized buckets are dropped from candidate generation (hard cost
     ceiling; recall inside pathological clusters traded away) — NOT
-    silent: ``minhash_band_bucket_stats`` reports what a corpus drops.
+    silent: ``minhash_band_bucket_stats`` reports what a corpus drops,
+    and ``minhash_near_duplicates``/``dedup_near`` hand the same report
+    back through ``cap_report``.
+
+    The cap is a broadcast anti-join against the (tiny) over-cap bucket
+    set, NOT a count-window (r6 redesign): the window formulation had
+    to shuffle every mega-bucket row into ONE partition and sort it
+    just to count-and-drop it — the exact skew it exists to prevent,
+    and AQE cannot split a window partition. Here the hot set comes
+    from a partial aggregation (map-side collapse, no skewed reduce
+    task) and over-cap rows die BEFORE the self-join exchange, so a
+    pathological bucket never concentrates anywhere. sf0.1 A/B: also
+    removes a full-width sort per join side (BENCH/BASELINE.md r6).
     """
-    banded = _minhash_banded_table(sig, num_hashes, bands)
-    w = Window.partitionBy("band", "bucket")
-    capped = (
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
+    capped = banded.join(
+        F.broadcast(_hot_band_buckets(banded, max_bucket_size)
+                    .select("band", "bucket")),
+        ["band", "bucket"],
+        "left_anti",
     )
     return (
         capped.alias("a")
@@ -315,6 +338,29 @@ def _lsh_band_pairs(sig: DataFrame, num_hashes: int, bands: int,
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .distinct()
+    )
+
+
+def _lsh_band_pairs(sig: DataFrame, num_hashes: int, bands: int,
+                    max_bucket_size: int = 10_000) -> DataFrame:
+    """(doc_id, minhash) signatures → distinct candidate id pairs.
+    See ``_lsh_band_pairs_from_banded`` for the cap semantics."""
+    return _lsh_band_pairs_from_banded(
+        _minhash_banded_table(sig, num_hashes, bands), max_bucket_size
+    )
+
+
+def _band_bucket_stats_from_banded(banded: DataFrame,
+                                   max_bucket_size: int) -> DataFrame:
+    """Per-band cap report from a pre-built (doc_id, band, bucket)
+    table — lets ``minhash_near_duplicates`` report on the exact
+    banding it generated candidates from, without re-tokenizing."""
+    per = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
+    return per.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") > max_bucket_size, F.col("sz")).otherwise(0))
+        .cast("long").alias("n_rows_dropped"),
     )
 
 
@@ -329,13 +375,7 @@ def minhash_band_bucket_stats(docs: DataFrame, id_col: str = "doc_id",
         minhash_signatures(docs, id_col, text_col, n, num_hashes),
         num_hashes, bands,
     )
-    per = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
-    return per.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.max("sz").cast("long").alias("max_bucket"),
-        F.sum(F.when(F.col("sz") > max_bucket_size, F.col("sz")).otherwise(0))
-        .cast("long").alias("n_rows_dropped"),
-    )
+    return _band_bucket_stats_from_banded(banded, max_bucket_size)
 
 
 def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -344,7 +384,8 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             threshold: float = 0.8,
                             reuse_shingles: bool = True,
                             max_shingle_df: int | None = 1000,
-                            max_bucket_size: int = 10_000) -> DataFrame:
+                            max_bucket_size: int = 10_000,
+                            cap_report: dict | None = None) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates → exact-verify.
 
     The verification jaccard runs only on LSH candidates (semi-join
@@ -376,22 +417,45 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     The candidate pairs are persisted either way: they feed three
     consumers (id pruning, the final semi-join, the verify scope) and
     are id pairs only — tiny at any scale.
+
+    ``cap_report`` (ADVICE r5, no-silent-caps): pass a dict and it is
+    filled with two small UNEXECUTED report DataFrames over the exact
+    intermediates this run banded/verified —
+    ``"shingle_df_stats"`` (one row; ``None`` when ``max_shingle_df``
+    is off) and ``"band_bucket_stats"`` (one row per band). Trigger
+    them after (or instead of) the main action; they reuse the
+    persisted shingle/signature tables, so the marginal cost is two
+    small aggregations, not a re-tokenize. ``dedup_cap_summary``
+    collects both and warns when any cap actually dropped rows.
     """
     from ocr_agent_spark.cache import persist_tracked
 
     if reuse_shingles:
         sh = persist_tracked(shingle_table(docs, id_col, text_col, n))
+        sig = persist_tracked(minhash_signatures_from_shingles(sh, num_hashes))
+        banded = _minhash_banded_table(sig, num_hashes, bands)
         candidates = persist_tracked(
-            _lsh_band_pairs(
-                minhash_signatures_from_shingles(sh, num_hashes),
-                num_hashes, bands, max_bucket_size,
-            )
+            _lsh_band_pairs_from_banded(banded, max_bucket_size)
         )
     else:
         sh = None
+        sig = persist_tracked(
+            minhash_signatures(docs, id_col, text_col, n, num_hashes)
+        )
+        banded = _minhash_banded_table(sig, num_hashes, bands)
         candidates = persist_tracked(
-            minhash_lsh_candidates(docs, id_col, text_col, n, num_hashes,
-                                   bands, max_bucket_size)
+            _lsh_band_pairs_from_banded(banded, max_bucket_size)
+        )
+    if cap_report is not None:
+        cap_report["shingle_df_stats"] = (
+            None if max_shingle_df is None else shingle_df_stats(
+                sh if sh is not None
+                else shingle_table(docs, id_col, text_col, n),
+                max_shingle_df,
+            )
+        )
+        cap_report["band_bucket_stats"] = _band_bucket_stats_from_banded(
+            banded, max_bucket_size
         )
     cand_ids = (
         candidates.select(F.col("id_a").alias("doc_id"))
@@ -571,12 +635,58 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
     return labels
 
 
+def dedup_cap_summary(cap_report: dict, warn: bool = True) -> dict:
+    """Collect a ``cap_report`` (see ``minhash_near_duplicates``) into a
+    plain dict and, by default, ``warnings.warn`` when either skew cap
+    actually dropped rows — the ADVICE-r5 contract that a capped dedup
+    run is never silently a different computation.
+
+    Returns ``{"n_shingles_hot", "shingle_rows_dropped", "max_df",
+    "n_buckets_hot_rows_dropped", "max_bucket"}`` (shingle keys are
+    ``None`` when the verify cap was off). Triggers the two small
+    report aggregations; call after the main action so the persisted
+    intermediates are already hot.
+    """
+    out: dict = {"n_shingles_hot": None, "shingle_rows_dropped": None,
+                 "max_df": None}
+    srep = cap_report.get("shingle_df_stats")
+    if srep is not None:
+        row = srep.collect()[0]
+        out.update(
+            n_shingles_hot=row["n_shingles_hot"],
+            shingle_rows_dropped=row["n_rows_dropped"],
+            max_df=row["max_df"],
+        )
+    brows = cap_report["band_bucket_stats"].collect()
+    out["n_buckets_hot_rows_dropped"] = int(
+        sum(r["n_rows_dropped"] for r in brows)
+    )
+    out["max_bucket"] = max((r["max_bucket"] for r in brows), default=0)
+    dropped = (out["n_buckets_hot_rows_dropped"] or 0) + (
+        out["shingle_rows_dropped"] or 0
+    )
+    if warn and dropped > 0:
+        import warnings
+
+        warnings.warn(
+            f"dedup skew caps dropped rows: {out['shingle_rows_dropped']} "
+            f"(doc,shingle) rows over max_shingle_df (max df "
+            f"{out['max_df']}), {out['n_buckets_hot_rows_dropped']} "
+            f"(doc,band) rows over max_bucket_size (max bucket "
+            f"{out['max_bucket']}) — over-cap clusters are NOT deduped; "
+            "raise the caps or route those clusters to a fallback pass",
+            stacklevel=2,
+        )
+    return out
+
+
 def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                n: int = 3, num_hashes: int = 32, bands: int = 8,
                threshold: float = 0.8,
                checkpoint_dir: str | None = None,
                max_shingle_df: int | None = 1000,
-               max_bucket_size: int = 10_000) -> DataFrame:
+               max_bucket_size: int = 10_000,
+               cap_report: dict | None = None) -> DataFrame:
     """Remove near-duplicates: MinHash+LSH pairs → connected components
     → keep the min-id document per component (plus all untouched docs).
 
@@ -605,7 +715,8 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     pairs = minhash_near_duplicates(uniques, id_col, text_col, n, num_hashes,
                                     bands, threshold,
                                     max_shingle_df=max_shingle_df,
-                                    max_bucket_size=max_bucket_size)
+                                    max_bucket_size=max_bucket_size,
+                                    cap_report=cap_report)
     components = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     near_losers = components.filter(
         F.col("doc_id") != F.col("component")
@@ -756,11 +867,14 @@ def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
-    wcap = Window.partitionBy("band", "bucket")
-    banded = (
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(wcap))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
+    # Same broadcast anti-join cap as `_lsh_band_pairs_from_banded`
+    # (r6 redesign): the old count-window formulation shuffled every
+    # mega-bucket row into one partition just to count-and-drop it.
+    banded = banded.join(
+        F.broadcast(_hot_band_buckets(banded, max_bucket_size)
+                    .select("band", "bucket")),
+        ["band", "bucket"],
+        "left_anti",
     )
     # Hamming popcount + threshold are evaluated INSIDE the bucket join
     # (map-side of the dedup), so the distinct's exchange carries only

@@ -19,7 +19,7 @@ results are stable across engines (oracle: DuckDB list_cosine_similarity).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -506,19 +506,26 @@ def embedding_lsh_candidates(embeddings: DataFrame, id_col: str = "vec_id",
 
     Plan: one signature pass (b·r JVM dot products/row) → explode to
     (doc_id, band, bucket) — ids only, the vector never enters the
-    shuffle — → bucket-size window filter → per-(band,bucket) self-join
-    → distinct id pairs.
+    shuffle — → broadcast anti-join against the (tiny) over-cap bucket
+    set → per-(band,bucket) self-join → distinct id pairs. The cap is
+    an anti-join, not a count-window (r6, mirrors
+    ``dedup._lsh_band_pairs_from_banded``): a window would shuffle
+    every mega-bucket row into ONE partition and sort it just to
+    count-and-drop it — the exact skew it exists to prevent.
     """
     from ocr_agent_spark.cache import persist_tracked
 
     banded = _banded_signature_table(embeddings, id_col, vec_col, bands,
                                      rows_per_band, seed)
 
-    w = Window.partitionBy("band", "bucket")
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > max_bucket_size)
+        .select("band", "bucket")
+    )
     capped = persist_tracked(
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
+        banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     )
     return (
         capped.alias("a")

@@ -34,17 +34,21 @@ MUST_BE_SWEPT = {
     "math_rewrite", "rolling_fingerprints", "multimodal_features",
     "near_dedup_keep", "simhash_signatures", "lsh_cosine_topk",
     "ivf_cosine_topk", "minhash_near_dups", "extract_synthetic_pages",
-    "merged_artifact_hash", "corpus_clean_keep", "s2_triage_counts",
-    "host_histogram", "f15_result_coalesce", "pii_redaction",
-    "benchmark_contamination", "warc_roundtrip", "surt_keys",
+    "merged_artifact_hash", "corpus_clean_keep",
+    "f15_result_coalesce", "pii_redaction",
+    "benchmark_contamination", "warc_roundtrip",
     "robots_allowed", "sitemap_frontier", "crawl_delta",
-    "link_host_graph", "unicode_nfc",
-    # r5 additions (no driver history yet)
+    # r5 additions (one round of driver history — keep a second round
+    # per the parking promise; CORRECTNESS_r05 is their only record)
     "frontier_schedule", "shingle_df_stats", "gopher_quality",
     "repetition_stats", "paragraph_dedup",
-    # rotated back in for r5 (driver evidence was aging — VERDICT r4
-    # item 6); keep in-window until CORRECTNESS_r5 records them
-    "w7_rolling_sum", "f7_normalize", "f9_md_extension",
+    # r6 additions (no driver history yet)
+    "doc_embeddings", "bpe_real_token_histogram",
+    # rotated back in for r6 (VERDICT r5 item 6); keep in-window until
+    # CORRECTNESS_r6 records them
+    "a1_status_histogram", "a2_category_totals", "a6_ordered_concat",
+    "a_percentiles", "set_except_nations", "rollup_orders",
+    "w6_lag_delta", "j2_resume_antijoin", "f10_epoch", "f13_mime_map",
 }
 
 

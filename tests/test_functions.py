@@ -380,6 +380,84 @@ def test_dedup_near_mass_duplicated_doc_survives_cap(spark):
     assert kept == {0, 100, 200}
 
 
+def test_dedup_cap_report_warns_on_tripped_caps(spark):
+    """ADVICE r5 (no-silent-caps): a dedup_near run whose skew caps
+    actually dropped rows must say so. cap_report hands back the two
+    report DataFrames over the exact intermediates the run used;
+    dedup_cap_summary collects them and warns."""
+    import warnings
+
+    # 40 distinct-but-templated docs: each repeats the same stopword
+    # base (pushing those shingles over max_shingle_df=10) AND shares
+    # full minhash bands by template (filling a band bucket past 3).
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base * 4) for i in range(40)]
+    rows = [(i, t + f" serial {i}") for i, t in rows]
+    rows += [(100, "wholly unrelated standalone document body here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    rep: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dedup.dedup_near(docs, threshold=0.9, max_shingle_df=10,
+                         max_bucket_size=3, cap_report=rep).count()
+        summary = dedup.dedup_cap_summary(rep)
+    assert rep["shingle_df_stats"] is not None
+    assert rep["band_bucket_stats"] is not None
+    assert summary["shingle_rows_dropped"] > 0
+    assert summary["n_buckets_hot_rows_dropped"] > 0
+    assert summary["max_df"] >= 40 and summary["max_bucket"] > 3
+    assert any("dedup skew caps dropped rows" in str(w.message)
+               for w in caught)
+
+    # clean corpus: report present, zero drops, no warning
+    clean = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    rep2: dict = {}
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        dedup.dedup_near(clean, cap_report=rep2).count()
+        s2 = dedup.dedup_cap_summary(rep2)
+    assert s2["shingle_rows_dropped"] == 0
+    assert s2["n_buckets_hot_rows_dropped"] == 0
+    assert not any("dedup skew caps" in str(w.message) for w in caught2)
+
+
+def test_bucket_cap_is_antijoin_not_window(spark):
+    """r6 skew redesign: the (band,bucket) cap must never funnel a
+    mega-bucket through one window partition — the candidate plans
+    (minhash, simhash, embedding LSH) contain a broadcast left-anti
+    join and NO Window node."""
+    from ocr_agent_spark.functions import similarity
+    from ocr_agent_spark.plans.inspect import executed_plan_str
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with shared template words")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    for cand in (
+        dedup.minhash_lsh_candidates(docs, max_bucket_size=5),
+        dedup.simhash_near_duplicates(docs, max_bucket_size=5),
+    ):
+        plan = executed_plan_str(cand)
+        assert "Window" not in plan
+        assert "LeftAnti" in plan and "Broadcast" in plan
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = executed_plan_str(
+        similarity.embedding_lsh_candidates(vecs, max_bucket_size=5)
+    )
+    assert "Window" not in plan
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
 def test_dedup_paragraphs_cross_document(spark):
     """Boilerplate paragraphs survive only at their first (doc, idx)
     occurrence; documents reassemble in order; empty docs drop."""
