@@ -1075,6 +1075,50 @@ def _simhash_signatures(spark, sf):
     )
 
 
+def _simhash_collapse_keep(spark, sf):
+    # Exact-simhash (hamming-0) collapse — dedup_near's over-cap
+    # fallback pass as a standalone keep-policy. Planted exact copies
+    # (doc_id+1000) guarantee non-trivial groups; keeper is the min id.
+    # hash_fn="md5" so DuckDB replays the signature (see
+    # simhash_signatures).
+    from ocr_agent_spark.functions.dedup import simhash_exact_collapse
+
+    base = _t(spark, sf, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + F.lit(1000)).alias("doc_id"), "text"
+    )
+    return simhash_exact_collapse(
+        base.unionByName(planted), hash_fn="md5"
+    ).select("doc_id")
+
+
+def _span_dedup_keep(spark, sf):
+    # ExactSubstr-style duplicate-span removal (functions/spandedup.py)
+    # over a corpus with planted duplication: 10 full copies (ids
+    # 2000+i — every span a non-keeper duplicate, so the copies vanish)
+    # and one head-sharing doc (id 3000 — head cut, unique tail kept).
+    # md5 span fingerprints make the whole pipeline DuckDB-replayable.
+    from ocr_agent_spark.functions.spandedup import remove_duplicate_spans
+
+    base = _t(spark, sf, "documents").filter(F.col("doc_id") < 150) \
+        .select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(2000)).alias("doc_id"), "text"
+    )
+    tail_doc = base.filter(F.col("doc_id") == 0).select(
+        F.lit(3000).cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" unique continuation alpha bravo charlie delta echo "
+                  "foxtrot golf hotel india juliet"),
+        ).alias("text"),
+    )
+    return remove_duplicate_spans(
+        base.unionByName(copies).unionByName(tail_doc), span_tokens=10
+    )
+
+
 def _embeddings_with_planted_query(spark, sf):
     """embeddings ∪ 10 exact copies of the ANN query vector (ids 200000+i).
 
@@ -1357,6 +1401,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": _url_blocklist,
         "corpus_mix_sample": _corpus_mix_sample,
         "dataset_split_assign": _dataset_split_assign,
+        # r6 additions placed directly in the tail (full oracles; local
+        # evidence via tools/tail_evidence.py)
+        "simhash_collapse_keep": _simhash_collapse_keep,
+        "span_dedup_keep": _span_dedup_keep,
     }
 
 
@@ -2301,6 +2349,109 @@ def oracle_sql() -> dict[str, str]:
                          THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT
                    AS simhash
             FROM sig
+        """,
+        # Exact-simhash collapse: same signature replay as
+        # simhash_signatures over the planted-copy union, then keep
+        # MIN(doc_id) per identical signature.
+        "simhash_collapse_keep": r"""
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT doc_id + 1000, text FROM documents WHERE doc_id < 20
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                              '\s+')) AS tok
+                FROM docs2
+            ),
+            hashed AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+            bits AS (
+                SELECT doc_id, g.i,
+                       CASE WHEN ((strpos('0123456789abcdef',
+                                          substr(hx, 16 - (g.i // 4), 1)) - 1)
+                                  >> (g.i % 4)) & 1 = 1
+                            THEN 1 ELSE -1 END AS vote
+                FROM hashed, unnest(range(64)) AS g(i)
+            ),
+            votes AS (SELECT doc_id, i, SUM(vote) AS v FROM bits GROUP BY 1, 2),
+            sig AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN v > 0 THEN (1::HUGEINT << i) ELSE 0 END) AS s
+                FROM votes GROUP BY doc_id
+            )
+            SELECT MIN(doc_id) AS doc_id FROM sig GROUP BY s
+        """,
+        # Duplicate-span removal: full replay — tokenize, slide a
+        # 10-token window, md5 each span, keeper = first (doc_id, pos)
+        # occurrence per fingerprint, cut non-keepers, merge overlapping
+        # cut intervals (gaps-and-islands), reassemble surviving tokens.
+        "span_dedup_keep": r"""
+            WITH docs2 AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 150
+                UNION ALL
+                SELECT doc_id + 2000, text FROM documents WHERE doc_id < 10
+                UNION ALL
+                SELECT 3000, text || ' unique continuation alpha bravo '
+                       || 'charlie delta echo foxtrot golf hotel india juliet'
+                FROM documents WHERE doc_id = 0
+            ),
+            tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                FROM docs2
+            ),
+            sp AS (
+                SELECT doc_id, g.p AS pos,
+                       md5(array_to_string(toks[g.p + 1 : g.p + 10], ' ')) AS fp
+                FROM tok, unnest(range(len(toks) - 9)) AS g(p)
+                WHERE len(toks) >= 10
+            ),
+            marked AS (
+                SELECT doc_id, pos,
+                       ROW_NUMBER() OVER (PARTITION BY fp
+                                          ORDER BY doc_id, pos) AS rn
+                FROM sp
+            ),
+            cuts AS (
+                SELECT doc_id, pos AS s, pos + 10 AS e
+                FROM marked WHERE rn >= 2
+            ),
+            isl AS (
+                SELECT doc_id, s, e,
+                       CASE WHEN s > COALESCE(MAX(e) OVER (
+                                PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS ni
+                FROM cuts
+            ),
+            isl2 AS (
+                SELECT doc_id, s, e,
+                       SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS island
+                FROM isl
+            ),
+            ivs AS (
+                SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+                FROM isl2 GROUP BY 1, 2
+            ),
+            toks_pos AS (
+                SELECT t.doc_id, g.p AS pos, t.toks[g.p + 1] AS tok
+                FROM tok t, unnest(range(len(t.toks))) AS g(p)
+            ),
+            kept AS (
+                SELECT tp.doc_id, tp.pos, tp.tok FROM toks_pos tp
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM ivs iv
+                    WHERE iv.doc_id = tp.doc_id
+                      AND tp.pos >= iv.s AND tp.pos < iv.e
+                )
+            )
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id
+            HAVING string_agg(tok, ' ' ORDER BY pos) <> ''
         """,
         # Karp–Rabin winnowing fingerprint, replayed in pure SQL: the
         # polynomial window hashes become SUM(byte * 257^k) mod 2^61-1

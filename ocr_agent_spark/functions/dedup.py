@@ -457,6 +457,16 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
         cap_report["band_bucket_stats"] = _band_bucket_stats_from_banded(
             banded, max_bucket_size
         )
+        # (doc_id) members of over-cap buckets — the docs whose
+        # candidate generation the cap suppressed. Feeds dedup_near's
+        # overcap_fallback; slim id column, unexecuted until used.
+        cap_report["overcap_doc_ids"] = (
+            banded.join(
+                F.broadcast(_hot_band_buckets(banded, max_bucket_size)
+                            .select("band", "bucket")),
+                ["band", "bucket"], "semi",
+            ).select("doc_id").distinct()
+        )
     cand_ids = (
         candidates.select(F.col("id_a").alias("doc_id"))
         .union(candidates.select(F.col("id_b").alias("doc_id")))
@@ -665,19 +675,67 @@ def dedup_cap_summary(cap_report: dict, warn: bool = True) -> dict:
     dropped = (out["n_buckets_hot_rows_dropped"] or 0) + (
         out["shingle_rows_dropped"] or 0
     )
+    out["overcap_fallback"] = bool(cap_report.get("overcap_fallback"))
     if warn and dropped > 0:
         import warnings
 
+        tail_msg = (
+            "over-cap bucket members were routed through the "
+            "exact-simhash (hamming-0) fallback collapse"
+            if out["overcap_fallback"] else
+            "over-cap clusters are NOT deduped; raise the caps or "
+            "enable overcap_fallback"
+        )
         warnings.warn(
             f"dedup skew caps dropped rows: {out['shingle_rows_dropped']} "
             f"(doc,shingle) rows over max_shingle_df (max df "
             f"{out['max_df']}), {out['n_buckets_hot_rows_dropped']} "
             f"(doc,band) rows over max_bucket_size (max bucket "
-            f"{out['max_bucket']}) — over-cap clusters are NOT deduped; "
-            "raise the caps or route those clusters to a fallback pass",
+            f"{out['max_bucket']}) — {tail_msg}",
             stacklevel=2,
         )
     return out
+
+
+def simhash_exact_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """(id_a=keeper, id_b=loser) pairs for docs sharing an IDENTICAL
+    64-bit simhash (hamming-0 collapse).
+
+    This is the skew-proof fuzzy-dedup form: the keeper per signature
+    comes from ``groupBy(simhash).agg(min(id))`` — partial (map-side)
+    aggregation collapses even a 10⁸-doc template cluster to one row
+    per mapper BEFORE the shuffle, and no self-join ever happens, so
+    the mega-cluster that overflows a banding bucket cap cannot hurt
+    this pass. Recall is narrower than banded simhash (only exact
+    signature matches pair up), which is exactly the regime of the
+    over-cap clusters it serves: near-identical template pages whose
+    huge shared token mass gives every copy the same sign votes.
+    The join-back keys on simhash with a ONE-row keeper side per
+    signature — the AQE skew-split shape (enabled in session.py).
+    """
+    sig = simhash_signatures(docs, id_col, text_col, hash_fn)
+    keeper = sig.groupBy("simhash").agg(F.min("doc_id").alias("id_a"))
+    return (
+        sig.join(keeper, "simhash")
+        .filter(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+    )
+
+
+def simhash_exact_collapse(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           hash_fn: str = "xxhash64") -> DataFrame:
+    """Keep one document per identical-simhash group (min id), all
+    columns preserved. See ``simhash_exact_pairs`` for the scale
+    argument; the md5 ``hash_fn`` form is engine-portable and carries
+    the ``simhash_collapse_keep`` DuckDB oracle."""
+    losers = simhash_exact_pairs(docs, id_col, text_col, hash_fn) \
+        .select(F.col("id_b").alias("__loser"))
+    return docs.join(
+        losers, docs[id_col] == losers["__loser"], "left_anti"
+    )
 
 
 def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -686,7 +744,8 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                checkpoint_dir: str | None = None,
                max_shingle_df: int | None = 1000,
                max_bucket_size: int = 10_000,
-               cap_report: dict | None = None) -> DataFrame:
+               cap_report: dict | None = None,
+               overcap_fallback: bool = True) -> DataFrame:
     """Remove near-duplicates: MinHash+LSH pairs → connected components
     → keep the min-id document per component (plus all untouched docs).
 
@@ -707,16 +766,40 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     min id — exactly what the near-dup cluster keeper would select —
     and a group's near-dup relations are text-determined, so they
     survive intact on the representative.
+
+    ``overcap_fallback`` (default on, ADVICE r5): docs whose banding
+    bucket overflowed ``max_bucket_size`` — the one place the LSH path
+    deliberately drops candidates — are routed through
+    ``simhash_exact_pairs`` (hamming-0 collapse, groupBy-shaped, no
+    self-join) so a >cap template cluster still collapses instead of
+    being silently retained. Inert when no cap trips (the over-cap id
+    set is empty); the fallback pairs join the same connected-
+    components pass, so transitivity across the two pair sources
+    holds.
     """
     uniques = dedup_exact(docs, id_col, text_col)
     exact_losers = docs.select(F.col(id_col).alias("doc_id")).join(
         uniques.select(F.col(id_col).alias("doc_id")), "doc_id", "left_anti"
     )
+    rep = cap_report if cap_report is not None else (
+        {} if overcap_fallback else None
+    )
     pairs = minhash_near_duplicates(uniques, id_col, text_col, n, num_hashes,
                                     bands, threshold,
                                     max_shingle_df=max_shingle_df,
                                     max_bucket_size=max_bucket_size,
-                                    cap_report=cap_report)
+                                    cap_report=rep)
+    pairs = pairs.select("id_a", "id_b")
+    if overcap_fallback:
+        oc = rep["overcap_doc_ids"]
+        oc_docs = uniques.join(
+            oc, uniques[id_col] == oc["doc_id"], "semi"
+        )
+        pairs = pairs.union(
+            simhash_exact_pairs(oc_docs, id_col, text_col)
+        )
+        if cap_report is not None:
+            cap_report["overcap_fallback"] = True
     components = connected_components(pairs, checkpoint_dir=checkpoint_dir)
     near_losers = components.filter(
         F.col("doc_id") != F.col("component")

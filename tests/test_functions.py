@@ -458,6 +458,56 @@ def test_bucket_cap_is_antijoin_not_window(spark):
     assert "LeftAnti" in plan and "Broadcast" in plan
 
 
+def test_simhash_exact_pairs_and_collapse(spark):
+    docs = spark.createDataFrame(
+        [(5, "shared template body text"), (2, "shared template body text"),
+         (9, "shared template body text"),
+         (7, "a different document entirely")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.simhash_exact_pairs(docs).collect()}
+    assert pairs == {(2, 5), (2, 9)}
+    kept = {r["doc_id"] for r in dedup.simhash_exact_collapse(docs).collect()}
+    assert kept == {2, 7}
+
+
+def test_dedup_near_overcap_fallback_collapses_template_cluster(spark):
+    """ADVICE r5: a NEAR-identical template cluster bigger than the
+    banding bucket cap must not be silently retained — the over-cap
+    members route through the exact-simhash fallback and collapse.
+    With the fallback off, the old silent-retention behavior is
+    reproduced (every copy kept)."""
+    boiler = ("shared boilerplate template body with very many common "
+              "tokens repeated across every generated page variant ") * 4
+    rows = [(i, boiler + f"serial{i}") for i in range(30)]  # distinct texts
+    rows += [(500, "standalone document about something else wholly")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # sanity: the template copies share one simhash (huge shared mass)
+    sigs = {r["simhash"] for r in dedup.simhash_signatures(
+        docs.filter(F.col("doc_id") < 30)).collect()}
+    assert len(sigs) == 1
+
+    kw = dict(threshold=0.9, max_shingle_df=None, max_bucket_size=5)
+    kept_fb = {r["doc_id"] for r in
+               dedup.dedup_near(docs, **kw).collect()}
+    assert kept_fb == {0, 500}
+    kept_nofb = {r["doc_id"] for r in
+                 dedup.dedup_near(docs, overcap_fallback=False,
+                                  **kw).collect()}
+    assert set(range(30)) <= kept_nofb  # silently retained without it
+
+
+def test_dedup_near_fallback_inert_without_cap_trips(spark, docs):
+    a = {r["doc_id"] for r in
+         dedup.dedup_near(docs, threshold=0.6).collect()}
+    b = {r["doc_id"] for r in
+         dedup.dedup_near(docs, threshold=0.6,
+                          overcap_fallback=False).collect()}
+    assert a == b
+
+
 def test_dedup_paragraphs_cross_document(spark):
     """Boilerplate paragraphs survive only at their first (doc, idx)
     occurrence; documents reassemble in order; empty docs drop."""
