@@ -1119,6 +1119,18 @@ def _span_dedup_keep(spark, sf):
     )
 
 
+def _corpus_shuffle_shards(spark, sf):
+    # Deterministic pre-sharding shuffle assignment (training-data
+    # ordering): md5 shuffle key + 32-bit-prefix shard id. The global
+    # ORDER itself is pytest-evidenced (the driver hash is
+    # order-insensitive); the key and shard assignment replay in SQL.
+    from ocr_agent_spark.functions.sampling import shard_assign
+
+    return shard_assign(
+        _t(spark, sf, "documents").select("doc_id"), n_shards=8
+    )
+
+
 def _embeddings_with_planted_query(spark, sf):
     """embeddings ∪ 10 exact copies of the ANN query vector (ids 200000+i).
 
@@ -1405,6 +1417,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence via tools/tail_evidence.py)
         "simhash_collapse_keep": _simhash_collapse_keep,
         "span_dedup_keep": _span_dedup_keep,
+        "corpus_shuffle_shards": _corpus_shuffle_shards,
     }
 
 
@@ -1916,6 +1929,14 @@ def oracle_sql() -> dict[str, str]:
               WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
               WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
               ELSE 0.0 END
+        """),
+        "corpus_shuffle_shards": ("""
+            SELECT doc_id,
+                   CAST(CAST(concat('0x', substring(
+                       md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 8 AS INT) AS shard,
+                   md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
         """),
         "dataset_split_assign": ("""
             WITH u AS (

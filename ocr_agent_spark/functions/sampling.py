@@ -101,3 +101,51 @@ def split_dataset(docs: DataFrame, weights: dict[str, float],
                   out_col: str = "split") -> DataFrame:
     """Attach the split assignment column (see :func:`split_column`)."""
     return docs.withColumn(out_col, split_column(key_col, weights, seed))
+
+
+def shuffle_key(key: str | Column, seed: str = "shuffle") -> Column:
+    """Deterministic 128-bit shuffle sort key: md5(seed || key).
+
+    Ordering by it is a reproducible global permutation that follows
+    the row (not the partition layout) and is engine-portable — DuckDB
+    sorts the identical hex strings, so shard assignments and
+    within-shard order replay exactly.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(seed + ":"), c.cast("string")))
+
+
+def corpus_shuffle(docs: DataFrame, key_col: str = "doc_id",
+                   seed: str = "shuffle") -> DataFrame:
+    """Globally shuffle the corpus into a deterministic pseudo-random
+    order — the pre-sharding pass of a training-data pipeline (local
+    ordering correlates with crawl order/host otherwise; a global
+    shuffle decorrelates batches without a seedable ``rand()``).
+
+    ``orderBy`` on the md5 key IS the scalable formulation: Catalyst
+    range-partitions by sampled key quantiles and sorts within
+    partitions — a distributed sort with no driver funnel, and because
+    md5 keys are uniform the range partitions are balanced by
+    construction (no skew regardless of how hot the source ordering
+    was). The original key breaks md5-collision ties so the
+    permutation is total.
+    """
+    return docs.orderBy(shuffle_key(key_col, seed).asc(),
+                        F.col(key_col).asc())
+
+
+def shard_assign(docs: DataFrame, n_shards: int, key_col: str = "doc_id",
+                 seed: str = "shuffle", out_col: str = "shard") -> DataFrame:
+    """Deterministic shard id (0..n_shards-1) from the shuffle key.
+
+    The write-side companion of :func:`corpus_shuffle`: shard by the
+    first 32 bits of the md5 key (uniform → balanced shards at any
+    scale), order within a shard by the full key. Pure projection —
+    the only shuffle is whatever the writer partitions by.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"shard_assign: n_shards must be > 0, got {n_shards}")
+    sk = shuffle_key(key_col, seed)
+    shard = F.conv(F.substring(sk, 1, 8), 16, 10).cast("long") % n_shards
+    return docs.withColumn(out_col, shard.cast("int")) \
+        .withColumn("shuffle_key", sk)

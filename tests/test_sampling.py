@@ -81,3 +81,29 @@ def test_split_weight_validation(spark, corpus):
             sampling.split_column("doc_id", bad)
     # valid weights still fine
     sampling.split_column("doc_id", {"train": 1.0})
+
+
+def test_corpus_shuffle_deterministic_and_layout_independent(spark, corpus):
+    a = [r["doc_id"] for r in sampling.corpus_shuffle(corpus).collect()]
+    b = [r["doc_id"] for r in
+         sampling.corpus_shuffle(corpus.repartition(7)).collect()]
+    assert a == b                      # permutation follows rows, not layout
+    assert a != sorted(a)              # actually decorrelated from id order
+    assert sorted(a) == sorted(set(a))  # a total permutation
+
+
+def test_shard_assign_balanced_and_validated(spark, corpus):
+    out = sampling.shard_assign(corpus, n_shards=8)
+    counts = {r["shard"]: r["cnt"] for r in
+              out.groupBy("shard").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == set(range(8))
+    mean = sum(counts.values()) / 8
+    assert all(0.5 * mean < c < 1.5 * mean for c in counts.values())
+    with pytest.raises(ValueError):
+        sampling.shard_assign(corpus, n_shards=0)
+
+
+def test_shard_matches_shuffle_key_prefix(spark, corpus):
+    row = sampling.shard_assign(corpus, n_shards=8).limit(20).collect()
+    for r in row:
+        assert r["shard"] == int(r["shuffle_key"][:8], 16) % 8
