@@ -1280,6 +1280,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _releasing(v) for k, v in _raw_queries().items()}
 
 
+def _tfidf_top_terms(spark, sf):
+    """Corpus-statistics keyword extraction (functions/tfidf.py): pure
+    JVM explode → tf/df aggregates → per-doc top-k window. Full oracle:
+    DuckDB replays the identical tokenization and smoothed-idf math."""
+    from ocr_agent_spark.functions.tfidf import tfidf_top_terms
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    return tfidf_top_terms(d, k=3)
+
+
+def _pack_assignments(spark, sf):
+    """Sequence packing via the two-phase distributed prefix sum
+    (functions/packing.py) — budget-binned pack ids. The oracle's
+    single-node window cumsum must agree with the bucketed scan."""
+    from ocr_agent_spark.functions.packing import assign_packs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000).select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias(
+            "n_tokens"
+        ),
+    )
+    return assign_packs(d, budget=512, bucket_width=128).select(
+        "doc_id", "n_tokens", "prefix_sum", "pack_id"
+    )
+
+
+def _lm_perplexity_buckets(spark, sf):
+    """CCNet-style LM quality tiers (functions/lmscore.py): train an
+    add-one bigram LM on the doc_id%10==0 split, score doc_id<400,
+    bucket on fixed cutoffs (chosen in gaps of the realized sf0.01
+    score distribution so float noise cannot flip a bucket)."""
+    from ocr_agent_spark.functions.lmscore import (
+        quality_bucket, score_log_perplexity, train_bigram_lm,
+    )
+
+    d = _t(spark, sf, "documents")
+    lm = train_bigram_lm(d.filter(F.col("doc_id") % 10 == 0))
+    scored = score_log_perplexity(d.filter(F.col("doc_id") < 400), lm)
+    return quality_bucket(scored, head_max=3.4640, middle_max=3.5310)
+
+
+def _host_pagerank(spark, sf):
+    """Iterative damped PageRank (functions/pagerank.py) over a planted
+    23-host graph (src h(i%23) → dst h((7i+1)%23)); the DuckDB oracle
+    replays all 5 power-iteration steps as chained CTEs."""
+    from ocr_agent_spark.functions.pagerank import host_pagerank
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    i = F.col("doc_id")
+    edges = d.select(
+        F.concat(F.lit("h"), (i % 23).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((i * 7 + 1) % 23).cast("string")).alias("dst"),
+    )
+    return host_pagerank(edges, iterations=5)
+
+
+def _anchor_text_topk(spark, sf):
+    """Anchor-text consensus (functions/links.py): planted pages each
+    carry one labelled anchor (label i%3 → target (7i+1)%11/p/(i%5))
+    plus an image link (empty text — must be filtered); the kernel's
+    href+text parse feeds the per-target top-2 window. Oracle replays
+    the planting arithmetic, not the HTML parse."""
+    from ocr_agent_spark.functions.links import (
+        extract_anchor_edges, top_anchor_texts,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    i = F.col("doc_id")
+    dst_url = F.concat(
+        F.lit("https://t"), ((i * 7 + 1) % 11).cast("string"),
+        F.lit(".example.com/p/"), (i % 5).cast("string"),
+    )
+    anchor = F.concat(F.lit("label "), (i % 3).cast("string"))
+    html = F.concat(
+        F.lit('<html><body><a href="'), dst_url, F.lit('">'), anchor,
+        F.lit('</a><a href="https://t0.example.com/img">'
+              '<img src=x></a></body></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://s"), (i % 17).cast("string"),
+                 F.lit(".example.com/d/"), i.cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return top_anchor_texts(extract_anchor_edges(pages), k=2)
+
+
+def _dedup_incremental(spark, sf):
+    """Delta-vs-history dedup (functions/dedup_index.py): history =
+    doc_id<200 indexed on disk; delta = doc_id in [200,400) plus
+    planted exact copies of history docs (doc_id%40==0 → +10000).
+    Full oracle: exact arc = md5 semi-join; near arcs replay with TRUE
+    Jaccard — valid because the sf corpora have no pair in [0.35,
+    0.95) (measured), so the 32-hash estimate cannot disagree with the
+    0.8 threshold, and the in-batch arc's verify stage is exact."""
+    import tempfile
+
+    from ocr_agent_spark.functions.dedup_index import (
+        build_dedup_index, dedup_against_index,
+    )
+    from ocr_agent_spark.functions.text import tokens
+
+    d = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") < 400) & (F.size(tokens("text")) >= 3)
+    ).select("doc_id", "text")
+    history = d.filter(F.col("doc_id") < 200)
+    delta = d.filter(F.col("doc_id") >= 200).unionByName(
+        history.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    path = tempfile.mkdtemp(prefix="dedup_index_q_")
+    build_dedup_index(history, path)
+    return dedup_against_index(delta, spark, path, threshold=0.8).select(
+        "doc_id"
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered for the driver's CORRECTNESS sweep.
 
@@ -1335,6 +1455,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and real merges-table BPE (item 4)
         "doc_embeddings": _doc_embeddings,
         "bpe_real_token_histogram": _bpe_real_token_histogram,
+        # r6 batch 2: corpus statistics, packing, LM quality, graph
+        # rank, anchor text, incremental dedup (window slots opened by
+        # parking the r3-cohort entries below — 3-round green history)
+        "tfidf_top_terms": _tfidf_top_terms,
+        "pack_assignments": _pack_assignments,
+        "lm_perplexity_buckets": _lm_perplexity_buckets,
+        "host_pagerank": _host_pagerank,
+        "anchor_text_topk": _anchor_text_topk,
+        "dedup_incremental": _dedup_incremental,
         # r6 rotation IN (VERDICT r5 item 6): the 8 entries parked in
         # r5 come back for fresh driver hashes, per the 2-round parking
         # promise, plus the two longest-parked scalar gap-fills.
@@ -1348,22 +1477,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_resume_antijoin": _j2_resume_antijoin,
         "f10_epoch": _f10_epoch,
         "f13_mime_map": _f13_mime_map,
-        # WARC source round-trip (r4: Common-Crawl container ingest)
-        "warc_roundtrip": _warc_roundtrip,
         # robots.txt politeness gate (r4: RFC 9309 longest-match)
         "robots_allowed": _robots_allowed,
         # sitemap frontier ingestion (r4: crawl-discovery companion)
         "sitemap_frontier": _sitemap_frontier,
         # re-crawl delta classification (r4: incremental-pipeline core)
         "crawl_delta": _crawl_delta,
-        "f15_result_coalesce": _f15_result_coalesce,
-        # round-3 training-data additions (must stay in-window)
-        "pii_redaction": _pii_redaction,
-        "benchmark_contamination": _benchmark_contamination,
-        # streaming-shape gap-fill (§2.9)
-        "st6_tumbling_window": _st6_tumbling_window,
-        # custom operators the reference lacks (gap-fill, brief-named)
-        "asof_join_purchases": _asof_join_purchases,
         # headline analytics
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue": _q3_top_revenue,
@@ -1373,6 +1492,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no entry's driver evidence ages past ~2 rounds (each rotation
         # swaps equally-proven green entries out; tools/tail_evidence.py
         # re-verifies the parked set locally and records hashes in-repo).
+        # r6 batch-2 parking: the r3 cohort (3 rounds of driver green)
+        # swapped out for the six r6 batch-2 operators above.
+        "f15_result_coalesce": _f15_result_coalesce,   # green r3+r4+r5
+        "pii_redaction": _pii_redaction,               # green r3+r4+r5
+        "benchmark_contamination": _benchmark_contamination,  # r3-r5
+        "st6_tumbling_window": _st6_tumbling_window,   # green r3+r4+r5
+        "asof_join_purchases": _asof_join_purchases,   # green r3+r4+r5
+        "warc_roundtrip": _warc_roundtrip,             # green r4+r5
+        # (WARC container ingest — parity also pinned by tests/test_warc.py)
         "o2_head_of_queue": _o2_head_of_queue,      # green r1+r2+r3
         "o4_latest_row": _o4_latest_row,            # green r1+r2+r3
         "f1_ext_classify": _f1_ext_classify,        # green r1+r2+r3
@@ -1454,6 +1582,8 @@ _EMB_NEAR_DUP_ORACLE = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_agent_spark.functions.pagerank import pagerank_oracle_sql
+
     planted_near = """
             SELECT doc_id, text FROM documents WHERE doc_id < 100
             UNION ALL
@@ -2199,6 +2329,213 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1"
         ),
+        # tf-idf: identical tokenization ([a-z0-9]+ over lower, len>=2)
+        # and smoothed-idf math (ln((N+1)/(df+1))+1), ties on term asc.
+        "tfidf_top_terms": r"""
+            WITH docs AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 300
+            ),
+            n AS (SELECT COUNT(*) AS n_docs FROM docs),
+            terms AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9]+')) AS term
+                FROM docs
+            ),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM terms
+                WHERE len(term) >= 2 GROUP BY 1, 2
+            ),
+            dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       ROUND(tf.tf * (ln(((SELECT n_docs FROM n) + 1.0)
+                             / (dfc.df + 1.0)) + 1.0), 6) AS score
+                FROM tf JOIN dfc USING (term)
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= 3
+        """,
+        # sequence packing: the single-node window cumsum must equal
+        # the engine's two-phase bucketed scan exactly.
+        "pack_assignments": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS INT)
+                       AS n_tokens
+                FROM documents WHERE doc_id < 1000
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS prefix_sum,
+                   CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) / 512.0) AS BIGINT) AS pack_id
+            FROM d
+        """,
+        # CCNet-arc LM scoring: full replay of training (bigram/unigram
+        # counts on the %10 split, V = distinct histories) and scoring
+        # (add-one smoothing, avg -ln P, fixed bucket cutoffs).
+        "lm_perplexity_buckets": r"""
+            WITH doc AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents
+            ),
+            train_bg AS (
+                SELECT t[i] AS w1, t[i+1] AS w2
+                FROM doc, unnest(generate_series(1, len(t)-1)) AS g(i)
+                WHERE doc_id % 10 = 0 AND len(t) >= 2
+            ),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM train_bg
+                    GROUP BY 1, 2),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM train_bg GROUP BY 1),
+            v AS (SELECT COUNT(*) AS v FROM c1),
+            score_bg AS (
+                SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM doc, unnest(generate_series(1, len(t)-1)) AS g(i)
+                WHERE doc_id < 400 AND len(t) >= 2
+            ),
+            scored AS (
+                SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       ROUND(-AVG(ln((COALESCE(c12.c12, 0) + 1.0)
+                             / (COALESCE(c1.c1, 0) + (SELECT v FROM v)))),
+                             6) AS log_ppl
+                FROM score_bg s
+                LEFT JOIN c12 ON c12.w1 = s.w1 AND c12.w2 = s.w2
+                LEFT JOIN c1 ON c1.w1 = s.w1
+                GROUP BY s.doc_id
+            )
+            SELECT doc_id, n_bigrams, log_ppl,
+                   CASE WHEN log_ppl < 3.4640 THEN 'head'
+                        WHEN log_ppl < 3.5310 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored
+        """,
+        # 5 power-iteration steps as chained CTEs (generated by
+        # functions/pagerank.pagerank_oracle_sql — same module as the
+        # Spark loop, so the two formulations share one spec).
+        "host_pagerank": pagerank_oracle_sql(
+            "SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src, "
+            "'h' || CAST((doc_id * 7 + 1) % 23 AS VARCHAR) AS dst "
+            "FROM documents WHERE doc_id < 500",
+            iterations=5,
+        ),
+        # anchor-text consensus: replay the planting arithmetic (the
+        # HTML parse itself is pinned by tests/test_r6_ops.py).
+        "anchor_text_topk": r"""
+            WITH edges AS (
+                SELECT 'https://t' || CAST((doc_id * 7 + 1) % 11 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id % 5 AS VARCHAR)
+                       AS dst,
+                       'label ' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+                FROM documents WHERE doc_id < 400
+            ),
+            counted AS (
+                SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS n_refs
+                FROM edges GROUP BY 1, 2
+            )
+            SELECT dst, anchor, n_refs, CAST(rnk AS INT) AS rank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY dst
+                       ORDER BY n_refs DESC, anchor ASC) AS rnk
+                FROM counted
+            ) WHERE rnk <= 2
+        """,
+        # incremental dedup: exact arc = md5 semi-join vs history;
+        # both near arcs replayed with TRUE Jaccard (valid: no sf pair
+        # sits in [0.35, 0.95), so the 32-hash estimate agrees with
+        # the 0.8 threshold; the in-batch verify stage is exact).
+        "dedup_incremental": r"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 400
+                  AND len(regexp_split_to_array(trim(lower(text)),
+                          '\s+')) >= 3
+            ),
+            history AS (SELECT * FROM base WHERE doc_id < 200),
+            delta AS (
+                SELECT doc_id, text FROM base WHERE doc_id >= 200
+                UNION ALL
+                SELECT doc_id + 10000, text FROM history
+                WHERE doc_id % 40 = 0
+            ),
+            hist_fp AS (
+                SELECT DISTINCT md5(regexp_replace(lower(trim(text)),
+                       '\s+', ' ', 'g')) AS fp
+                FROM history
+            ),
+            exact_losers AS (
+                SELECT doc_id FROM delta
+                WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+                      'g')) IN (SELECT fp FROM hist_fp)
+            ),
+            all_docs AS (
+                SELECT * FROM history UNION ALL SELECT * FROM delta
+            ),
+            toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                FROM all_docs
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i:i+2], ' ') AS shingle
+                FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            cross_pp AS (
+                SELECT d.doc_id AS did, h.doc_id AS hid, COUNT(*) AS common
+                FROM sh d JOIN sh h USING (shingle)
+                WHERE d.doc_id >= 200 AND h.doc_id < 200
+                GROUP BY 1, 2
+            ),
+            near_hist_losers AS (
+                SELECT DISTINCT did AS doc_id FROM cross_pp
+                JOIN sizes sd ON sd.doc_id = did
+                JOIN sizes sh2 ON sh2.doc_id = hid
+                WHERE common * 1.0 / (sd.n + sh2.n - common) >= 0.8
+            ),
+            survivors0 AS (
+                SELECT doc_id FROM delta
+                WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers)
+                  AND doc_id NOT IN (SELECT doc_id FROM near_hist_losers)
+            ),
+            pp AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS common
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                  AND a.doc_id IN (SELECT doc_id FROM survivors0)
+                  AND b.doc_id IN (SELECT doc_id FROM survivors0)
+                GROUP BY 1, 2
+            ),
+            near AS (
+                SELECT id_a, id_b FROM pp
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM near
+                UNION ALL SELECT id_b, id_a FROM near
+            ),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            comp AS (
+                SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+                FROM reach GROUP BY src
+            )
+            SELECT doc_id FROM survivors0
+            WHERE doc_id NOT IN (
+                SELECT doc_id FROM comp WHERE doc_id != component
+            )
+        """,
         "similarity_topk": (
             f"SELECT vec_id AS neighbor_id, "
             f"ROUND(list_cosine_similarity(embedding::DOUBLE[], {_QUERY_VEC_SQL}), 6) "

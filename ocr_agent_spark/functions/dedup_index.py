@@ -196,6 +196,14 @@ def dedup_against_index(new_docs: DataFrame, spark: SparkSession,
         losers, new_docs[id_col] == losers["doc_id"], "left_anti"
     )
     if in_batch:
+        # Lineage CUT before the in-batch pass: dedup_near references
+        # its input several times (both pair sides + the exact-verify
+        # join), and each reference would clone the whole
+        # history-vs-delta plan above — measured as an analyzer/plan-
+        # string OOM at a few hundred docs. The cut materializes only
+        # the surviving DELTA rows (the new batch — small relative to
+        # history by construction; history never re-materializes).
+        kept = kept.localCheckpoint(eager=True)
         kept = _dedup.dedup_near(
             kept, id_col, text_col, n, num_hashes, bands, threshold,
             max_bucket_size=max_bucket_size,

@@ -49,8 +49,32 @@ def _strip_fragment(url: str) -> str:
                        parts.query, ""))
 
 
-def extract_links(html_bytes: bytes, page_url: str) -> list[str]:
-    """Anchor hrefs of a page, absolutized and deduped in order."""
+_ANCHOR_RE = re.compile(
+    rb"""<a\s(?:[^>]*?\s)?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))
+         [^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL | re.VERBOSE,
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _resolve(href: str, base: str) -> str | None:
+    """Shared href → absolute-url policy (schemes, fragments, errors)."""
+    if not href or href.startswith("#"):
+        return None
+    low = href.lower()
+    if any(low.startswith(s) for s in _SKIP_SCHEMES):
+        return None
+    try:
+        absolute = _strip_fragment(urljoin(base, href))
+    except ValueError:
+        return None  # malformed IPv6 host etc: not an edge
+    if not absolute.startswith(("http://", "https://")):
+        return None
+    return absolute
+
+
+def _page_base(html_bytes: bytes, page_url: str) -> str:
     base = page_url
     bm = _BASE_RE.search(html_bytes)
     if bm:
@@ -60,22 +84,46 @@ def extract_links(html_bytes: bytes, page_url: str) -> list[str]:
                 base = urljoin(page_url, declared)
             except ValueError:
                 pass  # hostile <base href> (bad IPv6 etc): keep page_url
+    return base
+
+
+def extract_anchors(html_bytes: bytes, page_url: str) -> list[tuple[str, str]]:
+    """(absolute_href, anchor_text) pairs, first-seen-deduped on href.
+
+    Anchor text is the tag-stripped, entity-unescaped, whitespace-
+    collapsed inner content of the <a> element — the string the link
+    graph's anchor-text aggregation consumes (Common Crawl's wat/
+    anchor datasets carry exactly this). Anchors whose close tag never
+    appears (truncated page) are skipped — no text evidence.
+    """
+    base = _page_base(html_bytes, page_url)
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for m in _ANCHOR_RE.finditer(html_bytes):
+        raw = m.group(2) if m.group(2) is not None else (
+            m.group(3) if m.group(3) is not None else m.group(4)
+        )
+        href = _unescape(raw.decode("utf-8", "replace")).strip()
+        absolute = _resolve(href, base)
+        if absolute is None or absolute in seen:
+            continue
+        inner = _TAG_RE.sub(b" ", m.group(5))
+        text = _WS_RE.sub(
+            " ", _unescape(inner.decode("utf-8", "replace"))
+        ).strip()
+        seen.add(absolute)
+        out.append((absolute, text))
+    return out
+
+
+def extract_links(html_bytes: bytes, page_url: str) -> list[str]:
+    """Anchor hrefs of a page, absolutized and deduped in order."""
+    base = _page_base(html_bytes, page_url)
     out: list[str] = []
     seen: set[str] = set()
     for m in _HREF_RE.finditer(html_bytes):
-        href = _attr_value(m)
-        if not href or href.startswith("#"):
-            continue
-        low = href.lower()
-        if any(low.startswith(s) for s in _SKIP_SCHEMES):
-            continue
-        try:
-            absolute = _strip_fragment(urljoin(base, href))
-        except ValueError:
-            continue  # malformed IPv6 host etc: not an edge
-        if not absolute.startswith(("http://", "https://")):
-            continue
-        if absolute not in seen:
+        absolute = _resolve(_attr_value(m), base)
+        if absolute is not None and absolute not in seen:
             seen.add(absolute)
             out.append(absolute)
     return out
