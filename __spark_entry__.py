@@ -1400,6 +1400,21 @@ def _dedup_incremental(spark, sf):
     )
 
 
+def _quality_classifier_scores(spark, sf):
+    """Model-based quality gate (functions/qualityclf.py): hashed
+    bag-of-words → weight-table join → mean-pooled logit → sigmoid.
+    Stand-in md5-keyed weights (documented); the hashing-trick
+    plumbing is the contract and is fully SQL-replayable."""
+    from ocr_agent_spark.functions.qualityclf import (
+        classify_quality, hash_weights,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+    return classify_quality(d, hash_weights(spark, dim=512), dim=512)
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered for the driver's CORRECTNESS sweep.
 
@@ -1546,6 +1561,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_collapse_keep": _simhash_collapse_keep,
         "span_dedup_keep": _span_dedup_keep,
         "corpus_shuffle_shards": _corpus_shuffle_shards,
+        "quality_classifier_scores": _quality_classifier_scores,
     }
 
 
@@ -2443,6 +2459,41 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_refs DESC, anchor ASC) AS rnk
                 FROM counted
             ) WHERE rnk <= 2
+        """,
+        # hashed linear quality classifier: weight table, bucket hash
+        # (first 8 md5 hex digits), mean-pooled logit, sigmoid — all
+        # replayed; engine-portable by the md5 bucket rule.
+        "quality_classifier_scores": r"""
+            WITH w AS (
+                SELECT CAST(b AS BIGINT) AS bucket,
+                       CAST(('0x' || substr(md5('qclf-v1:' ||
+                            CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+                       * 1000000 // 4294967296 - 500000 AS weight_micro
+                FROM range(512) t(b)
+            ),
+            terms AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS term
+                FROM documents WHERE doc_id < 400
+            ),
+            bucketed AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                       % 512 AS bucket
+                FROM terms
+            ),
+            scored AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                       SUM(w.weight_micro) AS dot_micro
+                FROM bucketed JOIN w USING (bucket)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_terms,
+                   ROUND(dot_micro / (n_terms * 1000000.0), 6) AS logit,
+                   ROUND(1.0 / (1.0 + exp(-ROUND(dot_micro /
+                         (n_terms * 1000000.0), 6))), 6) AS prob
+            FROM scored
         """,
         # incremental dedup: exact arc = md5 semi-join vs history;
         # both near arcs replayed with TRUE Jaccard (valid: no sf pair

@@ -278,3 +278,45 @@ def test_anchor_edges_and_top_texts(spark):
            for r in top_anchor_texts(edges, k=1).collect()}
     assert top["https://t.com/x"] == ("Example Site", 2)
     assert top["https://t.com/y"] == ("Other", 1)
+
+
+# ---------------------------------------------------- quality classifier
+
+def test_quality_classifier_hand_computed(spark):
+    import hashlib
+    import math
+
+    from ocr_agent_spark.functions.qualityclf import (
+        classify_quality, hash_weights, quality_gate,
+    )
+
+    dim = 64
+    weights = hash_weights(spark, dim=dim)
+    wmap = {r["bucket"]: r["weight_micro"] for r in weights.collect()}
+    assert len(wmap) == dim
+    # weight formula replay (fixed-point micro-units)
+    for b in (0, 7, 63):
+        h = int(hashlib.md5(f"qclf-v1:{b}".encode()).hexdigest()[:8], 16)
+        assert wmap[b] == h * 1000000 // 0x100000000 - 500000
+
+    docs = spark.createDataFrame(
+        [(0, "Alpha beta alpha"), (1, ""), (2, "gamma")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           classify_quality(docs, weights, dim=dim).collect()}
+    assert 1 not in out  # zero tokens → excluded
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+
+    dot = 2 * wmap[bucket("alpha")] + wmap[bucket("beta")]
+    logit = round(dot / (3 * 1000000.0), 6)
+    assert out[0]["n_terms"] == 3
+    assert out[0]["logit"] == pytest.approx(logit, abs=2e-6)
+    assert out[0]["prob"] == pytest.approx(
+        round(1 / (1 + math.exp(-logit)), 6), abs=2e-6
+    )
+
+    kept = quality_gate(classify_quality(docs, weights, dim=dim), 0.0)
+    assert kept.count() == 2  # prob >= 0 keeps everything scored
