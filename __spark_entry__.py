@@ -1415,6 +1415,29 @@ def _quality_classifier_scores(spark, sf):
     return classify_quality(d, hash_weights(spark, dim=512), dim=512)
 
 
+def _corpus_pipeline_assign(spark, sf):
+    """The capstone assembly (ocr_agent_spark/corpus.py): lang gate →
+    Gopher rules → hashed classifier gate → exact dedup →
+    deterministic shuffle/shard → per-shard packing, end-to-end in one
+    DataFrame. Full oracle: every stage is replayed in a single DuckDB
+    statement (near-dedup off in this configuration)."""
+    from ocr_agent_spark.corpus import build_training_corpus
+    from ocr_agent_spark.functions.qualityclf import hash_weights
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 600)
+    return build_training_corpus(
+        d,
+        lang="en",
+        min_words=10,
+        clf_weights=hash_weights(spark, dim=512),
+        clf_dim=512,
+        clf_threshold=0.5,
+        n_shards=4,
+        pack_budget=256,
+        seed="corpus-v1",
+    )
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered for the driver's CORRECTNESS sweep.
 
@@ -1562,6 +1585,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_keep": _span_dedup_keep,
         "corpus_shuffle_shards": _corpus_shuffle_shards,
         "quality_classifier_scores": _quality_classifier_scores,
+        "corpus_pipeline_assign": _corpus_pipeline_assign,
     }
 
 
@@ -2494,6 +2518,125 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 / (1.0 + exp(-ROUND(dot_micro /
                          (n_terms * 1000000.0), 6))), 6) AS prob
             FROM scored
+        """,
+        # capstone pipeline: every stage (lang vote, Gopher rules on
+        # rounded signals, hashed classifier, exact dedup, md5 shard,
+        # per-shard packing) replayed in one statement, same order.
+        "corpus_pipeline_assign": r"""
+            WITH d AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 600
+            ),
+            langv AS (
+                SELECT doc_id, text,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)),
+                      '\s+'), x -> list_contains(['the','and','of','to',
+                      'a','in','is','that','it','for'], x))) AS ven,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)),
+                      '\s+'), x -> list_contains(['der','die','das','und',
+                      'ist','nicht','ein','mit','sich','auf'], x))) AS vde,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)),
+                      '\s+'), x -> list_contains(['no','wa','ni','wo','ga',
+                      'de','to','mo','desu','masu'], x))) AS vja
+                FROM d
+            ),
+            lang_kept AS (
+                SELECT doc_id, text FROM langv
+                WHERE greatest(ven, vde, vja) > 0
+                  AND vde <> greatest(ven, vde, vja)
+                  AND ven = greatest(ven, vde, vja)
+            ),
+            gw AS (
+                SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS words,
+                  list_filter(list_transform(
+                      regexp_split_to_array(text, '\r?\n'),
+                      x -> trim(x)), x -> x <> '') AS lines
+                FROM lang_kept
+            ),
+            gsig AS (
+                SELECT doc_id, text,
+                  len(words) AS n_words,
+                  ROUND(CASE WHEN len(words) > 0 THEN
+                    coalesce(list_sum(list_transform(words, x -> len(x))),
+                    0) * 1.0 / len(words) ELSE 0.0 END, 6) AS mwl,
+                  ROUND(CASE WHEN len(words) > 0 THEN
+                    ((len(text) - len(replace(text, '#', '')))
+                     + (len(text) - len(replace(text, '...', ''))) / 3.0
+                     + (len(text) - len(replace(text, '…', ''))))
+                      / len(words) ELSE 0.0 END, 6) AS swr,
+                  ROUND(CASE WHEN len(lines) > 0 THEN
+                    len(list_filter(lines, x -> regexp_matches(x,
+                    '^[-*•]'))) * 1.0 / len(lines) ELSE 0.0 END, 6) AS blf,
+                  ROUND(CASE WHEN len(lines) > 0 THEN
+                    len(list_filter(lines, x -> regexp_matches(x,
+                    '(\.\.\.|…)$'))) * 1.0 / len(lines) ELSE 0.0 END, 6)
+                    AS elf,
+                  ROUND(CASE WHEN len(words) > 0 THEN
+                    len(list_filter(words, x -> regexp_matches(x,
+                    '[A-Za-z]'))) * 1.0 / len(words) ELSE 0.0 END, 6)
+                    AS awf,
+                  len(list_filter(list_transform(words, x -> lower(x)),
+                    x -> list_contains(['the','be','to','of','and','that',
+                    'have','with'], x))) AS sth
+                FROM gw
+            ),
+            gopher_kept AS (
+                SELECT doc_id, text FROM gsig
+                WHERE n_words BETWEEN 10 AND 100000
+                  AND mwl BETWEEN 3.0 AND 10.0
+                  AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3
+                  AND awf >= 0.8 AND sth >= 2
+            ),
+            cw AS (
+                SELECT CAST(b AS BIGINT) AS bucket,
+                       CAST(('0x' || substr(md5('qclf-v1:' ||
+                            CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+                       * 1000000 // 4294967296 - 500000 AS weight_micro
+                FROM range(512) t(b)
+            ),
+            cterms AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS term
+                FROM gopher_kept
+            ),
+            cscore AS (
+                SELECT doc_id, COUNT(*) AS n_terms,
+                       SUM(cw.weight_micro) AS dot_micro
+                FROM (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8))
+                             AS BIGINT) % 512 AS bucket FROM cterms) b
+                JOIN cw USING (bucket) GROUP BY doc_id
+            ),
+            clf_kept AS (
+                SELECT g.doc_id, g.text FROM gopher_kept g
+                JOIN cscore c ON c.doc_id = g.doc_id
+                WHERE ROUND(1.0 / (1.0 + exp(-ROUND(c.dot_micro /
+                      (c.n_terms * 1000000.0), 6))), 6) >= 0.5
+            ),
+            deduped AS (
+                SELECT doc_id, text FROM clf_kept
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY
+                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                    ORDER BY doc_id) = 1
+            ),
+            sharded AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS INT)
+                         AS n_tokens,
+                       md5('corpus-v1:' || CAST(doc_id AS VARCHAR))
+                         AS shuffle_key,
+                       CAST(CAST(('0x' || substr(md5('corpus-v1:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                            % 4 AS INT) AS shard
+                FROM deduped
+            )
+            SELECT doc_id, n_tokens, shuffle_key, shard,
+                   CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard
+                        ORDER BY shuffle_key, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / 256.0) AS BIGINT) AS pack_id
+            FROM sharded
         """,
         # incremental dedup: exact arc = md5 semi-join vs history;
         # both near arcs replayed with TRUE Jaccard (valid: no sf pair

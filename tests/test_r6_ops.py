@@ -320,3 +320,57 @@ def test_quality_classifier_hand_computed(spark):
 
     kept = quality_gate(classify_quality(docs, weights, dim=dim), 0.0)
     assert kept.count() == 2  # prob >= 0 keeps everything scored
+
+
+# ----------------------------------------------------- corpus pipeline
+
+def test_corpus_pipeline_report_and_invariants(spark):
+    from ocr_agent_spark.corpus import build_training_corpus
+    from ocr_agent_spark.functions.qualityclf import hash_weights
+
+    base = (
+        "the data be processed to the end of and that have with more "
+        "words to clear the gopher floor for this synthetic document"
+    )
+    rows = [(i, f"{base} variant {i}") for i in range(30)]
+    rows += [(100, rows[0][1]), (101, rows[1][1])]  # exact dups
+    rows += [(200, "der und die das ist nicht ein mit sich auf " * 4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out, counts = build_training_corpus(
+        docs,
+        lang="en",
+        min_words=10,
+        clf_weights=hash_weights(spark, dim=64),
+        clf_dim=64,
+        clf_threshold=0.0,   # keep all scored docs: gate plumbing only
+        n_shards=2,
+        pack_budget=64,
+        report=True,
+    )
+    got = out.collect()
+    stages = {c.stage: (c.rows_in, c.rows_out) for c in counts}
+    # stage accounting: monotone, and the known drops land where expected
+    assert stages["lang"][0] == 33
+    assert stages["lang"][1] == 32          # the German doc drops
+    assert stages["dedup_exact"][0] - stages["dedup_exact"][1] == 2
+    for c in counts:
+        assert c.rows_out <= c.rows_in
+    # survivors: one row each, shard in range, packs start at 0 per shard
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == len(set(ids))
+    assert 100 not in ids and 101 not in ids and 200 not in ids
+    assert {r["shard"] for r in got} <= {0, 1}
+    for s in {r["shard"] for r in got}:
+        packs = sorted(r["pack_id"] for r in got if r["shard"] == s)
+        assert packs[0] == 0
+    # packing replay: within a shard, exclusive cumsum // budget
+    for s in {r["shard"] for r in got}:
+        rows_s = sorted(
+            (r for r in got if r["shard"] == s),
+            key=lambda r: (r["shuffle_key"], r["doc_id"]),
+        )
+        run = 0
+        for r in rows_s:
+            assert r["pack_id"] == run // 64
+            run += r["n_tokens"]
