@@ -1438,6 +1438,48 @@ def _corpus_pipeline_assign(spark, sf):
     )
 
 
+def _image_ahash_dedup(spark, sf):
+    """Perceptual image dedup (functions/imagededup.py): 8 planted
+    perceptual groups × 5 container/copy variants (PNG and BMP of the
+    SAME pixels — byte-different blobs a content fingerprint cannot
+    relate), aHash over the REAL stdlib pixel decode, Hamming banding,
+    connected-component collapse to the min media_id. The oracle is
+    the frozen expected survivor table (hash values are a pure
+    function of the planted pixels — recompute via
+    functions/imagededup.ahash64 + kernel.imagemeta.build_png if the
+    fixture or hash contract changes); sf-independent (doc_id < 40)."""
+    from ocr_agent_spark.functions.imagededup import (
+        image_ahash, image_dedup_keep,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        from ocr_agent_spark.kernel.imagemeta import build_bmp, build_png
+
+        for b in batches:
+            out = {"media_id": [], "data": []}
+            for i in b["doc_id"]:
+                i = int(i)
+                seed = (i % 8) * 29
+                img = (
+                    build_bmp(24, 16, seed=seed)
+                    if (i // 8) % 2
+                    else build_png(24, 16, seed=seed)
+                )
+                out["media_id"].append(i)
+                out["data"].append(img)
+            yield pd.DataFrame(out)
+
+    media = d.mapInPandas(gen, "media_id long, data binary")
+    kept = image_dedup_keep(image_ahash(media), max_hamming=0)
+    return kept.select("media_id", "ahash", "width", "height", "status")
+
+
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry, ordered for the driver's CORRECTNESS sweep.
 
@@ -1586,6 +1628,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_shards": _corpus_shuffle_shards,
         "quality_classifier_scores": _quality_classifier_scores,
         "corpus_pipeline_assign": _corpus_pipeline_assign,
+        "image_ahash_dedup": _image_ahash_dedup,
     }
 
 
@@ -2519,6 +2562,23 @@ def oracle_sql() -> dict[str, str]:
                          (n_terms * 1000000.0), 6))), 6) AS prob
             FROM scored
         """,
+        # perceptual image dedup: frozen expected survivors (one per
+        # planted perceptual group, min media_id; pure function of the
+        # planted pixels — see _image_ahash_dedup docstring).
+        "image_ahash_dedup": (
+            "SELECT CAST(media_id AS BIGINT) AS media_id, "
+            "CAST(ahash AS BIGINT) AS ahash, CAST(w AS INT) AS width, "
+            "CAST(h AS INT) AS height, status FROM (VALUES "
+            "(0, 281474959933567, 24, 16, 'ok'), "
+            "(1, 562949684986111, 24, 16, 'ok'), "
+            "(2, 36028792723997183, 24, 16, 'ok'), "
+            "(3, 144114088564293631, 24, 16, 'ok'), "
+            "(4, 576458553280233471, 24, 16, 'ok'), "
+            "(5, -281474959933504, 24, 16, 'ok'), "
+            "(6, -9007194959773952, 24, 16, 'ok'), "
+            "(7, -72057044282179584, 24, 16, 'ok')"
+            ") AS t(media_id, ahash, w, h, status)"
+        ),
         # capstone pipeline: every stage (lang vote, Gopher rules on
         # rounded signals, hashed classifier, exact dedup, md5 shard,
         # per-shard packing) replayed in one statement, same order.

@@ -374,3 +374,54 @@ def test_corpus_pipeline_report_and_invariants(spark):
         for r in rows_s:
             assert r["pack_id"] == run // 64
             run += r["n_tokens"]
+
+
+# ------------------------------------------------------ image dedup
+
+def test_ahash_deterministic_and_discriminative():
+    from ocr_agent_spark.functions.imagededup import ahash64
+    from ocr_agent_spark.kernel.imagemeta import build_bmp, build_png
+
+    h1, w, h = ahash64(build_png(32, 24, seed=5))
+    assert (w, h) == (32, 24)
+    assert h1 == ahash64(build_png(32, 24, seed=5))[0]  # deterministic
+    # same pixels, different container → identical perceptual hash
+    hb = ahash64(build_bmp(32, 24, seed=5))[0]
+    assert hb == h1
+    # different content → different hash (for these fixtures)
+    h2 = ahash64(build_png(32, 24, seed=131))[0]
+    assert h2 != h1
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        ahash64(b"not an image at all")
+
+
+def test_image_dedup_collapses_cross_container_copies(spark):
+    from ocr_agent_spark.functions.imagededup import (
+        image_ahash, image_dedup_keep, image_hamming_pairs,
+    )
+    from ocr_agent_spark.kernel.imagemeta import build_bmp, build_png
+
+    rows = []
+    for i in range(4):  # 4 perceptual groups...
+        rows.append((i * 10 + 0, bytearray(build_png(20, 20, seed=i * 40))))
+        rows.append((i * 10 + 1, bytearray(build_bmp(20, 20, seed=i * 40))))
+        rows.append((i * 10 + 2, bytearray(build_png(20, 20, seed=i * 40))))
+    rows.append((99, bytearray(b"corrupt bytes")))
+    media = spark.createDataFrame(rows, ["media_id", "data"])
+    hashes = image_ahash(media)
+    got = {r["media_id"]: r for r in hashes.collect()}
+    assert got[99]["status"] == "undecodable" and got[99]["ahash"] is None
+    for i in range(4):
+        assert got[i * 10]["ahash"] == got[i * 10 + 1]["ahash"]
+
+    pairs = image_hamming_pairs(hashes, max_hamming=0).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {
+        (i * 10, i * 10 + 1) for i in range(4)
+    } | {(i * 10, i * 10 + 2) for i in range(4)} | {
+        (i * 10 + 1, i * 10 + 2) for i in range(4)
+    }
+
+    kept = sorted(r["media_id"]
+                  for r in image_dedup_keep(hashes, 0).collect())
+    assert kept == [0, 10, 20, 30, 99]  # min id per cluster + undecodable
