@@ -70,11 +70,18 @@ def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def train_bigram_lm(
     train_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> BigramLM:
-    bigrams = _doc_bigrams(train_docs, text_col, id_col)
+    from ocr_agent_spark.cache import persist_tracked
+
+    # the training explode feeds two aggregates (and vocab derives
+    # from the second) — persist so the pass over the training split
+    # runs once, not three times (Spark shares no subtrees otherwise).
+    bigrams = persist_tracked(_doc_bigrams(train_docs, text_col, id_col))
     bigram_counts = bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    unigram_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    unigram_counts = persist_tracked(
+        bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
     # vocab = distinct tokens observed as a bigram HISTORY (w1) — the
     # denominator's event space; a 1-row aggregate.
     vocab = unigram_counts.agg(F.count(F.lit(1)).alias("v"))

@@ -56,10 +56,18 @@ def tfidf_top_terms(
     and ties broken lexicographically on term — fully deterministic, so
     a SQL engine can replay it byte-for-byte.
     """
+    from ocr_agent_spark.cache import persist_tracked
+
     terms = _terms(docs, text_col, id_col).filter(
         F.length("term") >= min_term_len
     )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the scoring join and the df aggregate; without a
+    # persist Spark rebuilds the token explode + aggregate for each
+    # reference (verified: 0 ReusedExchange in the unpersisted plan) —
+    # a 2× waste of the dominant pass at corpus scale.
+    tf = persist_tracked(
+        terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_counts = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )  # tf already has one row per (doc, term): plain count == distinct docs
