@@ -1400,6 +1400,78 @@ def _dedup_incremental(spark, sf):
     )
 
 
+def _sessionize_events(spark, sf):
+    """Gap-based sessionization (functions/sessions.py): one window
+    pass tags each event with its per-user session_seq (new session
+    when the gap to the previous event exceeds 1800 s, ties broken on
+    event_id), then a plain groupBy aggregates one row per session.
+    Timestamps surface as exact microsecond BIGINTs and the value sum
+    goes through integer cents so the oracle compare is exact."""
+    from ocr_agent_spark.functions.sessions import sessionize_stats
+
+    e = _t(spark, sf, "events")
+    s = sessionize_stats(e, gap_seconds=1800)
+    return s.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "n_events",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        .alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp"))
+        .alias("end_us"),
+        (F.unix_micros(F.col("session_end").cast("timestamp"))
+         - F.unix_micros(F.col("session_start").cast("timestamp")))
+        .alias("duration_us"),
+        "value_sum",
+    )
+
+
+def _bm25_topk(spark, sf):
+    """Okapi BM25 ranked retrieval (functions/retrieval.py): for a
+    bounded query-term list the scorer is a pure projection — tf via
+    array filter (no explode), corpus stats one broadcast row, top-k
+    via TakeOrderedAndProject. Full oracle: DuckDB replays the same
+    micro-unit quantized formula term-for-term."""
+    from ocr_agent_spark.functions.retrieval import bm25_topk
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return bm25_topk(d, ["spark", "vector", "zeppelin"], k=50)
+
+
+def _dsir_weights(spark, sf):
+    """DSIR importance resampling (functions/dsir.py, Xie et al.
+    2023): hashed uni+bigram bucket distributions over a target seed
+    set (en docs with doc_id<100) vs the raw corpus; per-doc
+    log-likelihood-ratio weight as an exact integer dot product, plus
+    the Gumbel-perturbed resampling key. Full oracle: DuckDB replays
+    tokenize→hash→distributions→micro-quantized ratio→gumbel."""
+    from ocr_agent_spark.functions.dsir import dsir_sample_keys
+
+    d = _t(spark, sf, "documents")
+    raw = d.select("doc_id", "text")
+    target = d.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") < 100)
+    ).select("doc_id", "text")
+    return dsir_sample_keys(raw, target, n_buckets=256)
+
+
+def _line_dedup(spark, sf):
+    """Within-document repeated-line removal (functions/linededup.py,
+    RefinedWeb-style): first occurrence wins, blank lines survive,
+    zero-shuffle projection. Lines are planted by breaking the
+    synthetic docs at spaces (deterministic, replayed in SQL); the
+    deduped text surfaces as its md5 to keep rows narrow."""
+    from ocr_agent_spark.functions.linededup import dedup_lines
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.regexp_replace(F.col("text"), " ", "\n").alias("text")
+    )
+    return dedup_lines(d).select(
+        "doc_id", "n_lines", "n_lines_kept",
+        F.md5(F.col("text_deduped")).alias("dedup_md5"),
+    )
+
+
 def _quality_classifier_scores(spark, sf):
     """Model-based quality gate (functions/qualityclf.py): hashed
     bag-of-words → weight-table join → mean-pooled logit → sigmoid.
@@ -1544,6 +1616,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _host_pagerank,
         "anchor_text_topk": _anchor_text_topk,
         "dedup_incremental": _dedup_incremental,
+        # r6 batch 3: gap-based sessionization (window slots opened by
+        # parking robots/sitemap/crawl_delta (green r4+r5) and q1
+        # (green r3+r4+r5) with fresh tail evidence)
+        "sessionize_events": _sessionize_events,
+        "bm25_topk": _bm25_topk,
+        "dsir_weights": _dsir_weights,
+        "line_dedup": _line_dedup,
         # r6 rotation IN (VERDICT r5 item 6): the 8 entries parked in
         # r5 come back for fresh driver hashes, per the 2-round parking
         # promise, plus the two longest-parked scalar gap-fills.
@@ -1557,15 +1636,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_resume_antijoin": _j2_resume_antijoin,
         "f10_epoch": _f10_epoch,
         "f13_mime_map": _f13_mime_map,
-        # robots.txt politeness gate (r4: RFC 9309 longest-match)
-        "robots_allowed": _robots_allowed,
-        # sitemap frontier ingestion (r4: crawl-discovery companion)
-        "sitemap_frontier": _sitemap_frontier,
-        # re-crawl delta classification (r4: incremental-pipeline core)
-        "crawl_delta": _crawl_delta,
-        # headline analytics
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q3_top_revenue": _q3_top_revenue,
         # --- rotation tail (entries 51+): pure-SQL gap-fills with multi-
         # round DuckDB hash-match history — parked beyond the driver's
         # 50-query sweep window by design, and ROTATED 2-3 per round so
@@ -1574,6 +1644,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-verifies the parked set locally and records hashes in-repo).
         # r6 batch-2 parking: the r3 cohort (3 rounds of driver green)
         # swapped out for the six r6 batch-2 operators above.
+        # r6 batch-3 parking: the crawl-arc trio (green r4+r5) and q1
+        # (green r3+r4+r5) swapped out for sessionize_events above; q3
+        # keeps its r6 tail spot from the batch-2 rotation.
+        "robots_allowed": _robots_allowed,             # green r4+r5
+        "sitemap_frontier": _sitemap_frontier,         # green r4+r5
+        "crawl_delta": _crawl_delta,                   # green r4+r5
+        "q1_pricing_summary": _q1_pricing_summary,     # green r3+r4+r5
+        "q3_top_revenue": _q3_top_revenue,             # green r3+r4+r5
         "f15_result_coalesce": _f15_result_coalesce,   # green r3+r4+r5
         "pii_redaction": _pii_redaction,               # green r3+r4+r5
         "benchmark_contamination": _benchmark_contamination,  # r3-r5
@@ -1666,6 +1744,7 @@ _EMB_NEAR_DUP_ORACLE = """
 
 def oracle_sql() -> dict[str, str]:
     from ocr_agent_spark.functions.pagerank import pagerank_oracle_sql
+    from ocr_agent_spark.functions.retrieval import bm25_oracle_sql
 
     planted_near = """
             SELECT doc_id, text FROM documents WHERE doc_id < 100
@@ -2702,6 +2781,129 @@ def oracle_sql() -> dict[str, str]:
         # both near arcs replayed with TRUE Jaccard (valid: no sf pair
         # sits in [0.35, 0.95), so the 32-hash estimate agrees with
         # the 0.8 threshold; the in-batch verify stage is exact).
+        "bm25_topk": bm25_oracle_sql(["spark", "vector", "zeppelin"], k=50),
+        "line_dedup": r"""
+            WITH d AS (
+              SELECT doc_id, replace(text, ' ', chr(10)) AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, i, w[i] AS line, lower(trim(w[i])) AS key
+              FROM (
+                SELECT doc_id, string_split(text, chr(10)) AS w FROM d
+              ), unnest(generate_series(1, len(w))) AS t(i)
+            ), kept AS (
+              SELECT doc_id, i, line FROM (
+                SELECT doc_id, i, line, key,
+                       row_number() OVER (PARTITION BY doc_id, key
+                                          ORDER BY i) AS rn
+                FROM lines
+              ) WHERE key = '' OR rn = 1
+            )
+            SELECT d.doc_id,
+                   CAST(len(string_split(d.text, chr(10))) AS INT)
+                       AS n_lines,
+                   CAST(len(string_split(COALESCE(k.txt, d.text),
+                                         chr(10))) AS INT)
+                       AS n_lines_kept,
+                   md5(COALESCE(k.txt, d.text)) AS dedup_md5
+            FROM d LEFT JOIN (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt
+              FROM kept GROUP BY doc_id
+            ) k ON k.doc_id = d.doc_id
+        """,
+        "dsir_weights": r"""
+            WITH raw AS (SELECT doc_id, text FROM documents),
+            tgt AS (
+              SELECT doc_id, text FROM documents
+              WHERE lang = 'en' AND doc_id < 100
+            ), wt_r AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> x <> '') AS w FROM raw
+            ), toks_r AS (
+              SELECT doc_id, unnest(w) AS tok FROM wt_r
+              UNION ALL
+              SELECT doc_id, w[i] || ' ' || w[i + 1]
+              FROM wt_r, unnest(generate_series(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 2
+            ), cnt_r AS (
+              SELECT doc_id,
+                CAST(concat('0x', substring(md5('dsir:' || tok), 1, 8))
+                     AS BIGINT) % 256 AS bucket,
+                COUNT(*) AS c
+              FROM toks_r GROUP BY 1, 2
+            ), wt_t AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> x <> '') AS w FROM tgt
+            ), toks_t AS (
+              SELECT doc_id, unnest(w) AS tok FROM wt_t
+              UNION ALL
+              SELECT doc_id, w[i] || ' ' || w[i + 1]
+              FROM wt_t, unnest(generate_series(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 2
+            ), cnt_t AS (
+              SELECT doc_id,
+                CAST(concat('0x', substring(md5('dsir:' || tok), 1, 8))
+                     AS BIGINT) % 256 AS bucket,
+                COUNT(*) AS c
+              FROM toks_t GROUP BY 1, 2
+            ), dist_t AS (SELECT bucket, SUM(c) AS cb FROM cnt_t GROUP BY 1),
+            dist_r AS (SELECT bucket, SUM(c) AS cb FROM cnt_r GROUP BY 1),
+            grid AS (SELECT CAST(i AS BIGINT) AS bucket
+                     FROM unnest(range(256)) AS g(i)),
+            j AS (
+              SELECT grid.bucket, COALESCE(dt.cb, 0) AS ct,
+                     COALESCE(dr.cb, 0) AS cr
+              FROM grid LEFT JOIN dist_t dt ON dt.bucket = grid.bucket
+                        LEFT JOIN dist_r dr ON dr.bucket = grid.bucket
+            ), tot AS (SELECT SUM(ct) AS tot_t, SUM(cr) AS tot_r FROM j),
+            micro AS (
+              SELECT bucket,
+                CAST(round((ln((ct + 0.5) / (tot_t + 128.0))
+                            - ln((cr + 0.5) / (tot_r + 128.0))) * 1e6)
+                     AS BIGINT) AS micro
+              FROM j, tot
+            ), wts AS (
+              SELECT c.doc_id, SUM(c.c * m.micro) AS micros
+              FROM cnt_r c JOIN micro m ON m.bucket = c.bucket GROUP BY 1
+            )
+            SELECT r.doc_id, COALESCE(micros, 0) / 1e6 AS log_weight,
+              (COALESCE(micros, 0)
+               + CAST(round(-ln(-ln(
+                   CAST(concat('0x', substring(
+                     md5('dsir-gumbel:' || CAST(r.doc_id AS VARCHAR)),
+                     1, 8)) AS BIGINT) / 4294967296.0)) * 1e6)
+                 AS BIGINT)) / 1e6 AS sample_key
+            FROM raw r LEFT JOIN wts ON wts.doc_id = r.doc_id
+        """,
+        "sessionize_events": """
+            WITH tagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w)
+                                    > 1800.0
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), seq AS (
+                SELECT user_id, ts, value,
+                       CAST(SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+                       AS session_seq
+                FROM tagged
+            )
+            SELECT user_id, session_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   epoch_us(MIN(ts)) AS start_us,
+                   epoch_us(MAX(ts)) AS end_us,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+                   SUM(CAST(round(value * 100) AS BIGINT)) / 100.0
+                       AS value_sum
+            FROM seq GROUP BY 1, 2
+        """,
         "dedup_incremental": r"""
             WITH RECURSIVE base AS (
                 SELECT doc_id, text FROM documents

@@ -35,15 +35,22 @@ MUST_BE_SWEPT = {
     "near_dedup_keep", "simhash_signatures", "lsh_cosine_topk",
     "ivf_cosine_topk", "minhash_near_dups", "extract_synthetic_pages",
     "merged_artifact_hash", "corpus_clean_keep",
-    "f15_result_coalesce", "pii_redaction",
-    "benchmark_contamination", "warc_roundtrip",
-    "robots_allowed", "sitemap_frontier", "crawl_delta",
+    # f15_result_coalesce / pii_redaction / benchmark_contamination
+    # (green r3+r4+r5), warc_roundtrip (r4+r5), robots_allowed /
+    # sitemap_frontier / crawl_delta (r4+r5) and q1/q3 (r3+r4+r5) were
+    # PARKED in r6 with fresh 2026-08-17 hash matches in
+    # TAIL_EVIDENCE.json — ≥2 rounds of driver history each, per the
+    # parking policy.
     # r5 additions (one round of driver history — keep a second round
     # per the parking promise; CORRECTNESS_r05 is their only record)
     "frontier_schedule", "shingle_df_stats", "gopher_quality",
     "repetition_stats", "paragraph_dedup",
     # r6 additions (no driver history yet)
     "doc_embeddings", "bpe_real_token_histogram",
+    "tfidf_top_terms", "pack_assignments", "lm_perplexity_buckets",
+    "host_pagerank", "anchor_text_topk", "dedup_incremental",
+    # r6 late additions (this session; no driver history yet)
+    "sessionize_events", "bm25_topk", "dsir_weights", "line_dedup",
     # rotated back in for r6 (VERDICT r5 item 6); keep in-window until
     # CORRECTNESS_r6 records them
     "a1_status_histogram", "a2_category_totals", "a6_ordered_concat",

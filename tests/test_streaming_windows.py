@@ -75,3 +75,109 @@ def test_append_mode_emits_closed_windows_and_drops_late(spark, tmp_path):
     rows = _drain(spark, inbox, out, ckpt)
     emitted = {(r["window_start"].hour, r["key"]): r["n"] for r in rows}
     assert emitted[(0, "click")] == 2  # unchanged — late row dropped
+
+
+def _drain_sessions(spark, inbox, out, ckpt):
+    from ocr_agent_spark.streaming.windows import session_window_counts
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .format("parquet").load(inbox)
+    )
+    q = (
+        session_window_counts(stream, gap="10 minutes",
+                              watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(out):
+        return []
+    return spark.read.parquet(out).collect()
+
+
+def _write_user_events(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    schema = pa.schema(
+        [("ts", pa.timestamp("us", tz="UTC")), ("user_id", pa.int64())]
+    )
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"ts": [r[0] for r in rows], "user_id": [r[1] for r in rows]},
+            schema=schema,
+        ),
+        path,
+    )
+
+
+def test_session_windows_merge_and_close_on_watermark(spark, tmp_path):
+    inbox = str(tmp_path / "s_inbox")
+    out = str(tmp_path / "s_out")
+    ckpt = str(tmp_path / "s_ckpt")
+    m = lambda minutes: BASE + dt.timedelta(minutes=minutes)
+
+    # user 1: 0, 5, 8 min (one session, within 10-min gaps); user 2: 30.
+    _write_user_events(f"{inbox}/b0.parquet",
+                       [(m(0), 1), (m(5), 1), (m(8), 1), (m(30), 2)])
+    assert _drain_sessions(spark, inbox, out, ckpt) == []
+
+    # far-future event advances the watermark; both sessions close.
+    _write_user_events(f"{inbox}/b1.parquet", [(m(300), 1)])
+    rows = _drain_sessions(spark, inbox, out, ckpt)
+    got = {(r["key"], r["n"]) for r in rows}
+    assert got == {(1, 3), (2, 1)}
+    sess1 = next(r for r in rows if r["key"] == 1)
+    # session end = last event + gap
+    assert sess1["session_start"] == m(0).replace(tzinfo=None) or \
+        sess1["session_start"].replace(tzinfo=dt.timezone.utc) == m(0)
+    assert (sess1["session_end"] - sess1["session_start"]) == \
+        dt.timedelta(minutes=18)
+
+
+def test_session_window_gap_boundary_agrees_with_batch(spark):
+    """F.session_window merges an event exactly `gap` after the
+    previous one (measured: touching windows DO merge), matching the
+    batch sessionizer's strict-`>` split (functions/sessions.py); one
+    microsecond past the gap splits in both. Pinned so the shared
+    boundary contract is explicit."""
+    from pyspark.sql import functions as F
+
+    from ocr_agent_spark.functions.sessions import sessionize
+
+    def native_sessions(df):
+        return sorted(
+            r["n"]
+            for r in df.groupBy(
+                F.session_window("ts", "10 minutes"), "user_id"
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+
+    at_gap = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 1, 0, 0), 1, 1.0),
+            (1, dt.datetime(2024, 1, 1, 0, 10), 1, 1.0),  # exactly gap
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    assert native_sessions(at_gap) == [2]  # one merged session
+    assert {
+        r["session_seq"] for r in sessionize(at_gap, gap_seconds=600)
+        .collect()
+    } == {1}
+
+    past_gap = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 1, 0, 0), 1, 1.0),
+            (1, dt.datetime(2024, 1, 1, 0, 10, 0, 1), 1, 1.0),  # gap + 1µs
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    assert native_sessions(past_gap) == [1, 1]  # split
+    assert {
+        r["session_seq"] for r in sessionize(past_gap, gap_seconds=600)
+        .collect()
+    } == {1, 2}
