@@ -729,6 +729,25 @@ def _gopher_quality(spark, sf):
     return gopher_quality_signals(d)
 
 
+def _host_quality_priors(spark, sf):
+    """FineWeb-style per-host quality priors (functions/webquality.py):
+    Gopher signals → keep verdict → one groupBy(host) with exact
+    integer sums and deterministic ratio divisions. Hosts synthesized
+    with the same skew shape as host_histogram (half the corpus on one
+    mega-host) — skew only concentrates addition, absorbed map-side."""
+    from ocr_agent_spark.functions.webquality import host_quality_priors
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("big.example.com")
+    ).otherwise(
+        F.concat(F.lit("host"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".example.com"))
+    )
+    d = d.select("doc_id", "text", host.alias("host"))
+    return host_quality_priors(d, min_words=20)
+
+
 def _repetition_stats(spark, sf):
     """Gopher repetition signals: duplicate-line/paragraph fractions
     (count- and char-weighted) + top-2-gram character coverage."""
@@ -1623,6 +1642,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _bm25_topk,
         "dsir_weights": _dsir_weights,
         "line_dedup": _line_dedup,
+        "host_quality_priors": _host_quality_priors,
         # r6 rotation IN (VERDICT r5 item 6): the 8 entries parked in
         # r5 come back for fresh driver hashes, per the 2-round parking
         # promise, plus the two longest-parked scalar gap-fills.
@@ -1635,7 +1655,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_lag_delta": _w6_lag_delta,
         "j2_resume_antijoin": _j2_resume_antijoin,
         "f10_epoch": _f10_epoch,
-        "f13_mime_map": _f13_mime_map,
         # --- rotation tail (entries 51+): pure-SQL gap-fills with multi-
         # round DuckDB hash-match history — parked beyond the driver's
         # 50-query sweep window by design, and ROTATED 2-3 per round so
@@ -1647,6 +1666,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 batch-3 parking: the crawl-arc trio (green r4+r5) and q1
         # (green r3+r4+r5) swapped out for sessionize_events above; q3
         # keeps its r6 tail spot from the batch-2 rotation.
+        "f13_mime_map": _f13_mime_map,  # green r1+r2; rotated in for r6
+        # then re-parked mid-round to make window room for the 5 new
+        # operators (same-day tail hash evidence on record)
         "robots_allowed": _robots_allowed,             # green r4+r5
         "sitemap_frontier": _sitemap_frontier,         # green r4+r5
         "crawl_delta": _crawl_delta,                   # green r4+r5
@@ -2782,6 +2804,76 @@ def oracle_sql() -> dict[str, str]:
         # sits in [0.35, 0.95), so the 32-hash estimate agrees with
         # the 0.8 threshold; the in-batch verify stage is exact).
         "bm25_topk": bm25_oracle_sql(["spark", "vector", "zeppelin"], k=50),
+        "host_quality_priors": (r"""
+            WITH d AS (
+              SELECT doc_id, text,
+                CASE WHEN doc_id % 2 = 0 THEN 'big.example.com'
+                     ELSE 'host' || CAST(doc_id % 37 AS VARCHAR)
+                          || '.example.com' END AS host
+              FROM documents WHERE text IS NOT NULL
+            ),
+            w AS (
+              SELECT doc_id, host, text,
+                list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            x -> x <> '') AS words,
+                list_filter(list_transform(
+                              regexp_split_to_array(text, '\r?\n'),
+                              x -> trim(x)),
+                            x -> x <> '') AS lines
+              FROM d
+            ),
+            sig AS (
+              SELECT doc_id, host,
+                len(words) AS n_words,
+                ROUND(CASE WHEN len(words) > 0 THEN
+                  coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+                    * 1.0 / len(words) ELSE 0.0 END, 6) AS mean_word_len,
+                ROUND(CASE WHEN len(words) > 0 THEN
+                  ((len(text) - len(replace(text, '#', '')))
+                   + (len(text) - len(replace(text, '...', ''))) / 3.0
+                   + (len(text) - len(replace(text, '…', ''))))
+                    / len(words) ELSE 0.0 END, 6) AS symbol_word_ratio,
+                ROUND(CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines, x -> regexp_matches(x, '^[-*•]')))
+                    * 1.0 / len(lines) ELSE 0.0 END, 6)
+                  AS bullet_line_frac,
+                ROUND(CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines,
+                        x -> regexp_matches(x, '(\.\.\.|…)$')))
+                    * 1.0 / len(lines) ELSE 0.0 END, 6)
+                  AS ellipsis_line_frac,
+                ROUND(CASE WHEN len(words) > 0 THEN
+                  len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                    * 1.0 / len(words) ELSE 0.0 END, 6) AS alpha_word_frac,
+                len(list_filter(list_transform(words, x -> lower(x)),
+                  x -> list_contains(['the','be','to','of','and','that',
+                                      'have','with'], x)))
+                  AS stopword_hits
+              FROM w
+            ),
+            k AS (
+              SELECT host, n_words, stopword_hits,
+                CASE WHEN n_words BETWEEN 20 AND 100000
+                      AND mean_word_len BETWEEN 3.0 AND 10.0
+                      AND symbol_word_ratio <= 0.1
+                      AND bullet_line_frac <= 0.9
+                      AND ellipsis_line_frac <= 0.3
+                      AND alpha_word_frac >= 0.8
+                      AND stopword_hits >= 2
+                  THEN 1 ELSE 0 END AS keep
+              FROM sig
+            )
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(keep) AS BIGINT) AS n_keep,
+                   CAST(SUM(keep) AS BIGINT) * 1.0 / COUNT(*)
+                       AS keep_rate,
+                   CAST(SUM(n_words) AS BIGINT) AS total_words,
+                   CAST(SUM(n_words) AS BIGINT) * 1.0 / COUNT(*)
+                       AS mean_words,
+                   CAST(SUM(stopword_hits) AS BIGINT) * 1.0 / COUNT(*)
+                       AS mean_stopword_hits
+            FROM k GROUP BY host
+        """),
         "line_dedup": r"""
             WITH d AS (
               SELECT doc_id, replace(text, ' ', chr(10)) AS text

@@ -130,15 +130,10 @@ def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def gopher_quality_keep(docs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text",
-                        min_words: int = GOPHER_MIN_WORDS,
-                        max_words: int = GOPHER_MAX_WORDS) -> DataFrame:
-    """Documents passing ALL Gopher quality rules (canonical
-    thresholds; word-count band parameterized for small test corpora).
-    Returns the surviving rows of ``docs`` unchanged."""
-    sig = gopher_quality_signals(docs, id_col, text_col)
-    keep = sig.filter(
+def gopher_keep_predicate(min_words: int = GOPHER_MIN_WORDS,
+                          max_words: int = GOPHER_MAX_WORDS) -> Column:
+    """ALL Gopher rules as one boolean over the signal columns."""
+    return (
         F.col("n_words").between(min_words, max_words)
         & F.col("mean_word_len").between(
             GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
@@ -148,8 +143,65 @@ def gopher_quality_keep(docs: DataFrame, id_col: str = "doc_id",
         & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
         & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
         & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+    )
+
+
+def gopher_quality_keep(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        min_words: int = GOPHER_MIN_WORDS,
+                        max_words: int = GOPHER_MAX_WORDS) -> DataFrame:
+    """Documents passing ALL Gopher quality rules (canonical
+    thresholds; word-count band parameterized for small test corpora).
+    Returns the surviving rows of ``docs`` unchanged."""
+    sig = gopher_quality_signals(docs, id_col, text_col)
+    keep = sig.filter(
+        gopher_keep_predicate(min_words, max_words)
     ).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def host_quality_priors(docs: DataFrame, host_col: str = "host",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        min_words: int = GOPHER_MIN_WORDS,
+                        max_words: int = GOPHER_MAX_WORDS) -> DataFrame:
+    """Per-host quality aggregates — the FineWeb-style host prior.
+
+    Training pipelines score HOSTS, not just documents: a host whose
+    pages overwhelmingly fail the quality gates gets demoted (or
+    dropped) wholesale, which is both cheaper than per-page judging on
+    the next crawl and robust to single-page flukes. One row per host:
+    ``n_docs``, ``n_keep`` (pass ALL Gopher rules), ``keep_rate``,
+    ``total_words``, ``mean_words``, ``mean_stopword_hits``.
+
+    Exactness: counts/sums are integers; the three ratios are single
+    IEEE divisions of exact integers — deterministic across engines
+    and partitionings. One projection + one groupBy(host) with
+    map-side combine; host skew only concentrates ADDITION, which the
+    partial aggregation absorbs (a mega-host collapses to one row per
+    map task before the exchange).
+    """
+    sig = gopher_quality_signals(docs, id_col, text_col)
+    hosted = sig.join(docs.select(id_col, host_col), id_col)
+    keep = gopher_keep_predicate(min_words, max_words).cast("long")
+    return (
+        hosted.groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep).alias("n_keep"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("stopword_hits").alias("total_stopword_hits"),
+        )
+        .select(
+            host_col,
+            "n_docs",
+            "n_keep",
+            (F.col("n_keep") / F.col("n_docs")).alias("keep_rate"),
+            "total_words",
+            (F.col("total_words") / F.col("n_docs")).alias("mean_words"),
+            (F.col("total_stopword_hits") / F.col("n_docs"))
+            .alias("mean_stopword_hits"),
+        )
+    )
 
 
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",

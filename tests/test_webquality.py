@@ -130,3 +130,27 @@ def test_typographic_ellipsis_counted(spark):
     assert r["ellipsis_line_frac"] == pytest.approx(2 / 3, abs=1e-6)
     # one '…' (weight 1) + one '...' (3 chars / 3) over 9 words
     assert r["symbol_word_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+
+
+def test_host_quality_priors(spark):
+    good = ("the data and that rows be to of scans with tables " * 3).strip()
+    bad = "### ### ### ###"  # fails symbol ratio + stopwords + min words
+    docs = spark.createDataFrame(
+        [
+            (0, good, "a.com"),
+            (1, good, "a.com"),
+            (2, bad, "a.com"),
+            (3, bad, "b.com"),
+        ],
+        "doc_id long, text string, host string",
+    )
+    rows = {
+        r["host"]: r
+        for r in wq.host_quality_priors(docs, min_words=10).collect()
+    }
+    a, b = rows["a.com"], rows["b.com"]
+    assert a["n_docs"] == 3 and a["n_keep"] == 2
+    assert a["keep_rate"] == pytest.approx(2 / 3, abs=1e-9)
+    assert b["n_docs"] == 1 and b["n_keep"] == 0 and b["keep_rate"] == 0.0
+    assert a["total_words"] == 2 * 33 + 4
+    assert a["mean_stopword_hits"] > b["mean_stopword_hits"]
