@@ -729,6 +729,22 @@ def _gopher_quality(spark, sf):
     return gopher_quality_signals(d)
 
 
+def _corpus_overlap(spark, sf):
+    """Exact corpus-level shingle overlap (functions/dedup.py:
+    corpus_shingle_overlap) between two snapshot-like slices with
+    planted 100-doc overlap (A = doc_id<300, B = doc_id>=200). One
+    output row: distinct-shingle counts, intersection/union, jaccard
+    + containments. Full oracle: DuckDB replays shingles + full-outer
+    counts. 100 TB path is corpus_overlap_estimate (constant-size
+    minhash corpus signature; accuracy pinned in pytest)."""
+    from ocr_agent_spark.functions.dedup import corpus_shingle_overlap
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return corpus_shingle_overlap(
+        d.filter(F.col("doc_id") < 300), d.filter(F.col("doc_id") >= 200)
+    )
+
+
 def _host_quality_priors(spark, sf):
     """FineWeb-style per-host quality priors (functions/webquality.py):
     Gopher signals → keep verdict → one groupBy(host) with exact
@@ -1643,6 +1659,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _dsir_weights,
         "line_dedup": _line_dedup,
         "host_quality_priors": _host_quality_priors,
+        "corpus_overlap": _corpus_overlap,
         # r6 rotation IN (VERDICT r5 item 6): the 8 entries parked in
         # r5 come back for fresh driver hashes, per the 2-round parking
         # promise, plus the two longest-parked scalar gap-fills.
@@ -1654,7 +1671,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": _rollup_orders,
         "w6_lag_delta": _w6_lag_delta,
         "j2_resume_antijoin": _j2_resume_antijoin,
-        "f10_epoch": _f10_epoch,
         # --- rotation tail (entries 51+): pure-SQL gap-fills with multi-
         # round DuckDB hash-match history — parked beyond the driver's
         # 50-query sweep window by design, and ROTATED 2-3 per round so
@@ -1666,6 +1682,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 batch-3 parking: the crawl-arc trio (green r4+r5) and q1
         # (green r3+r4+r5) swapped out for sessionize_events above; q3
         # keeps its r6 tail spot from the batch-2 rotation.
+        "f10_epoch": _f10_epoch,        # green r1+r2; rotated in for r6
+        # then re-parked mid-round for corpus_overlap (tail evidence
+        # re-recorded same day)
         "f13_mime_map": _f13_mime_map,  # green r1+r2; rotated in for r6
         # then re-parked mid-round to make window room for the 5 new
         # operators (same-day tail hash evidence on record)
@@ -2804,6 +2823,47 @@ def oracle_sql() -> dict[str, str]:
         # sits in [0.35, 0.95), so the 32-hash estimate agrees with
         # the 0.8 threshold; the in-batch verify stage is exact).
         "bm25_topk": bm25_oracle_sql(["spark", "vector", "zeppelin"], k=50),
+        "corpus_overlap": (r"""
+            WITH ta AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE doc_id < 300
+            ), tb AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE doc_id >= 200
+            ), sa AS (
+              SELECT DISTINCT shingle FROM (
+                SELECT array_to_string(t[i:i+2], ' ') AS shingle
+                FROM ta, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                WHERE len(t) >= 3
+                UNION ALL
+                SELECT array_to_string(t, ' ') FROM ta WHERE len(t) < 3
+              )
+            ), sb AS (
+              SELECT DISTINCT shingle FROM (
+                SELECT array_to_string(t[i:i+2], ' ') AS shingle
+                FROM tb, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                WHERE len(t) >= 3
+                UNION ALL
+                SELECT array_to_string(t, ' ') FROM tb WHERE len(t) < 3
+              )
+            ), j AS (
+              SELECT sa.shingle AS s_a, sb.shingle AS s_b
+              FROM sa FULL OUTER JOIN sb ON sa.shingle = sb.shingle
+            ), c AS (
+              SELECT CAST(COUNT(s_a) AS BIGINT) AS n_a,
+                     CAST(COUNT(s_b) AS BIGINT) AS n_b,
+                     CAST(SUM(CASE WHEN s_a IS NOT NULL
+                                    AND s_b IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+                     CAST(COUNT(*) AS BIGINT) AS n_union
+              FROM j
+            )
+            SELECT n_a, n_b, n_inter, n_union,
+                   n_inter * 1.0 / n_union AS jaccard,
+                   n_inter * 1.0 / n_a AS containment_a,
+                   n_inter * 1.0 / n_b AS containment_b
+            FROM c
+        """),
         "host_quality_priors": (r"""
             WITH d AS (
               SELECT doc_id, text,

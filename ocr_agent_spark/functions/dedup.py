@@ -89,6 +89,83 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id",
     return toks_df.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
+def corpus_shingle_overlap(a: DataFrame, b: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3) -> DataFrame:
+    """EXACT corpus-level shingle-set overlap — one row.
+
+    The snapshot-comparison operator: before merging two crawls (or
+    deciding whether a re-crawl is worth processing), measure how much
+    of corpus B's content corpus A already has. Columns: ``n_a``,
+    ``n_b`` (distinct shingles), ``n_inter``, ``n_union``, ``jaccard``,
+    ``containment_a`` (share of A's shingles also in B),
+    ``containment_b``.
+
+    Shape: two distinct-aggregations + one full-outer join on shingle
+    + a single-row aggregate. Exact and engine-replayable (counts +
+    single divisions), but the join shuffles both corpora's distinct
+    shingle sets — at 100 TB use :func:`corpus_overlap_estimate`
+    (constant-size corpus signatures) and reserve this for the
+    verification pass on a sample.
+    """
+    sa = shingle_table(a, id_col, text_col, n).select("shingle").distinct()
+    sb = shingle_table(b, id_col, text_col, n).select("shingle").distinct()
+    joined = sa.withColumn("_in_a", F.lit(1)).join(
+        sb.withColumn("_in_b", F.lit(1)), "shingle", "full_outer"
+    )
+    agg = joined.agg(
+        F.count("_in_a").alias("n_a"),
+        F.count("_in_b").alias("n_b"),
+        F.sum(
+            (F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull())
+            .cast("long")
+        ).alias("n_inter"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    return agg.select(
+        "n_a", "n_b", "n_inter", "n_union",
+        (F.col("n_inter") / F.col("n_union")).alias("jaccard"),
+        (F.col("n_inter") / F.col("n_a")).alias("containment_a"),
+        (F.col("n_inter") / F.col("n_b")).alias("containment_b"),
+    )
+
+
+def corpus_overlap_estimate(a: DataFrame, b: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            num_hashes: int = 128) -> DataFrame:
+    """Minhash ESTIMATE of corpus-level shingle Jaccard — one row.
+
+    Each corpus collapses to a constant-size signature (per-seed min
+    of xxhash64 over ALL its shingles — an all-docs aggregate with
+    map-side partials, so the shuffle carries ``num_hashes`` longs per
+    mapper regardless of corpus size). ``P(min_a == min_b) = J``, so
+    the match fraction estimates Jaccard with std ``sqrt(J(1-J)/k)``
+    (k=128 → ±0.04 at J=0.5). The 100 TB path; accuracy pinned against
+    :func:`corpus_shingle_overlap` in tests.
+    """
+    def sig(d: DataFrame):
+        sh = shingle_table(d, id_col, text_col, n)
+        return sh.agg(*[
+            F.min(F.xxhash64("shingle", F.lit(s))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ])
+
+    pa_ = sig(a)
+    pb = sig(b).select(
+        *[F.col(f"h{s}").alias(f"g{s}") for s in range(num_hashes)]
+    )
+    matches = None
+    for s in range(num_hashes):
+        m = (F.col(f"h{s}") == F.col(f"g{s}")).cast("int")
+        matches = m if matches is None else matches + m
+    return pa_.crossJoin(pb).select(
+        matches.alias("n_matches"),
+        F.lit(num_hashes).alias("num_hashes"),
+        (matches / F.lit(float(num_hashes))).alias("jaccard_est"),
+    )
+
+
 def hot_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
     """Shingles whose document frequency exceeds ``max_shingle_df``.
 
