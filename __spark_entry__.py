@@ -745,6 +745,31 @@ def _corpus_overlap(spark, sf):
     )
 
 
+def _crawl_budget(spark, sf):
+    """Exact largest-remainder crawl-budget apportionment
+    (functions/budget.py): 1000 fetch slots across the skew-shaped
+    synthetic hosts weighted by doc count — integer allocations
+    summing to exactly 1000, each within 1 of its ideal share. The
+    scale-safe boundary-bucket selection is a pure optimization
+    (pinned by tests); the oracle replays plain Hamilton apportionment
+    with a global row_number, which must match bit-for-bit."""
+    from ocr_agent_spark.functions.budget import allocate_budget
+
+    d = _t(spark, sf, "documents")
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("big.example.com")
+    ).otherwise(
+        F.concat(F.lit("host"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".example.com"))
+    )
+    hosts = (
+        d.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return allocate_budget(hosts, 1000)
+
+
 def _host_quality_priors(spark, sf):
     """FineWeb-style per-host quality priors (functions/webquality.py):
     Gopher signals → keep verdict → one groupBy(host) with exact
@@ -1660,6 +1685,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _line_dedup,
         "host_quality_priors": _host_quality_priors,
         "corpus_overlap": _corpus_overlap,
+        "crawl_budget": _crawl_budget,
         # r6 rotation IN (VERDICT r5 item 6): the 8 entries parked in
         # r5 come back for fresh driver hashes, per the 2-round parking
         # promise, plus the two longest-parked scalar gap-fills.
@@ -1670,7 +1696,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_nations": _set_except_nations,
         "rollup_orders": _rollup_orders,
         "w6_lag_delta": _w6_lag_delta,
-        "j2_resume_antijoin": _j2_resume_antijoin,
         # --- rotation tail (entries 51+): pure-SQL gap-fills with multi-
         # round DuckDB hash-match history — parked beyond the driver's
         # 50-query sweep window by design, and ROTATED 2-3 per round so
@@ -1682,6 +1707,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 batch-3 parking: the crawl-arc trio (green r4+r5) and q1
         # (green r3+r4+r5) swapped out for sessionize_events above; q3
         # keeps its r6 tail spot from the batch-2 rotation.
+        "j2_resume_antijoin": _j2_resume_antijoin,  # green r4+r5 +
+        # resume pytest; rotated in for r6 then re-parked mid-round for
+        # crawl_budget (tail evidence re-recorded same day)
         "f10_epoch": _f10_epoch,        # green r1+r2; rotated in for r6
         # then re-parked mid-round for corpus_overlap (tail evidence
         # re-recorded same day)
@@ -2823,6 +2851,41 @@ def oracle_sql() -> dict[str, str]:
         # sits in [0.35, 0.95), so the 32-hash estimate agrees with
         # the 0.8 threshold; the in-batch verify stage is exact).
         "bm25_topk": bm25_oracle_sql(["spark", "vector", "zeppelin"], k=50),
+        "crawl_budget": (r"""
+            WITH hosts AS (
+              SELECT host, CAST(COUNT(*) AS DOUBLE) AS weight
+              FROM (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN 'big.example.com'
+                       ELSE 'host' || CAST(doc_id % 37 AS VARCHAR)
+                            || '.example.com' END AS host
+                FROM documents
+              ) GROUP BY host
+            ), q AS (
+              SELECT host, weight,
+                     CASE WHEN weight > 0
+                          THEN CAST(round(weight * 1e6) AS BIGINT)
+                          ELSE 0 END AS w
+              FROM hosts
+            ), tot AS (SELECT SUM(w) AS tot_w FROM q),
+            s AS (
+              SELECT host, weight, w, tot_w,
+                     (1000 * w) % tot_w AS rem,
+                     (1000 * w) // tot_w AS base
+              FROM q, tot
+            ), lo AS (SELECT 1000 - SUM(base) AS leftover FROM s),
+            r AS (
+              SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC)
+                     AS rn
+              FROM s
+            )
+            SELECT host, weight, CAST(base AS BIGINT) AS base,
+                   CASE WHEN rem > 0 AND rn <= leftover
+                        THEN 1 ELSE 0 END AS extra,
+                   CAST(base + CASE WHEN rem > 0 AND rn <= leftover
+                                    THEN 1 ELSE 0 END AS BIGINT)
+                       AS allocation
+            FROM r, lo
+        """),
         "corpus_overlap": (r"""
             WITH ta AS (
               SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
