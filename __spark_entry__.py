@@ -745,6 +745,41 @@ def _corpus_overlap(spark, sf):
     )
 
 
+def _mirror_hosts(spark, sf):
+    """Mirror-host detection (functions/mirrors.py): per-host content-
+    fingerprint sets → df-capped fp self-join → pairwise containment.
+    Planted shape: m2 fully mirrors m1's 50 docs, partial re-hosts 40
+    of them (+10 own), solo is unrelated, and one boilerplate page on
+    every host exercises the hot-fp cap. Full oracle replays md5
+    fingerprints + cap + pair containment in DuckDB."""
+    from ocr_agent_spark.functions.mirrors import mirror_host_pairs
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+
+    def slice_(lo, hi, host):
+        return d.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(F.lit(host).alias("host"), "text")
+
+    corpus = (
+        slice_(0, 50, "m1.example")
+        .unionByName(slice_(0, 50, "m2.example"))
+        .unionByName(slice_(0, 40, "partial.example"))
+        .unionByName(slice_(100, 110, "partial.example"))
+        .unionByName(slice_(200, 220, "solo.example"))
+    )
+    boiler = corpus.sparkSession.createDataFrame(
+        [(h, "404 not found")
+         for h in ("m1.example", "m2.example", "partial.example",
+                   "solo.example")],
+        "host string, text string",
+    )
+    return mirror_host_pairs(
+        corpus.unionByName(boiler),
+        min_containment=0.5, max_fp_hosts=3,
+    )
+
+
 def _crawl_budget(spark, sf):
     """Exact largest-remainder crawl-budget apportionment
     (functions/budget.py): 1000 fetch slots across the skew-shaped
@@ -1706,6 +1741,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality_priors": _host_quality_priors,
         "corpus_overlap": _corpus_overlap,
         "crawl_budget": _crawl_budget,
+        "mirror_hosts": _mirror_hosts,
         # r6 rotation IN (VERDICT r5 item 6): the 8 entries parked in
         # r5 come back for fresh driver hashes, per the 2-round parking
         # promise, plus the two longest-parked scalar gap-fills.
@@ -1714,7 +1750,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_ordered_concat": _a6_ordered_concat,
         "a_percentiles": _a_percentiles,
         "set_except_nations": _set_except_nations,
-        "rollup_orders": _rollup_orders,
         # --- rotation tail (entries 51+): pure-SQL gap-fills with multi-
         # round DuckDB hash-match history — parked beyond the driver's
         # 50-query sweep window by design, and ROTATED 2-3 per round so
@@ -1726,6 +1761,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 batch-3 parking: the crawl-arc trio (green r4+r5) and q1
         # (green r3+r4+r5) swapped out for sessionize_events above; q3
         # keeps its r6 tail spot from the batch-2 rotation.
+        "rollup_orders": _rollup_orders,  # green r1-r3+r5; rotated in
+        # for r6 then re-parked mid-round for mirror_hosts (tail
+        # evidence re-recorded same day)
         "w6_lag_delta": _w6_lag_delta,  # green r1-r3+r5; rotated in
         # for r6 then re-parked mid-round for sessionize_events_bucketed
         # (tail evidence re-recorded same day)
@@ -2873,6 +2911,54 @@ def oracle_sql() -> dict[str, str]:
         # sits in [0.35, 0.95), so the 32-hash estimate agrees with
         # the 0.8 threshold; the in-batch verify stage is exact).
         "bm25_topk": bm25_oracle_sql(["spark", "vector", "zeppelin"], k=50),
+        "mirror_hosts": (r"""
+            WITH corpus AS (
+              SELECT 'm1.example' AS host, text FROM documents
+                WHERE doc_id >= 0 AND doc_id < 50
+              UNION ALL
+              SELECT 'm2.example', text FROM documents
+                WHERE doc_id >= 0 AND doc_id < 50
+              UNION ALL
+              SELECT 'partial.example', text FROM documents
+                WHERE doc_id >= 0 AND doc_id < 40
+              UNION ALL
+              SELECT 'partial.example', text FROM documents
+                WHERE doc_id >= 100 AND doc_id < 110
+              UNION ALL
+              SELECT 'solo.example', text FROM documents
+                WHERE doc_id >= 200 AND doc_id < 220
+              UNION ALL
+              SELECT h, '404 not found'
+              FROM unnest(['m1.example', 'm2.example', 'partial.example',
+                           'solo.example']) AS t(h)
+            ), hf AS (
+              SELECT DISTINCT host,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                  AS fp
+              FROM corpus
+            ), hot AS (
+              SELECT fp FROM hf GROUP BY fp HAVING COUNT(*) > 3
+            ), cold AS (
+              SELECT * FROM hf WHERE fp NOT IN (SELECT fp FROM hot)
+            ), sizes AS (
+              SELECT host, COUNT(*) AS size FROM cold GROUP BY host
+            ), pairs AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM cold a JOIN cold b ON a.fp = b.fp
+              WHERE a.host < b.host
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 2
+            )
+            SELECT host_a, host_b, shared,
+                   CAST(sa.size AS BIGINT) AS size_a,
+                   CAST(sb.size AS BIGINT) AS size_b,
+                   shared * 1.0 / least(sa.size, sb.size) AS containment
+            FROM pairs
+            JOIN sizes sa ON sa.host = host_a
+            JOIN sizes sb ON sb.host = host_b
+            WHERE shared * 1.0 / least(sa.size, sb.size) >= 0.5
+        """),
         "crawl_budget": (r"""
             WITH hosts AS (
               SELECT host, CAST(COUNT(*) AS DOUBLE) AS weight

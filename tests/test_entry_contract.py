@@ -52,14 +52,15 @@ MUST_BE_SWEPT = {
     # r6 late additions (this session; no driver history yet)
     "sessionize_events", "bm25_topk", "dsir_weights", "line_dedup",
     "host_quality_priors", "corpus_overlap", "crawl_budget",
-    "sessionize_events_bucketed",
+    "sessionize_events_bucketed", "mirror_hosts",
     # rotated back in for r6 (VERDICT r5 item 6); keep in-window until
     # CORRECTNESS_r6 records them
     "a1_status_histogram", "a2_category_totals", "a6_ordered_concat",
-    "a_percentiles", "set_except_nations", "rollup_orders",
-    # f13_mime_map, f10_epoch, j2_resume_antijoin and w6_lag_delta
+    "a_percentiles", "set_except_nations",
+    # f13_mime_map, f10_epoch, j2_resume_antijoin, w6_lag_delta and
+    # rollup_orders
     # were rotated in for r6, then re-parked mid-round to make window
-    # room for the 8 brand-new operators — all keep same-day tail hash
+    # room for the 9 brand-new operators — all keep same-day tail hash
     # evidence in TAIL_EVIDENCE.json (j2 also has dedicated resume
     # pytest coverage).
 }
