@@ -677,6 +677,28 @@ def _doc_embeddings(spark, sf):
     )
 
 
+def _html_metadata(spark, sf):
+    """WAT-style head metadata (functions/metadata.py): pages built
+    deterministically from documents (quote styles, attribute orders,
+    missing fields, uppercase tags, no-</head> fallback — all keyed on
+    doc_id), then title / meta description / canonical / og:title /
+    html lang extracted with pure-JVM regexp columns. The oracle
+    replays BOTH halves — the page construction (shared dialect-neutral
+    SQL fragment) and the extraction (same RE2-safe patterns) — so the
+    hash pins the full pipeline, not just the generator."""
+    from ocr_agent_spark.functions.metadata import (
+        METADATA_FIELDS, head_metadata_cols, synthetic_page_expr)
+
+    d = _t(spark, sf, "documents")
+    page = d.selectExpr(
+        "doc_id", f"({synthetic_page_expr('spark')}) AS html_str"
+    )
+    cols = head_metadata_cols(F.col("html_str"))
+    return page.select(
+        "doc_id", *[cols[f].alias(f) for f in METADATA_FIELDS]
+    )
+
+
 def _url_blocklist(spark, sf):
     """Blocklist gate (functions/urlfilter.py) with planted verdicts:
     doc_id%6 picks the url shape — 1 hits the domain list through a
@@ -1688,7 +1710,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "near_dedup_keep": _near_dedup_keep,
         "simhash_signatures": _simhash_signatures,
-        "lsh_cosine_topk": _lsh_cosine_topk,
         "ivf_cosine_topk": _ivf_cosine_topk,
         # training-data pipeline: dedup / text / similarity
         "dedup_fingerprint_stats": _dedup_fingerprint_stats,
@@ -1742,6 +1763,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": _corpus_overlap,
         "crawl_budget": _crawl_budget,
         "mirror_hosts": _mirror_hosts,
+        "html_metadata": _html_metadata,  # r6 batch-4: WAT-style head
+        # metadata (window slot opened by parking lsh_cosine_topk,
+        # green r4+r5, same-day tail evidence)
         # r6 rotation IN (VERDICT r5 item 6): the 8 entries parked in
         # r5 come back for fresh driver hashes, per the 2-round parking
         # promise, plus the two longest-parked scalar gap-fills.
@@ -1776,6 +1800,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f13_mime_map": _f13_mime_map,  # green r1+r2; rotated in for r6
         # then re-parked mid-round to make window room for the 5 new
         # operators (same-day tail hash evidence on record)
+        "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
+        # mid-r6 to open a window slot for html_metadata (tail
+        # evidence re-recorded same day; twin ivf_cosine_topk stays
+        # in-window on the same planted-topk oracle)
         "robots_allowed": _robots_allowed,             # green r4+r5
         "sitemap_frontier": _sitemap_frontier,         # green r4+r5
         "crawl_delta": _crawl_delta,                   # green r4+r5
@@ -1869,6 +1897,23 @@ _EMB_NEAR_DUP_ORACLE = """
     WHERE list_cosine_similarity(a.embedding::DOUBLE[],
           b.embedding::DOUBLE[]) >= 0.9
 """
+
+
+def _html_metadata_oracle() -> str:
+    """Replays page construction AND extraction from the shared
+    dialect-neutral fragments in functions/metadata.py — one source of
+    truth for patterns, so the oracle can't drift from the query."""
+    from ocr_agent_spark.functions.metadata import (
+        METADATA_FIELDS, head_metadata_sql, synthetic_page_expr)
+
+    cols = head_metadata_sql("html_str")
+    fields = ", ".join(f"{cols[f]} AS {f}" for f in METADATA_FIELDS)
+    return (
+        "WITH pages AS (SELECT doc_id, ("
+        + synthetic_page_expr("duckdb")
+        + ") AS html_str FROM documents) "
+        f"SELECT doc_id, {fields} FROM pages"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2911,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
         # sits in [0.35, 0.95), so the 32-hash estimate agrees with
         # the 0.8 threshold; the in-batch verify stage is exact).
         "bm25_topk": bm25_oracle_sql(["spark", "vector", "zeppelin"], k=50),
+        "html_metadata": _html_metadata_oracle(),
         "mirror_hosts": (r"""
             WITH corpus AS (
               SELECT 'm1.example' AS host, text FROM documents
