@@ -1322,6 +1322,20 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _semantic_dedup_keep(spark, sf):
+    """SemDeDup-style semantic keep-set (functions/similarity.py):
+    verified cosine pairs → connected components → one survivor per
+    cluster. Planted scaled copies (vec_id+100000, ×2 — cosine exactly
+    1.0) guarantee non-trivial clusters; the oracle replays the keep
+    policy with brute-force cosine + a recursive-CTE closure, so the
+    hash pins pairs, closure, AND the keep rule."""
+    from ocr_agent_spark.functions.similarity import semantic_dedup_keep
+
+    return semantic_dedup_keep(
+        _embeddings_with_planted_dups(spark, sf), threshold=0.9
+    )
+
+
 def _multimodal_features(spark, sf):
     """Rows-only (r3 fix): the driver canonicalizes rows-only results by
     pandas sort_values over ALL columns, which crashes on array-typed
@@ -1703,7 +1717,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- previously-unswept training-data operators (VERDICT r2 item 1) —
         # these MUST stay inside the 50-query sweep window.
         "embedding_near_dups": _embedding_near_dups,
-        "embedding_near_dups_exact": _embedding_near_dups_exact,
+        "semantic_dedup_keep": _semantic_dedup_keep,  # r6 batch-4
+        # (window slot opened by parking embedding_near_dups_exact,
+        # green r4+r5; the LSH twin embedding_near_dups stays in-window
+        # and the exact variant remains pinned by tests/test_semdedup.py)
         "quality_scores": _quality_scores,
         "math_rewrite": _math_rewrite,
         "rolling_fingerprints": _rolling_fingerprints,
@@ -1800,6 +1817,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f13_mime_map": _f13_mime_map,  # green r1+r2; rotated in for r6
         # then re-parked mid-round to make window room for the 5 new
         # operators (same-day tail hash evidence on record)
+        "embedding_near_dups_exact": _embedding_near_dups_exact,
+        # green r4+r5; parked mid-r6 to open a window slot for
+        # semantic_dedup_keep (tail evidence re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
         # evidence re-recorded same day; twin ivf_cosine_topk stays
@@ -2957,6 +2977,42 @@ def oracle_sql() -> dict[str, str]:
         # the 0.8 threshold; the in-batch verify stage is exact).
         "bm25_topk": bm25_oracle_sql(["spark", "vector", "zeppelin"], k=50),
         "html_metadata": _html_metadata_oracle(),
+        # semantic keep-set: brute-force cosine pairs (valid stand-in
+        # for the LSH path — planted dups are exact-direction copies,
+        # so LSH recall is 1.0 by construction) + recursive closure,
+        # then the min-id-per-component keep rule.
+        "semantic_dedup_keep": (r"""
+            WITH RECURSIVE emb AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+                FROM embeddings WHERE vec_id < 20
+            ),
+            near AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                      b.embedding::DOUBLE[]) >= 0.9
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM near
+                UNION ALL SELECT id_b, id_a FROM near
+            ),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            comp AS (
+                SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+                FROM reach GROUP BY src
+            )
+            SELECT e.vec_id FROM emb e
+            WHERE e.vec_id NOT IN (
+                SELECT vec_id FROM comp WHERE vec_id != component
+            )
+        """),
         "mirror_hosts": (r"""
             WITH corpus AS (
               SELECT 'm1.example' AS host, text FROM documents

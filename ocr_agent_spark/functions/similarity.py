@@ -587,3 +587,47 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
         .filter(raw >= threshold)
         .select("id_a", "id_b", F.round(raw, 6).alias("cosine"))
     )
+
+
+def semantic_dedup_keep(embeddings: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        bands: int = 12, rows_per_band: int = 12,
+                        seed: int = 42, max_bucket_size: int = 10_000,
+                        max_iterations: int = 20,
+                        checkpoint_dir: str | None = None,
+                        exact: bool = False) -> DataFrame:
+    """SemDeDup-style semantic keep-set: one survivor per cosine cluster.
+
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540) prunes semantic
+    duplicates — paraphrases, templated rewrites, near-translations —
+    that string-level MinHash misses, by thresholding embedding cosine
+    inside clusters. This variant builds the duplicate graph from
+    verified cosine pairs (banded-LSH candidates → exact verify, the
+    ``embedding_near_duplicates`` scale path) instead of the paper's
+    k-means partition, then keeps exactly one representative (min id)
+    per connected component — the same keep policy as the MinHash arc's
+    ``dedup_near``, so string-level and semantic-level dedup compose.
+
+    Scale shape: LSH candidates move ids only; the component loop is
+    the pointer-jumping ``connected_components`` (O(log diameter)
+    rounds, lineage-cut per round — pass ``checkpoint_dir`` on a real
+    cluster). Nothing touches all pairs: O(N²) exists only behind
+    ``exact=True`` (oracles/recall tests).
+
+    Returns the kept ids (one column, ``id_col``).
+    """
+    from ocr_agent_spark.functions.dedup import connected_components
+
+    if exact:
+        pairs = embedding_near_duplicates_exact(
+            embeddings, threshold, id_col, vec_col)
+    else:
+        pairs = embedding_near_duplicates(
+            embeddings, threshold, id_col, vec_col, bands, rows_per_band,
+            seed, max_bucket_size)
+    comps = connected_components(
+        pairs.select("id_a", "id_b"), max_iterations,
+        checkpoint_dir=checkpoint_dir)
+    drop = comps.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col))
+    return embeddings.select(id_col).join(drop, id_col, "left_anti")
