@@ -1322,6 +1322,22 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _ccnet_paragraph_keep(spark, sf):
+    """CCNet-style paragraph lang filter (functions/paragraphs.py):
+    multi-paragraph docs planted from documents rows (off-language and
+    sub-minimum paragraphs at known positions), filtered in one
+    shuffle-free projection. The oracle replays the planting, the
+    per-paragraph stopword votes, the tie-break, and the re-join."""
+    from ocr_agent_spark.functions.paragraphs import (
+        ccnet_paragraph_filter, synthetic_multiparagraph_expr)
+
+    d = _t(spark, sf, "documents")
+    docs = d.selectExpr(
+        "doc_id", f"({synthetic_multiparagraph_expr('spark')}) AS text"
+    )
+    return ccnet_paragraph_filter(docs)
+
+
 def _semantic_dedup_keep(spark, sf):
     """SemDeDup-style semantic keep-set (functions/similarity.py):
     verified cosine pairs → connected components → one survivor per
@@ -1735,7 +1751,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_keep": _corpus_clean_keep,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "lang_id_counts": _lang_id_counts,
-        "token_histogram": _token_histogram,
+        "ccnet_paragraph_keep": _ccnet_paragraph_keep,  # r6 batch-4
+        # (window slot opened by parking token_histogram, green
+        # r1-r5; its BPE twins bpe_token_histogram +
+        # bpe_real_token_histogram stay in-window)
         "bpe_token_histogram": _bpe_token_histogram,
         "approx_distinct_users": _approx_distinct_users,
         "similarity_topk": _similarity_topk,
@@ -1820,6 +1839,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_exact": _embedding_near_dups_exact,
         # green r4+r5; parked mid-r6 to open a window slot for
         # semantic_dedup_keep (tail evidence re-recorded same day)
+        "token_histogram": _token_histogram,  # green r1-r5; parked
+        # mid-r6 to open a window slot for ccnet_paragraph_keep (tail
+        # evidence re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
         # evidence re-recorded same day; twin ivf_cosine_topk stays
@@ -1934,6 +1956,20 @@ def _html_metadata_oracle() -> str:
         + ") AS html_str FROM documents) "
         f"SELECT doc_id, {fields} FROM pages"
     )
+
+
+def _ccnet_paragraph_keep_oracle() -> str:
+    """Planting + per-paragraph votes + keep rule + re-join, all from
+    the shared fragments in functions/paragraphs.py."""
+    from ocr_agent_spark.functions.paragraphs import (
+        ccnet_filter_oracle_sql, synthetic_multiparagraph_expr)
+
+    doc_expr = (
+        "SELECT doc_id, ("
+        + synthetic_multiparagraph_expr("duckdb")
+        + ") AS text FROM documents"
+    )
+    return ccnet_filter_oracle_sql(doc_expr)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2977,6 +3013,7 @@ def oracle_sql() -> dict[str, str]:
         # the 0.8 threshold; the in-batch verify stage is exact).
         "bm25_topk": bm25_oracle_sql(["spark", "vector", "zeppelin"], k=50),
         "html_metadata": _html_metadata_oracle(),
+        "ccnet_paragraph_keep": _ccnet_paragraph_keep_oracle(),
         # semantic keep-set: brute-force cosine pairs (valid stand-in
         # for the LSH path — planted dups are exact-direction copies,
         # so LSH recall is 1.0 by construction) + recursive closure,
