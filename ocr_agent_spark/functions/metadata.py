@@ -49,7 +49,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 #: output field order (stable across kernel / JVM / oracle consumers)
 METADATA_FIELDS = ("title", "description", "canonical", "og_title",
-                   "html_lang")
+                   "html_lang", "robots", "charset")
 
 #: everything before the first ``</head>``; no match → whole document
 HEAD_PATTERN = r"(?is)^(.*?)</head[ \t\r\n]*>"
@@ -76,7 +76,21 @@ FIELD_PATTERNS: dict[str, tuple[str, ...]] = {
     "html_lang": (
         r"(?is)<html[^>]*?[ \t\r\n]lang=[\"']([^\"']*)[\"']",
     ),
+    "robots": (
+        r"(?is)<meta[^>]*?name=[\"']robots[\"'][^>]*?content=[\"']([^\"']*)[\"']",
+        r"(?is)<meta[^>]*?content=[\"']([^\"']*)[\"'][^>]*?name=[\"']robots[\"']",
+    ),
+    # one pattern covers <meta charset="utf-8"> AND the http-equiv
+    # content-type form (its content attr contains charset=utf-8);
+    # the value may be unquoted, hence the bare-token class
+    "charset": (
+        r"(?is)<meta[^>]*?charset[ \t\r\n]*=[ \t\r\n]*[\"']?([a-zA-Z0-9_.:-]+)",
+    ),
 }
+
+#: fields whose values normalize to lowercase (directives/encodings
+#: are case-insensitive by spec)
+_LOWERCASE_FIELDS = ("robots", "charset")
 
 #: ASCII whitespace run — title text is browser-style collapsed
 _WS_RUN = r"[ \t\r\n]+"
@@ -108,6 +122,8 @@ def parse_head_metadata(html: bytes | str | None) -> dict[str, str | None]:
                 break
         if val is not None and field == "title":
             val = re.sub(_WS_RUN, " ", val).strip()
+        if val is not None and field in _LOWERCASE_FIELDS:
+            val = val.lower()
         if not val:
             val = None
         out[field] = val
@@ -141,6 +157,8 @@ def head_metadata_cols(html: Column) -> dict[str, Column]:
         if field == "title":
             val = F.trim(F.regexp_replace(val, _WS_RUN, " "))
             val = F.when(F.length(val) > 0, val)
+        if field in _LOWERCASE_FIELDS:
+            val = F.lower(val)
         out[field] = val
     return out
 
@@ -187,6 +205,22 @@ def extract_head_metadata(pages: DataFrame, html_col: str = "html",
     return pages.select(*keep, html_col).mapInPandas(run, schema)
 
 
+def noindex_filter(pages: DataFrame, html_col: str = "html_str",
+                   keep_blocked: bool = False) -> DataFrame:
+    """Drop pages whose robots meta carries a ``noindex`` directive.
+
+    Publishers opt pages out of indexing with
+    ``<meta name="robots" content="noindex...">`` — a training-data
+    pipeline that honors robots.txt (functions/robots.py) should honor
+    the per-page form too. Pure-JVM predicate over the robots field
+    (already lowercased): one scan, zero shuffle. ``keep_blocked``
+    returns only the opted-out pages for auditing.
+    """
+    robots = head_metadata_cols(F.col(html_col))["robots"]
+    blocked = F.coalesce(robots, F.lit("")).contains("noindex")
+    return pages.filter(blocked if keep_blocked else ~blocked)
+
+
 # ----------------------------------------------------------------- oracle
 
 def _sql_quote_pattern(pat: str) -> str:
@@ -216,6 +250,8 @@ def head_metadata_sql(html_expr: str) -> dict[str, str]:
         if field == "title":
             val = (f"NULLIF(trim(regexp_replace({val}, "
                    f"'{_WS_RUN}', ' ', 'g')), '')")
+        if field in _LOWERCASE_FIELDS:
+            val = f"lower({val})"
         out[field] = val
     return out
 
@@ -240,6 +276,10 @@ def synthetic_page_expr(dialect: str) -> str:
     - doc_id%13==0 — no </head>: the whole-document fallback path
     - doc_id%4==0 — title padded with internal whitespace runs
       (exercises browser-style collapse)
+    - doc_id%9∈{1,4} — robots meta (noindex,nofollow / uppercase
+      INDEX, FOLLOW in flipped attribute order → lowercased)
+    - doc_id%6∈{1,3,5} — charset as quoted <meta charset>, as the
+      http-equiv content-type form, and unquoted → all lowercased
     """
     if dialect not in ("spark", "duckdb"):
         raise ValueError(f"unknown dialect: {dialect!r}")
@@ -281,6 +321,25 @@ def synthetic_page_expr(dialect: str) -> str:
         f"ELSE '<meta property=' || {q} || 'og:title' || {q} || "
         f"' content=' || {q} || {og_txt} || {q} || '/>' END"
     )
+    meta_robots = (
+        f"CASE WHEN doc_id % 9 = 1 "
+        f"THEN '<meta name=' || {q} || 'robots' || {q} || "
+        f"' content=' || {q} || 'noindex,nofollow' || {q} || '/>' "
+        f"WHEN doc_id % 9 = 4 "
+        f"THEN '<meta content=' || {q} || 'INDEX, FOLLOW' || {q} || "
+        f"' name=' || {q} || 'robots' || {q} || '/>' "
+        f"ELSE '' END"
+    )
+    meta_charset = (
+        f"CASE WHEN doc_id % 6 = 1 "
+        f"THEN '<meta charset=' || {q} || 'UTF-8' || {q} || '>' "
+        f"WHEN doc_id % 6 = 3 "
+        f"THEN '<meta http-equiv=' || {q} || 'Content-Type' || {q} || "
+        f"' content=' || {q} || 'text/html; charset=ISO-8859-1' || {q} "
+        f"|| '/>' "
+        f"WHEN doc_id % 6 = 5 THEN '<meta charset=Shift_JIS>' "
+        f"ELSE '' END"
+    )
     open_html = (
         f"'<html lang=' || {q} || lang || {q} || '><head>'"
     )
@@ -289,7 +348,8 @@ def synthetic_page_expr(dialect: str) -> str:
     body = "'<body><p>' || substr(text, 1, 60) || '</p></body></html>'"
     page = (
         f"{open_html} || {title_tag} || {meta_desc} || {link_canon} "
-        f"|| {meta_og} || {head_close} || {body}"
+        f"|| {meta_og} || {meta_robots} || {meta_charset} "
+        f"|| {head_close} || {body}"
     )
     upper = f"CASE WHEN doc_id % 11 = 0 THEN upper({page}) ELSE {page} END"
     return upper

@@ -22,6 +22,12 @@ from ocr_agent_spark.functions.metadata import (
     synthetic_page_expr,
 )
 
+def _want(**kw):
+    out = {f: None for f in METADATA_FIELDS}
+    out.update(kw)
+    return out
+
+
 CASES = {
     "plain": (
         b'<html lang="en"><head><title>Hello World</title>'
@@ -29,9 +35,9 @@ CASES = {
         b'<link rel="canonical" href="https://ex.org/a"/>'
         b'<meta property="og:title" content="OG Hello"/>'
         b"</head><body>Body og:title noise</body></html>",
-        {"title": "Hello World", "description": "A page",
-         "canonical": "https://ex.org/a", "og_title": "OG Hello",
-         "html_lang": "en"},
+        _want(title="Hello World", description="A page",
+              canonical="https://ex.org/a", og_title="OG Hello",
+              html_lang="en"),
     ),
     "single_quotes_flipped_order": (
         b"<html lang='fr'><head><TITLE> Bonjour  le\n monde </TITLE>"
@@ -39,49 +45,59 @@ CASES = {
         b"<link href='https://ex.org/b' rel='canonical'>"
         b"<meta content='OG Bonjour' property='og:title'>"
         b"</head><body></body></html>",
-        {"title": "Bonjour le monde", "description": "La page",
-         "canonical": "https://ex.org/b", "og_title": "OG Bonjour",
-         "html_lang": "fr"},
+        _want(title="Bonjour le monde", description="La page",
+              canonical="https://ex.org/b", og_title="OG Bonjour",
+              html_lang="fr"),
     ),
     "no_head_close_whole_doc_fallback": (
         b'<html lang="de"><head><title>Kein Ende</title>'
         b'<body><meta name="description" content="sp\xc3\xa4t"/></body>',
-        {"title": "Kein Ende", "description": "spät",
-         "canonical": None, "og_title": None, "html_lang": "de"},
+        _want(title="Kein Ende", description="spät", html_lang="de"),
     ),
     "missing_everything": (
         b"<html><head></head><body>just text</body></html>",
-        {f: None for f in METADATA_FIELDS},
+        _want(),
     ),
     "xml_lang_not_matched": (
         b'<html xml:lang="ru"><head><title>T</title></head>',
-        {"title": "T", "description": None, "canonical": None,
-         "og_title": None, "html_lang": None},
+        _want(title="T"),
     ),
     "body_metadata_ignored_when_head_closes": (
         b'<html lang="en"><head><title>Head only</title></head>'
         b'<body><meta name="description" content="in body"/>'
         b'<link rel="canonical" href="https://ex.org/late"/></body>',
-        {"title": "Head only", "description": None, "canonical": None,
-         "og_title": None, "html_lang": "en"},
+        _want(title="Head only", html_lang="en"),
     ),
     "uppercase_tags": (
         b'<HTML LANG="EN-GB"><HEAD><TITLE>Loud</TITLE>'
         b'<META NAME="DESCRIPTION" CONTENT="SHOUT"/></HEAD>',
-        {"title": "Loud", "description": "SHOUT", "canonical": None,
-         "og_title": None, "html_lang": "EN-GB"},
+        _want(title="Loud", description="SHOUT", html_lang="EN-GB"),
     ),
     "first_title_wins": (
         b"<html><head><title>One</title><title>Two</title></head>",
-        {"title": "One", "description": None, "canonical": None,
-         "og_title": None, "html_lang": None},
+        _want(title="One"),
     ),
     "empty_attr_is_null": (
         b'<html lang=""><head><title>   </title>'
         b'<meta name="description" content=""/></head>',
-        {f: None for f in METADATA_FIELDS},
+        _want(),
     ),
-    "none_payload": (None, {f: None for f in METADATA_FIELDS}),
+    "robots_and_quoted_charset": (
+        b'<html><head><meta charset="UTF-8">'
+        b'<meta name="robots" content="NOINDEX, nofollow"/></head>',
+        _want(robots="noindex, nofollow", charset="utf-8"),
+    ),
+    "http_equiv_charset_flipped_robots": (
+        b"<html><head><meta content='index,follow' name='robots'>"
+        b"<meta http-equiv='Content-Type' "
+        b"content='text/html; charset=ISO-8859-1'></head>",
+        _want(robots="index,follow", charset="iso-8859-1"),
+    ),
+    "unquoted_charset": (
+        b"<html><head><meta charset=Shift_JIS></head>",
+        _want(charset="shift_jis"),
+    ),
+    "none_payload": (None, _want()),
 }
 
 
@@ -179,6 +195,29 @@ def test_synthetic_corpus_three_way(spark):
             b = du[f][i] if pd.notnull(du[f][i]) else None
             assert a == b, (int(sp["doc_id"][i]), f, a, b)
             assert kern[f] == a, (int(sp["doc_id"][i]), f, kern[f], a)
+
+
+def test_noindex_filter(spark):
+    from ocr_agent_spark.functions.metadata import noindex_filter
+
+    rows = [
+        (1, '<html><head><meta name="robots" '
+            'content="noindex,nofollow"/></head>'),
+        (2, '<html><head><meta name="robots" '
+            'content="index,follow"/></head>'),
+        (3, "<html><head><title>no robots meta</title></head>"),
+        (4, "<html><head><meta content='NOINDEX' name='robots'></head>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html_str string")
+    kept = sorted(r["doc_id"] for r in noindex_filter(df).collect())
+    assert kept == [2, 3]
+    audited = sorted(
+        r["doc_id"]
+        for r in noindex_filter(df, keep_blocked=True).collect()
+    )
+    assert audited == [1, 4]
+    plan = noindex_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
 
 
 def test_variant_axes_all_present(spark):
