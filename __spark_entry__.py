@@ -1322,6 +1322,31 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _mojibake_repair(spark, sf):
+    """Mojibake repair (functions/mojibake.py): documents rows
+    corrupted with planted UTF-8-as-CP1252 sequences (single and
+    DOUBLE encoded, plus clean rows), repaired by the frozen-inventory
+    JVM replace chain. The oracle replays corruption and repair from
+    the same generated table, so the hash pins the inventory, the
+    chain order (double-unwind), and the score arithmetic."""
+    from ocr_agent_spark.functions.mojibake import (
+        planted_mojibake_expr, repair_expr)
+
+    d = _t(spark, sf, "documents")
+    corr = d.selectExpr(
+        "doc_id", f"({planted_mojibake_expr('spark')}) AS corrupted"
+    )
+    out = corr.select(
+        "doc_id", "corrupted",
+        repair_expr("corrupted").alias("repaired"),
+    )
+    return out.select(
+        "doc_id", "repaired",
+        (F.length("corrupted") - F.length("repaired"))
+        .cast("int").alias("n_fixed"),
+    )
+
+
 def _ccnet_paragraph_keep(spark, sf):
     """CCNet-style paragraph lang filter (functions/paragraphs.py):
     multi-paragraph docs planted from documents rows (off-language and
@@ -1747,7 +1772,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: dedup / text / similarity
         "dedup_fingerprint_stats": _dedup_fingerprint_stats,
         "dedup_exact_groups": _dedup_exact_groups,
-        "dedup_keep_first": _dedup_keep_first,
+        "mojibake_repair": _mojibake_repair,  # r6 batch-4 (window
+        # slot opened by parking dedup_keep_first, green r4+r5; the
+        # exact-dedup arc keeps dedup_exact_groups +
+        # dedup_fingerprint_stats in-window)
         "corpus_clean_keep": _corpus_clean_keep,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "lang_id_counts": _lang_id_counts,
@@ -1841,6 +1869,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantic_dedup_keep (tail evidence re-recorded same day)
         "token_histogram": _token_histogram,  # green r1-r5; parked
         # mid-r6 to open a window slot for ccnet_paragraph_keep (tail
+        # evidence re-recorded same day)
+        "dedup_keep_first": _dedup_keep_first,  # green r4+r5; parked
+        # mid-r6 to open a window slot for mojibake_repair (tail
         # evidence re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
@@ -1970,6 +2001,23 @@ def _ccnet_paragraph_keep_oracle() -> str:
         + ") AS text FROM documents"
     )
     return ccnet_filter_oracle_sql(doc_expr)
+
+
+def _mojibake_repair_oracle() -> str:
+    """Corruption and repair both generated from the frozen inventory
+    in functions/mojibake.py — the oracle can't drift from the query."""
+    from ocr_agent_spark.functions.mojibake import (
+        planted_mojibake_expr, repair_sql)
+
+    rep = repair_sql("corrupted")
+    return (
+        "WITH c AS (SELECT doc_id, ("
+        + planted_mojibake_expr("duckdb")
+        + ") AS corrupted FROM documents) "
+        f"SELECT doc_id, {rep} AS repaired, "
+        f"CAST(length(corrupted) - length({rep}) AS INT) AS n_fixed "
+        "FROM c"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3014,6 +3062,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_oracle_sql(["spark", "vector", "zeppelin"], k=50),
         "html_metadata": _html_metadata_oracle(),
         "ccnet_paragraph_keep": _ccnet_paragraph_keep_oracle(),
+        "mojibake_repair": _mojibake_repair_oracle(),
         # semantic keep-set: brute-force cosine pairs (valid stand-in
         # for the LSH path — planted dups are exact-direction copies,
         # so LSH recall is 1.0 by construction) + recursive closure,
