@@ -1322,6 +1322,38 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _wet_roundtrip(spark, sf):
+    """Full oracle for the WET sidecar path (sources/warc.py): documents
+    → distributed sharded WET export (write_wet_shards: per-task
+    .wet.gz, conversion records, per-record gzip members) → read_wet →
+    (doc_id, text, ts_epoch). Text round-trips byte-identically and the
+    WARC-Date written as epoch+doc_id survives the header format."""
+    import os
+    import tempfile
+
+    from ocr_agent_spark.sources.warc import read_wet, write_wet_shards
+
+    base_epoch = 1767225600  # 2026-01-01T00:00:00Z
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300).select(
+        F.concat(F.lit("wet://doc/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        (F.lit(base_epoch) + F.col("doc_id")).cast("timestamp")
+        .alias("warc_ts"),
+        "text",
+    )
+    tmp = tempfile.mkdtemp(prefix="wet_rt_")
+    manifest = write_wet_shards(d, tmp, num_partitions=3).collect()
+    paths = sorted(r["path"] for r in manifest)
+    assert paths and all(os.path.getsize(p) > 0 for p in paths)
+    back = read_wet(spark, paths)
+    return back.select(
+        F.regexp_extract("url", r"wet://doc/(\d+)", 1).cast("long")
+        .alias("doc_id"),
+        "text",
+        F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"),
+    )
+
+
 def _mojibake_repair(spark, sf):
     """Mojibake repair (functions/mojibake.py): documents rows
     corrupted with planted UTF-8-as-CP1252 sequences (single and
@@ -1767,7 +1799,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": _rolling_fingerprints,
         "multimodal_features": _multimodal_features,
         "near_dedup_keep": _near_dedup_keep,
-        "simhash_signatures": _simhash_signatures,
+        "wet_roundtrip": _wet_roundtrip,  # r6 batch-4 (window slot
+        # opened by parking simhash_signatures, green r4+r5, still
+        # pinned by the md5-portable signature pytest)
         "ivf_cosine_topk": _ivf_cosine_topk,
         # training-data pipeline: dedup / text / similarity
         "dedup_fingerprint_stats": _dedup_fingerprint_stats,
@@ -1872,6 +1906,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence re-recorded same day)
         "dedup_keep_first": _dedup_keep_first,  # green r4+r5; parked
         # mid-r6 to open a window slot for mojibake_repair (tail
+        # evidence re-recorded same day)
+        "simhash_signatures": _simhash_signatures,  # green r4+r5;
+        # parked mid-r6 to open a window slot for wet_roundtrip (tail
         # evidence re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
@@ -3063,6 +3100,10 @@ def oracle_sql() -> dict[str, str]:
         "html_metadata": _html_metadata_oracle(),
         "ccnet_paragraph_keep": _ccnet_paragraph_keep_oracle(),
         "mojibake_repair": _mojibake_repair_oracle(),
+        "wet_roundtrip": (
+            "SELECT doc_id, text, 1767225600 + doc_id AS ts_epoch "
+            "FROM documents WHERE doc_id < 300"
+        ),
         # semantic keep-set: brute-force cosine pairs (valid stand-in
         # for the LSH path — planted dups are exact-direction copies,
         # so LSH recall is 1.0 by construction) + recursive closure,

@@ -527,3 +527,41 @@ def read_record_at(stream, offset: int, length: int):
     for page in iter_warc_pages(io.BytesIO(rec)):
         return page
     return None
+
+
+# -- WET (extracted-text "conversion" records) -------------------------------
+#
+# Common Crawl publishes extracted text as WET sidecars: WARC records
+# with WARC-Type: conversion and a text/plain UTF-8 body, one per
+# source page. Writing each record as its own gzip member keeps the
+# splittability contract identical to the response archives above.
+
+
+def write_wet_record(out, url: str, ts: _dt.datetime, text: str,
+                     compress: bool = True) -> None:
+    """Append one ``conversion`` record (its own gzip member) to
+    ``out`` — the WET shape: no HTTP envelope, text/plain body."""
+    body = text.encode("utf-8")
+    warc_date = ts.astimezone(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"WARC-Date: " + warc_date.encode("ascii") + _CRLF
+        + b"Content-Type: text/plain\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(body)
+        + body + b"\r\n\r\n"
+    )
+    out.write(gzip.compress(rec, mtime=0) if compress else rec)
+
+
+def iter_wet_texts(stream) -> Iterator[tuple[str, _dt.datetime, str]]:
+    """WET archive → (url, ts, text) per conversion record. Non-
+    conversion records in the stream are skipped, so a mixed archive
+    degrades gracefully rather than erroring."""
+    for headers, body in iter_warc_records(stream):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = _parse_warc_date(headers.get("warc-date", ""))
+        yield url, ts, body.decode("utf-8", "replace")

@@ -336,3 +336,104 @@ def sitemap_children(sitemaps: DataFrame,
     return sitemaps.select(url_col, payload_col).mapInPandas(
         run, "parent string, child_url string"
     )
+
+
+# -- WET export / ingest: the extracted-text sidecar -------------------------
+
+WET_DDL = "path string, url string, warc_ts timestamp, text string"
+WET_MANIFEST_DDL = "pid int, path string, n_records long, n_bytes long"
+
+
+def write_wet_shards(docs: DataFrame, out_dir: str, url_col: str = "url",
+                     ts_col: str = "warc_ts", text_col: str = "text",
+                     num_partitions: int | None = None,
+                     compress: bool = True) -> DataFrame:
+    """Distributed WET export: one ``.wet.gz`` shard per partition.
+
+    The 100 TB shape — no driver funnel: every task streams its own
+    partition's conversion records straight to a shard on the shared
+    filesystem (temp name + os.replace, so a dying task never leaves a
+    torn file under the manifest name; a retry rewrites identical
+    deterministic bytes). Each record is its own gzip member, the same
+    splittability contract as the response archives. Returns the
+    manifest as per-partition lineage rows
+    (pid, path, n_records, n_bytes) — an unconsumed manifest means an
+    unwritten shard, never a silent gap.
+    """
+    import datetime as _dt
+    import os
+
+    from ocr_agent_spark.kernel.warcfile import write_wet_record
+
+    os.makedirs(out_dir, exist_ok=True)
+    slim = docs.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.col(text_col).alias("text"),
+    )
+    if num_partitions:
+        slim = slim.repartition(num_partitions, "url")
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.wet.gz")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        n = 0
+        fh = None
+        try:
+            for b in batches:
+                if fh is None and len(b):
+                    fh = open(tmp, "wb")
+                for url, ts, text in zip(b["url"], b["warc_ts"], b["text"]):
+                    # session tz is UTC (ocr_agent_spark.session), so a
+                    # naive pandas timestamp is a UTC wall clock
+                    pyts = ts.to_pydatetime()
+                    if pyts.tzinfo is None:
+                        pyts = pyts.replace(tzinfo=_dt.timezone.utc)
+                    write_wet_record(fh, url, pyts, text, compress=compress)
+                    n += 1
+            if fh is not None:
+                fh.close()
+                fh = None
+                os.replace(tmp, path)
+                yield pd.DataFrame({
+                    "pid": [pid], "path": [path], "n_records": [n],
+                    "n_bytes": [os.path.getsize(path)],
+                })
+        finally:
+            if fh is not None:
+                fh.close()
+
+    return slim.mapInPandas(write, WET_MANIFEST_DDL)
+
+
+def _read_wet_archives(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_agent_spark.kernel.warcfile import iter_wet_texts
+
+    cols = ("path", "url", "warc_ts", "text")
+    for batch in batches:
+        rows: dict[str, list] = {c: [] for c in cols}
+        for path in batch["path"]:
+            with open(path, "rb") as fh:
+                for url, ts, text in iter_wet_texts(fh):
+                    rows["path"].append(path)
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    rows["text"].append(text)
+                    if len(rows["url"]) >= _OUT_BATCH_ROWS:
+                        yield pd.DataFrame(rows)
+                        rows = {c: [] for c in cols}
+        if rows["url"]:
+            yield pd.DataFrame(rows)
+
+
+def read_wet(spark: SparkSession, paths: list[str],
+             num_partitions: int | None = None) -> DataFrame:
+    """WET archives → (path, url, warc_ts, text) DataFrame; one archive
+    per task (see ``read_warc`` for the CDX-indexed split alternative
+    on the response side)."""
+    return _paths_df(spark, paths, num_partitions).mapInPandas(
+        _read_wet_archives, WET_DDL
+    )
