@@ -30,11 +30,16 @@ SWEEP_WINDOW = 50
 # must never fall past the window. (The rotation tail is reserved for
 # pure-SQL gap-fills with r1 AND r2 hash matches on record.)
 MUST_BE_SWEPT = {
-    "embedding_near_dups", "embedding_near_dups_exact", "quality_scores",
+    "embedding_near_dups", "quality_scores",
     "math_rewrite", "rolling_fingerprints", "multimodal_features",
-    "near_dedup_keep", "simhash_signatures", "lsh_cosine_topk",
+    "near_dedup_keep",
     "ivf_cosine_topk", "minhash_near_dups", "extract_synthetic_pages",
     "merged_artifact_hash", "corpus_clean_keep",
+    # simhash_signatures / lsh_cosine_topk / embedding_near_dups_exact
+    # (green r4+r5, ≥2 rounds of driver history) were parked mid-r6
+    # with same-day TAIL_EVIDENCE hash matches to open window slots for
+    # the batch-4 operators, per the same parking policy as the r6
+    # rotation below.
     # f15_result_coalesce / pii_redaction / benchmark_contamination
     # (green r3+r4+r5), warc_roundtrip (r4+r5), robots_allowed /
     # sitemap_frontier / crawl_delta (r4+r5) and q1/q3 (r3+r4+r5) were
@@ -53,6 +58,9 @@ MUST_BE_SWEPT = {
     "sessionize_events", "bm25_topk", "dsir_weights", "line_dedup",
     "host_quality_priors", "corpus_overlap", "crawl_budget",
     "sessionize_events_bucketed", "mirror_hosts",
+    # r6 batch-4 additions (no driver history yet)
+    "html_metadata", "semantic_dedup_keep", "ccnet_paragraph_keep",
+    "mojibake_repair", "wet_roundtrip",
     # rotated back in for r6 (VERDICT r5 item 6); keep in-window until
     # CORRECTNESS_r6 records them
     "a1_status_histogram", "a2_category_totals", "a6_ordered_concat",
