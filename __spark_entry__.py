@@ -1322,6 +1322,25 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _canonical_urls(spark, sf):
+    """URL canonicalization (functions/urlnorm.py): messy URLs planted
+    from documents rows (scheme/host case, default/explicit ports,
+    trailing host dot, tracking params, unsorted query, fragment,
+    empty path, non-URL garbage → NULL), normalized by the pure-JVM
+    chain. The oracle replays planting AND normalization from the
+    same shared fragments."""
+    from ocr_agent_spark.functions.urlnorm import (
+        canonical_url, synthetic_messy_url_expr)
+
+    d = _t(spark, sf, "documents")
+    messy = d.selectExpr(
+        "doc_id", f"({synthetic_messy_url_expr('spark')}) AS url"
+    )
+    return messy.select(
+        "doc_id", canonical_url("url").alias("canonical")
+    )
+
+
 def _wet_roundtrip(spark, sf):
     """Full oracle for the WET sidecar path (sources/warc.py): documents
     → distributed sharded WET export (write_wet_shards: per-task
@@ -1790,11 +1809,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- previously-unswept training-data operators (VERDICT r2 item 1) —
         # these MUST stay inside the 50-query sweep window.
         "embedding_near_dups": _embedding_near_dups,
+        "canonical_urls": _canonical_urls,  # r6 batch-5 (window slot
+        # opened by parking quality_scores, green r3+r4+r5; the
+        # quality surface keeps gopher_quality + repetition_stats
+        # in-window)
         "semantic_dedup_keep": _semantic_dedup_keep,  # r6 batch-4
         # (window slot opened by parking embedding_near_dups_exact,
         # green r4+r5; the LSH twin embedding_near_dups stays in-window
         # and the exact variant remains pinned by tests/test_semdedup.py)
-        "quality_scores": _quality_scores,
         "math_rewrite": _math_rewrite,
         "rolling_fingerprints": _rolling_fingerprints,
         "multimodal_features": _multimodal_features,
@@ -1909,6 +1931,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence re-recorded same day)
         "simhash_signatures": _simhash_signatures,  # green r4+r5;
         # parked mid-r6 to open a window slot for wet_roundtrip (tail
+        # evidence re-recorded same day)
+        "quality_scores": _quality_scores,  # green r3+r4+r5; parked
+        # mid-r6 to open a window slot for canonical_urls (tail
         # evidence re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
@@ -2054,6 +2079,18 @@ def _mojibake_repair_oracle() -> str:
         f"SELECT doc_id, {rep} AS repaired, "
         f"CAST(length(corrupted) - length({rep}) AS INT) AS n_fixed "
         "FROM c"
+    )
+
+
+def _canonical_urls_oracle() -> str:
+    from ocr_agent_spark.functions.urlnorm import (
+        canonical_url_sql, synthetic_messy_url_expr)
+
+    return (
+        "WITH m AS (SELECT doc_id, ("
+        + synthetic_messy_url_expr("duckdb")
+        + ") AS url FROM documents) "
+        f"SELECT doc_id, {canonical_url_sql('url')} AS canonical FROM m"
     )
 
 
@@ -3104,6 +3141,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, 1767225600 + doc_id AS ts_epoch "
             "FROM documents WHERE doc_id < 300"
         ),
+        "canonical_urls": _canonical_urls_oracle(),
         # semantic keep-set: brute-force cosine pairs (valid stand-in
         # for the LSH path — planted dups are exact-direction copies,
         # so LSH recall is 1.0 by construction) + recursive closure,
