@@ -1322,6 +1322,22 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _heading_outline(spark, sf):
+    """h1-h6 document outline (functions/metadata.py:heading_outline):
+    pages with planted heading structure (nested inline markup,
+    uppercase tags, whitespace runs, empty headings, attributes,
+    heading-free docs), extracted as (doc_id, pos, level, text). The
+    oracle replays planting and extraction from the shared fragments."""
+    from ocr_agent_spark.functions.metadata import (
+        heading_outline, synthetic_outline_page_expr)
+
+    d = _t(spark, sf, "documents")
+    pages = d.selectExpr(
+        "doc_id", f"({synthetic_outline_page_expr('spark')}) AS html_str"
+    )
+    return heading_outline(pages)
+
+
 def _canonical_urls(spark, sf):
     """URL canonicalization (functions/urlnorm.py): messy URLs planted
     from documents rows (scheme/host case, default/explicit ports,
@@ -1833,7 +1849,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-dedup arc keeps dedup_exact_groups +
         # dedup_fingerprint_stats in-window)
         "corpus_clean_keep": _corpus_clean_keep,
-        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "heading_outline": _heading_outline,  # r6 batch-5 (window
+        # slot opened by parking ngram_jaccard_pairs, green r4+r5;
+        # minhash_near_dups keeps the jaccard surface in-window)
         "lang_id_counts": _lang_id_counts,
         "ccnet_paragraph_keep": _ccnet_paragraph_keep,  # r6 batch-4
         # (window slot opened by parking token_histogram, green
@@ -1935,6 +1953,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _quality_scores,  # green r3+r4+r5; parked
         # mid-r6 to open a window slot for canonical_urls (tail
         # evidence re-recorded same day)
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,  # green r4+r5;
+        # parked mid-r6 to open a window slot for heading_outline
+        # (tail evidence re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
         # evidence re-recorded same day; twin ivf_cosine_topk stays
@@ -2080,6 +2101,18 @@ def _mojibake_repair_oracle() -> str:
         f"CAST(length(corrupted) - length({rep}) AS INT) AS n_fixed "
         "FROM c"
     )
+
+
+def _heading_outline_oracle() -> str:
+    from ocr_agent_spark.functions.metadata import (
+        heading_outline_sql, synthetic_outline_page_expr)
+
+    pages = (
+        "SELECT doc_id, ("
+        + synthetic_outline_page_expr("duckdb")
+        + ") AS html_str FROM documents"
+    )
+    return heading_outline_sql(pages)
 
 
 def _canonical_urls_oracle() -> str:
@@ -3142,6 +3175,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id < 300"
         ),
         "canonical_urls": _canonical_urls_oracle(),
+        "heading_outline": _heading_outline_oracle(),
         # semantic keep-set: brute-force cosine pairs (valid stand-in
         # for the LSH path — planted dups are exact-direction copies,
         # so LSH recall is 1.0 by construction) + recursive closure,

@@ -353,3 +353,95 @@ def synthetic_page_expr(dialect: str) -> str:
     )
     upper = f"CASE WHEN doc_id % 11 = 0 THEN upper({page}) ELSE {page} END"
     return upper
+
+
+# ------------------------------------------------- heading outline (WAT+)
+
+#: h1-h6 element matcher (RE2-safe: no backref on the closing level —
+#: a malformed <h2>..</h3> pair still yields one heading)
+HEADING_PATTERN = r"(?is)<h([1-6])[^>]*>(.*?)</h[1-6][ \t\r\n]*>"
+_LEVEL_PATTERN = r"(?i)^<h([1-6])"
+_TAG_RUN = r"(?s)<[^>]*>"
+
+
+def heading_outline(pages: DataFrame, html_col: str = "html_str",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Document structure: (id, pos, level, text) per h1-h6 element.
+
+    The outline is what section-aware chunkers, title-based dedup, and
+    quality heuristics (heading/body ratios) consume. Pure JVM:
+    ``regexp_extract_all`` collects the heading elements, one
+    posexplode fans them out, per-heading level/text are scalar
+    regexes; inner markup strips to spaces and whitespace collapses,
+    so ``<h2>Section <b>one</b></h2>`` yields ``Section one``. Empty
+    headings keep their row with NULL text (position numbering stays
+    dense for the chunker). One narrow shuffle-free projection +
+    generate, no Python.
+    """
+    matches = F.regexp_extract_all(
+        F.col(html_col), F.lit(HEADING_PATTERN), 0
+    )
+    ex = pages.select(
+        F.col(id_col),
+        F.posexplode_outer(matches).alias("pos", "_m"),
+    ).filter(F.col("_m").isNotNull())
+    text = F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("_m"), _TAG_RUN, " "),
+        "[ \t\r\n]+", " ",
+    ))
+    return ex.select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.regexp_extract(F.col("_m"), _LEVEL_PATTERN, 1)
+        .cast("int").alias("level"),
+        F.when(F.length(text) > 0, text).alias("text"),
+    )
+
+
+def heading_outline_sql(pages_expr: str, id_col: str = "doc_id") -> str:
+    """DuckDB replay over ``pages_expr`` (a subquery yielding
+    (id, html_str))."""
+    hp = _sql_quote_pattern(HEADING_PATTERN)
+    lp = _sql_quote_pattern(_LEVEL_PATTERN)
+    return f"""
+        WITH m AS (
+            SELECT {id_col},
+                   regexp_extract_all(html_str, '{hp}', 0) AS hs
+            FROM ({pages_expr}) p
+        ),
+        e AS (
+            SELECT {id_col}, i, hs[i] AS h
+            FROM m, unnest(generate_series(1, len(hs))) AS g(i)
+        )
+        SELECT {id_col},
+               CAST(i - 1 AS INT) AS pos,
+               CAST(regexp_extract(h, '{lp}', 1) AS INT) AS level,
+               NULLIF(trim(regexp_replace(regexp_replace(h,
+                   '(?s)<[^>]*>', ' ', 'g'), '[ \t\r\n]+', ' ', 'g')),
+                   '') AS text
+        FROM e
+    """
+
+
+def synthetic_outline_page_expr(dialect: str) -> str:
+    """Dialect-neutral page-with-headings builder for the registry
+    oracle (axes: nested inline markup, uppercase tags, whitespace
+    runs, empty headings, attributes, deep levels, heading-free docs)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect!r}")
+    did = "CAST(doc_id AS STRING)"
+    q = "chr(34)"
+    h2 = (f"CASE WHEN doc_id % 3 = 0 THEN '<h2 class=' || {q} || 's' || "
+          f"{q} || '>Section <b>one</b> of ' || {did} || '</h2>' "
+          f"ELSE '' END")
+    h3 = ("CASE WHEN doc_id % 4 = 1 "
+          "THEN '<H3>  spaced   heading </H3>' ELSE '' END")
+    hempty = "CASE WHEN doc_id % 5 = 2 THEN '<h2></h2>' ELSE '' END"
+    h6 = "CASE WHEN doc_id % 7 = 3 THEN '<h6>deep</h6>' ELSE '' END"
+    h1 = (f"CASE WHEN doc_id % 11 = 0 THEN '' "
+          f"ELSE '<h1>Doc ' || {did} || '</h1>' END")
+    return (
+        f"'<html><body>' || {h1} || {h2} || {h3} || {hempty} || "
+        f"'<p>' || substr(text, 1, 40) || '</p>' || {h6} || "
+        f"'</body></html>'"
+    )

@@ -220,6 +220,40 @@ def test_noindex_filter(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_heading_outline_extraction(spark):
+    from ocr_agent_spark.functions.metadata import heading_outline
+
+    html = (
+        "<html><body><h1>Top</h1>"
+        "<h2 class='s'>Section <b>one</b></h2>"
+        "<H3>  spaced   heading </H3>"
+        "<h2></h2>"
+        "<p>h1 in text is not a heading</p>"
+        "<h6>deep</h6></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "<html>no headings</html>")],
+                               "doc_id long, html_str string")
+    rows = heading_outline(df).orderBy("doc_id", "pos").collect()
+    assert [(r["doc_id"], r["pos"], r["level"], r["text"])
+            for r in rows] == [
+        (1, 0, 1, "Top"),
+        (1, 1, 2, "Section one"),
+        (1, 2, 3, "spaced heading"),
+        (1, 3, 2, None),  # empty heading keeps its row, NULL text
+        (1, 4, 6, "deep"),
+    ]
+
+
+def test_heading_outline_plan_is_pure_jvm(spark):
+    from ocr_agent_spark.functions.metadata import heading_outline
+
+    df = spark.createDataFrame([(1, "<h1>x</h1>")],
+                               "doc_id long, html_str string")
+    plan = (heading_outline(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_variant_axes_all_present(spark):
     """The generator actually produces every variant it documents —
     missing fields, both quote styles, the no-</head> fallback."""
