@@ -1322,6 +1322,22 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _extraction_eval(spark, sf):
+    """Extraction QA (functions/extracteval.py): planted divergence
+    (exact copies, truncation → recall loss, boilerplate injection →
+    precision loss, empty extraction, empty golden) scored per doc.
+    The oracle replays planting and the full metric arithmetic."""
+    from ocr_agent_spark.functions.extracteval import (
+        extraction_eval, synthetic_eval_pairs_expr)
+
+    e_expr, g_expr = synthetic_eval_pairs_expr("spark")
+    d = _t(spark, sf, "documents")
+    pairs = d.selectExpr(
+        "doc_id", f"({e_expr}) AS extracted", f"({g_expr}) AS golden"
+    )
+    return extraction_eval(pairs)
+
+
 def _heading_outline(spark, sf):
     """h1-h6 document outline (functions/metadata.py:heading_outline):
     pages with planted heading structure (nested inline markup,
@@ -1848,7 +1864,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot opened by parking dedup_keep_first, green r4+r5; the
         # exact-dedup arc keeps dedup_exact_groups +
         # dedup_fingerprint_stats in-window)
-        "corpus_clean_keep": _corpus_clean_keep,
+        "extraction_eval": _extraction_eval,  # r6 batch-5 (window
+        # slot opened by parking corpus_clean_keep, green r4+r5; the
+        # quality-gate arc keeps gopher_quality + repetition_stats
+        # in-window)
         "heading_outline": _heading_outline,  # r6 batch-5 (window
         # slot opened by parking ngram_jaccard_pairs, green r4+r5;
         # minhash_near_dups keeps the jaccard surface in-window)
@@ -1955,6 +1974,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence re-recorded same day)
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,  # green r4+r5;
         # parked mid-r6 to open a window slot for heading_outline
+        # (tail evidence re-recorded same day)
+        "corpus_clean_keep": _corpus_clean_keep,  # green r4+r5;
+        # parked mid-r6 to open a window slot for extraction_eval
         # (tail evidence re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
@@ -2101,6 +2123,18 @@ def _mojibake_repair_oracle() -> str:
         f"CAST(length(corrupted) - length({rep}) AS INT) AS n_fixed "
         "FROM c"
     )
+
+
+def _extraction_eval_oracle() -> str:
+    from ocr_agent_spark.functions.extracteval import (
+        extraction_eval_sql, synthetic_eval_pairs_expr)
+
+    e_expr, g_expr = synthetic_eval_pairs_expr("duckdb")
+    pairs = (
+        f"SELECT doc_id, ({e_expr}) AS extracted, ({g_expr}) AS golden "
+        "FROM documents"
+    )
+    return extraction_eval_sql(pairs)
 
 
 def _heading_outline_oracle() -> str:
@@ -3176,6 +3210,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "canonical_urls": _canonical_urls_oracle(),
         "heading_outline": _heading_outline_oracle(),
+        "extraction_eval": _extraction_eval_oracle(),
         # semantic keep-set: brute-force cosine pairs (valid stand-in
         # for the LSH path — planted dups are exact-direction copies,
         # so LSH recall is 1.0 by construction) + recursive closure,
