@@ -30,11 +30,11 @@ SWEEP_WINDOW = 50
 # must never fall past the window. (The rotation tail is reserved for
 # pure-SQL gap-fills with r1 AND r2 hash matches on record.)
 MUST_BE_SWEPT = {
-    "embedding_near_dups", "quality_scores",
+    "embedding_near_dups",
     "math_rewrite", "rolling_fingerprints", "multimodal_features",
     "near_dedup_keep",
     "ivf_cosine_topk", "minhash_near_dups", "extract_synthetic_pages",
-    "merged_artifact_hash", "corpus_clean_keep",
+    "merged_artifact_hash",
     # simhash_signatures / lsh_cosine_topk / embedding_near_dups_exact
     # (green r4+r5, ≥2 rounds of driver history) were parked mid-r6
     # with same-day TAIL_EVIDENCE hash matches to open window slots for
@@ -61,6 +61,10 @@ MUST_BE_SWEPT = {
     # r6 batch-4 additions (no driver history yet)
     "html_metadata", "semantic_dedup_keep", "ccnet_paragraph_keep",
     "mojibake_repair", "wet_roundtrip",
+    # r6 batch-5 additions (no driver history yet). Slots opened by
+    # parking quality_scores (r3-r5), ngram_jaccard_pairs and
+    # corpus_clean_keep (r4+r5) — same-day TAIL_EVIDENCE hash matches.
+    "canonical_urls", "heading_outline", "extraction_eval",
     # rotated back in for r6 (VERDICT r5 item 6); keep in-window until
     # CORRECTNESS_r6 records them
     "a1_status_histogram", "a2_category_totals", "a6_ordered_concat",
