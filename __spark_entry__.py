@@ -1322,6 +1322,24 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _registered_domains(spark, sf):
+    """eTLD+1 extraction (functions/urlnorm.py:registered_domain):
+    messy hosts/URLs planted from documents rows (PSL suffixes,
+    platform suffixes, deep subdomains, ports, trailing dots, bare
+    hosts, IPv4 literals), reduced to the registered domain. The
+    oracle replays planting and the longest-suffix when-chain."""
+    from ocr_agent_spark.functions.urlnorm import (
+        registered_domain, synthetic_host_expr)
+
+    d = _t(spark, sf, "documents")
+    hosts = d.selectExpr(
+        "doc_id", f"({synthetic_host_expr('spark')}) AS host"
+    )
+    return hosts.select(
+        "doc_id", registered_domain("host").alias("registered_domain")
+    )
+
+
 def _extraction_eval(spark, sf):
     """Extraction QA (functions/extracteval.py): planted divergence
     (exact copies, truncation → recall loss, boilerplate injection →
@@ -1878,7 +1896,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bpe_real_token_histogram stay in-window)
         "bpe_token_histogram": _bpe_token_histogram,
         "approx_distinct_users": _approx_distinct_users,
-        "similarity_topk": _similarity_topk,
+        "registered_domains": _registered_domains,  # r6 batch-5
+        # (window slot opened by parking similarity_topk, green r4+r5;
+        # ivf_cosine_topk keeps the ANN surface in-window and the
+        # brute-force path stays pinned by the IVF==exact pytest)
         # rows-only (non-SQL-expressible)
         "extract_synthetic_pages": _extract_synthetic_pages,
         "merged_artifact_hash": _merged_artifact_hash,
@@ -1978,6 +1999,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_keep": _corpus_clean_keep,  # green r4+r5;
         # parked mid-r6 to open a window slot for extraction_eval
         # (tail evidence re-recorded same day)
+        "similarity_topk": _similarity_topk,  # green r4+r5; parked
+        # mid-r6 to open a window slot for registered_domains (tail
+        # evidence re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
         # evidence re-recorded same day; twin ivf_cosine_topk stays
@@ -2122,6 +2146,19 @@ def _mojibake_repair_oracle() -> str:
         f"SELECT doc_id, {rep} AS repaired, "
         f"CAST(length(corrupted) - length({rep}) AS INT) AS n_fixed "
         "FROM c"
+    )
+
+
+def _registered_domains_oracle() -> str:
+    from ocr_agent_spark.functions.urlnorm import (
+        registered_domain_sql, synthetic_host_expr)
+
+    return (
+        "WITH h AS (SELECT doc_id, ("
+        + synthetic_host_expr("duckdb")
+        + ") AS host FROM documents) "
+        f"SELECT doc_id, {registered_domain_sql('host')} "
+        "AS registered_domain FROM h"
     )
 
 
@@ -3211,6 +3248,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _canonical_urls_oracle(),
         "heading_outline": _heading_outline_oracle(),
         "extraction_eval": _extraction_eval_oracle(),
+        "registered_domains": _registered_domains_oracle(),
         # semantic keep-set: brute-force cosine pairs (valid stand-in
         # for the LSH path — planted dups are exact-direction copies,
         # so LSH recall is 1.0 by construction) + recursive closure,

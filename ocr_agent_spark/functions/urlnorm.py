@@ -129,3 +129,106 @@ def synthetic_messy_url_expr(dialect: str) -> str:
         f"WHEN 6 THEN 'https://example.com/q?only=utm&utm_x=1&fbclid=f' "
         f"ELSE 'https://Example.com/mixed/' || {did} || '?B=1&a=2' END"
     )
+
+
+# -------------------------------------------- registered domain (PSL-lite)
+
+#: frozen subset of the Public Suffix List: the multi-label suffixes
+#: that actually dominate crawl traffic (ccTLD second-level registries
+#: + the big hosting platforms). A production deploy swaps in the full
+#: PSL (~9k entries) — the matching mechanism below is identical, and
+#: the list is data, not code. Single-label TLDs need no entry (the
+#: default last-two-labels rule covers them).
+PUBLIC_SUFFIXES = (
+    # ccTLD second-level registries
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.in", "co.kr", "co.za", "co.nz", "co.il", "co.th", "co.id",
+    # hosting / platform suffixes (PSL private section)
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "appspot.com", "netlify.app", "vercel.app",
+    "web.app", "firebaseapp.com", "azurewebsites.net",
+    "cloudfront.net", "s3.amazonaws.com", "pages.dev",
+)
+
+
+def _host_of(col: Column) -> Column:
+    """Lowercased host with port and trailing dot stripped (accepts a
+    bare host or a full URL)."""
+    c = F.lower(col)
+    host = F.when(
+        c.contains("://"), F.regexp_extract(c, _URL_PARTS, 2)
+    ).otherwise(c)
+    return F.regexp_replace(host, r"(:[0-9]+)?\.?(:[0-9]+)?$", "")
+
+
+def registered_domain(col: str | Column) -> Column:
+    """eTLD+1: the unit hosts aggregate under (mirror detection, host
+    priors, crawl budgets). ``sub.a.example.co.uk`` → ``example.co.uk``,
+    ``a.b.github.io`` → ``b.github.io``. Longest-suffix match against
+    the frozen list; default is the last two labels; dotless hosts
+    (localhost) and IPv4 literals pass through unchanged. Pure JVM —
+    the suffix list folds into the plan as a when-chain ordered by
+    label count, so longer suffixes win."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = _host_of(c)
+    is_ip = host.rlike(r"^[0-9]+(\.[0-9]+){3}$")
+    default = F.when(
+        host.contains("."),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
+    ).otherwise(host)
+    out = default
+    for s in sorted(PUBLIC_SUFFIXES, key=lambda x: x.count("."),
+                    reverse=False):
+        # build the chain so LONGER suffixes end up outermost (win)
+        pat = "([^.]+\\." + s.replace(".", "\\.") + ")$"
+        out = F.when(host.endswith("." + s),
+                     F.regexp_extract(host, pat, 1)).otherwise(out)
+    return F.when(is_ip | (F.length(host) == 0), host).otherwise(out)
+
+
+def registered_domain_sql(expr: str) -> str:
+    """The identical eTLD+1 extraction as a DuckDB fragment."""
+    parts = _URL_PARTS.replace("'", "''")
+    c = f"lower({expr})"
+    host_raw = (f"CASE WHEN contains({c}, '://') "
+                f"THEN regexp_extract({c}, '{parts}', 2) ELSE {c} END")
+    host = f"regexp_replace({host_raw}, '(:[0-9]+)?\\.?(:[0-9]+)?$', '')"
+    default = (
+        f"CASE WHEN contains({host}, '.') "
+        f"THEN regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) "
+        f"ELSE {host} END"
+    )
+    out = default
+    for s in sorted(PUBLIC_SUFFIXES, key=lambda x: x.count("."),
+                    reverse=False):
+        pat = "([^.]+\\." + s.replace(".", "\\.") + ")$"
+        out = (f"CASE WHEN {host} LIKE '%.{s}' "
+               f"THEN regexp_extract({host}, '{pat}', 1) ELSE {out} END")
+    return (
+        f"CASE WHEN regexp_matches({host}, '^[0-9]+(\\.[0-9]+){{3}}$') "
+        f"OR length({host}) = 0 THEN {host} ELSE {out} END"
+    )
+
+
+def synthetic_host_expr(dialect: str) -> str:
+    """Dialect-neutral messy-host builder for the registry oracle."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect!r}")
+    did = "CAST(doc_id AS STRING)"
+    return (
+        "CASE doc_id % 9 "
+        f"WHEN 0 THEN 'sub' || {did} || '.Example.CO.UK' "
+        f"WHEN 1 THEN 'a.b' || {did} || '.github.io' "
+        f"WHEN 2 THEN 'www.example' || {did} || '.com' "
+        f"WHEN 3 THEN 'https://Deep.Sub.Example' || {did} || '.com.au:8443/p' "
+        f"WHEN 4 THEN 'localhost' "
+        f"WHEN 5 THEN '10.0.0.1' "
+        f"WHEN 6 THEN 'example' || {did} || '.org.' "
+        f"WHEN 7 THEN 'example' || {did} || '.org:8080' "
+        f"ELSE 'x.y.z.example' || {did} || '.net' END"
+    )

@@ -58,6 +58,43 @@ def test_plan_pure_jvm_no_shuffle(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+RD_CASES = [
+    ("sub.a.example.co.uk", "example.co.uk"),
+    ("a.b.github.io", "b.github.io"),
+    ("www.example.com", "example.com"),
+    ("https://Deep.Sub.Example.COM.AU:8443/p", "example.com.au"),
+    ("example.org.", "example.org"),
+    ("example.org:8080", "example.org"),
+    ("localhost", "localhost"),
+    ("10.0.0.1", "10.0.0.1"),
+    ("x.y.z.example.net", "example.net"),
+    # a host that IS a public suffix passes through via the default
+    # last-two-labels rule (documented PSL-lite simplification)
+    ("github.io", "github.io"),
+    # blogspot.com is a platform suffix: one more label is the site
+    ("myblog.blogspot.com", "myblog.blogspot.com"),
+    ("deep.myblog.blogspot.com", "myblog.blogspot.com"),
+]
+
+
+@pytest.mark.parametrize("raw,want", RD_CASES)
+def test_registered_domain_cases(spark, raw, want):
+    from ocr_agent_spark.functions.urlnorm import registered_domain
+
+    df = spark.createDataFrame([(raw,)], "host string")
+    got = df.select(registered_domain("host").alias("d")).collect()[0]["d"]
+    assert got == want, raw
+
+
+def test_registered_domain_plan_pure_jvm(spark):
+    from ocr_agent_spark.functions.urlnorm import registered_domain
+
+    df = spark.createDataFrame([("a.example.co.uk",)], "host string")
+    plan = (df.select(registered_domain("host"))._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_collapses_spellings_for_dedup(spark):
     spellings = [
         "HTTPS://News.Example.com:443/story/42?utm_source=a#top",
