@@ -1322,6 +1322,23 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _doc_chunks(spark, sf):
+    """Boundary-aware chunking (functions/chunking.py): multi-paragraph
+    docs (reusing the CCNet planting) split into 40-token budget
+    chunks by the zero-shuffle accumulator formulation; the oracle
+    replays the rule relationally (window cumsum + group) — the hash
+    match proves the two formulations compute identical chunks."""
+    from ocr_agent_spark.functions.chunking import chunk_documents
+    from ocr_agent_spark.functions.paragraphs import (
+        synthetic_multiparagraph_expr)
+
+    d = _t(spark, sf, "documents")
+    docs = d.selectExpr(
+        "doc_id", f"({synthetic_multiparagraph_expr('spark')}) AS text"
+    )
+    return chunk_documents(docs, target_tokens=40)
+
+
 def _registered_domains(spark, sf):
     """eTLD+1 extraction (functions/urlnorm.py:registered_domain):
     messy hosts/URLs planted from documents rows (PSL suffixes,
@@ -1470,11 +1487,17 @@ def _semantic_dedup_keep(spark, sf):
     cluster. Planted scaled copies (vec_id+100000, ×2 — cosine exactly
     1.0) guarantee non-trivial clusters; the oracle replays the keep
     policy with brute-force cosine + a recursive-CTE closure, so the
-    hash pins pairs, closure, AND the keep rule."""
+    hash pins pairs, closure, AND the keep rule. Sweep-cost note:
+    bands=4/rows_per_band=8 instead of the 12/12 production default —
+    the plants are exact-direction copies (identical signatures under
+    ANY banding, recall 1.0 by construction), so the smaller banding
+    changes nothing except the fixed plane-evaluation cost; the
+    production default stays exercised by tests/test_semdedup.py."""
     from ocr_agent_spark.functions.similarity import semantic_dedup_keep
 
     return semantic_dedup_keep(
-        _embeddings_with_planted_dups(spark, sf), threshold=0.9
+        _embeddings_with_planted_dups(spark, sf), threshold=0.9,
+        bands=4, rows_per_band=8,
     )
 
 
@@ -1890,11 +1913,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot opened by parking ngram_jaccard_pairs, green r4+r5;
         # minhash_near_dups keeps the jaccard surface in-window)
         "lang_id_counts": _lang_id_counts,
+        "doc_chunks": _doc_chunks,  # r6 batch-5 (window slot opened
+        # by parking bpe_token_histogram, green r4+r5; the real-BPE
+        # twin bpe_real_token_histogram stays in-window)
         "ccnet_paragraph_keep": _ccnet_paragraph_keep,  # r6 batch-4
         # (window slot opened by parking token_histogram, green
         # r1-r5; its BPE twins bpe_token_histogram +
         # bpe_real_token_histogram stay in-window)
-        "bpe_token_histogram": _bpe_token_histogram,
         "approx_distinct_users": _approx_distinct_users,
         "registered_domains": _registered_domains,  # r6 batch-5
         # (window slot opened by parking similarity_topk, green r4+r5;
@@ -2001,6 +2026,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tail evidence re-recorded same day)
         "similarity_topk": _similarity_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for registered_domains (tail
+        # evidence re-recorded same day)
+        "bpe_token_histogram": _bpe_token_histogram,  # green r4+r5;
+        # parked mid-r6 to open a window slot for doc_chunks (tail
         # evidence re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
@@ -2147,6 +2175,19 @@ def _mojibake_repair_oracle() -> str:
         f"CAST(length(corrupted) - length({rep}) AS INT) AS n_fixed "
         "FROM c"
     )
+
+
+def _doc_chunks_oracle() -> str:
+    from ocr_agent_spark.functions.chunking import chunk_documents_sql
+    from ocr_agent_spark.functions.paragraphs import (
+        synthetic_multiparagraph_expr)
+
+    docs = (
+        "SELECT doc_id, ("
+        + synthetic_multiparagraph_expr("duckdb")
+        + ") AS text FROM documents"
+    )
+    return chunk_documents_sql(docs, target_tokens=40)
 
 
 def _registered_domains_oracle() -> str:
@@ -3249,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "heading_outline": _heading_outline_oracle(),
         "extraction_eval": _extraction_eval_oracle(),
         "registered_domains": _registered_domains_oracle(),
+        "doc_chunks": _doc_chunks_oracle(),
         # semantic keep-set: brute-force cosine pairs (valid stand-in
         # for the LSH path — planted dups are exact-direction copies,
         # so LSH recall is 1.0 by construction) + recursive closure,
