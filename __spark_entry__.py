@@ -1322,6 +1322,30 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _token_drift(spark, sf):
+    """Corpus drift (functions/drift.py): Jensen-Shannon divergence
+    between two planted snapshots of documents (old = doc_id < 300;
+    new = doc_id 100-400 with a planted boilerplate flood on
+    doc_id%7==0), per-token contributions rounded at 9 dp before the
+    engines sum. The oracle replays histograms, the full-outer meet,
+    and the JS arithmetic."""
+    from ocr_agent_spark.functions.drift import token_drift
+
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") < 300).select("text")
+    new = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 400)) \
+        .select(
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"),
+                            F.lit(" spamtok spamtok spamtok")))
+            .otherwise(F.col("text")).alias("text")
+        )
+    out = token_drift(old, new)
+    # hash surface = counts + divergence contribution; p_old/p_new are
+    # pure derivations of (n, total) already pinned through js_contrib
+    return out.select("token", "n_old", "n_new", "js_contrib")
+
+
 def _doc_chunks(spark, sf):
     """Boundary-aware chunking (functions/chunking.py): multi-paragraph
     docs (reusing the CCNet planting) split into 40-token budget
@@ -1912,7 +1936,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_outline": _heading_outline,  # r6 batch-5 (window
         # slot opened by parking ngram_jaccard_pairs, green r4+r5;
         # minhash_near_dups keeps the jaccard surface in-window)
-        "lang_id_counts": _lang_id_counts,
+        "token_drift": _token_drift,  # r6 batch-5 (window slot
+        # opened by parking lang_id_counts, green r1-r5; the stopword
+        # vote stays exercised in-window by ccnet_paragraph_keep)
         "doc_chunks": _doc_chunks,  # r6 batch-5 (window slot opened
         # by parking bpe_token_histogram, green r4+r5; the real-BPE
         # twin bpe_real_token_histogram stays in-window)
@@ -2030,6 +2056,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_histogram": _bpe_token_histogram,  # green r4+r5;
         # parked mid-r6 to open a window slot for doc_chunks (tail
         # evidence re-recorded same day)
+        "lang_id_counts": _lang_id_counts,  # green r1-r5; parked
+        # mid-r6 to open a window slot for token_drift (tail evidence
+        # re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
         # evidence re-recorded same day; twin ivf_cosine_topk stays
@@ -2174,6 +2203,20 @@ def _mojibake_repair_oracle() -> str:
         f"SELECT doc_id, {rep} AS repaired, "
         f"CAST(length(corrupted) - length({rep}) AS INT) AS n_fixed "
         "FROM c"
+    )
+
+
+def _token_drift_oracle() -> str:
+    from ocr_agent_spark.functions.drift import token_drift_sql
+
+    old = "SELECT text FROM documents WHERE doc_id < 300"
+    new = ("SELECT CASE WHEN doc_id % 7 = 0 "
+           "THEN text || ' spamtok spamtok spamtok' ELSE text END AS text "
+           "FROM documents WHERE doc_id >= 100 AND doc_id < 400")
+    return (
+        "SELECT token, n_old, n_new, js_contrib FROM ("
+        + token_drift_sql(old, new)
+        + ") d"
     )
 
 
@@ -3291,6 +3334,7 @@ def oracle_sql() -> dict[str, str]:
         "extraction_eval": _extraction_eval_oracle(),
         "registered_domains": _registered_domains_oracle(),
         "doc_chunks": _doc_chunks_oracle(),
+        "token_drift": _token_drift_oracle(),
         # semantic keep-set: brute-force cosine pairs (valid stand-in
         # for the LSH path — planted dups are exact-direction copies,
         # so LSH recall is 1.0 by construction) + recursive closure,
