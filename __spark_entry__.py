@@ -1322,6 +1322,38 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _redirect_resolution(spark, sf):
+    """Redirect-chain resolution (functions/redirects.py): planted
+    1/2/3-hop chains plus 2-cycles and 3-cycles (the odd-cycle case
+    the doubling walk must flag unresolved), resolved by pointer
+    jumping. The oracle replays the walk sequentially with a
+    recursive CTE — hash-equality proves the O(log) doubling computes
+    the sequential fixed point."""
+    from ocr_agent_spark.functions.redirects import resolve_redirects
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    did = F.col("doc_id").cast("string")
+
+    def part(cond, src_pre, dst_pre):
+        rows = d.filter(cond) if cond is not None else d
+        return rows.select(
+            F.concat(F.lit(src_pre), did).alias("src"),
+            F.concat(F.lit(dst_pre), did).alias("dst"),
+        )
+
+    edges = (
+        part(None, "u", "v")
+        .unionByName(part(F.col("doc_id") % 2 == 0, "v", "w"))
+        .unionByName(part(F.col("doc_id") % 4 == 0, "w", "x"))
+        .unionByName(part(F.col("doc_id") % 5 == 0, "ca", "cb"))
+        .unionByName(part(F.col("doc_id") % 5 == 0, "cb", "ca"))
+        .unionByName(part(F.col("doc_id") % 7 == 0, "ta", "tb"))
+        .unionByName(part(F.col("doc_id") % 7 == 0, "tb", "tc"))
+        .unionByName(part(F.col("doc_id") % 7 == 0, "tc", "ta"))
+    )
+    return resolve_redirects(edges, max_hops=8)
+
+
 def _token_drift(spark, sf):
     """Corpus drift (functions/drift.py): Jensen-Shannon divergence
     between two planted snapshots of documents (old = doc_id < 300;
@@ -1924,7 +1956,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": _ivf_cosine_topk,
         # training-data pipeline: dedup / text / similarity
         "dedup_fingerprint_stats": _dedup_fingerprint_stats,
-        "dedup_exact_groups": _dedup_exact_groups,
+        "redirect_resolution": _redirect_resolution,  # r6 batch-5
+        # (window slot opened by parking dedup_exact_groups, green
+        # r4+r5; dedup_fingerprint_stats keeps the exact-dedup arc
+        # in-window)
         "mojibake_repair": _mojibake_repair,  # r6 batch-4 (window
         # slot opened by parking dedup_keep_first, green r4+r5; the
         # exact-dedup arc keeps dedup_exact_groups +
@@ -2059,6 +2094,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": _lang_id_counts,  # green r1-r5; parked
         # mid-r6 to open a window slot for token_drift (tail evidence
         # re-recorded same day)
+        "dedup_exact_groups": _dedup_exact_groups,  # green r4+r5;
+        # parked mid-r6 to open a window slot for redirect_resolution
+        # (tail evidence re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
         # evidence re-recorded same day; twin ivf_cosine_topk stays
@@ -2204,6 +2242,24 @@ def _mojibake_repair_oracle() -> str:
         f"CAST(length(corrupted) - length({rep}) AS INT) AS n_fixed "
         "FROM c"
     )
+
+
+def _redirect_resolution_oracle() -> str:
+    from ocr_agent_spark.functions.redirects import resolve_redirects_sql
+
+    did = "CAST(doc_id AS STRING)"
+    base = "FROM documents WHERE doc_id < 100"
+    edges = " UNION ALL ".join([
+        f"SELECT 'u' || {did} AS src, 'v' || {did} AS dst {base}",
+        f"SELECT 'v' || {did}, 'w' || {did} {base} AND doc_id % 2 = 0",
+        f"SELECT 'w' || {did}, 'x' || {did} {base} AND doc_id % 4 = 0",
+        f"SELECT 'ca' || {did}, 'cb' || {did} {base} AND doc_id % 5 = 0",
+        f"SELECT 'cb' || {did}, 'ca' || {did} {base} AND doc_id % 5 = 0",
+        f"SELECT 'ta' || {did}, 'tb' || {did} {base} AND doc_id % 7 = 0",
+        f"SELECT 'tb' || {did}, 'tc' || {did} {base} AND doc_id % 7 = 0",
+        f"SELECT 'tc' || {did}, 'ta' || {did} {base} AND doc_id % 7 = 0",
+    ])
+    return resolve_redirects_sql(edges, max_hops=8)
 
 
 def _token_drift_oracle() -> str:
@@ -3335,6 +3391,7 @@ def oracle_sql() -> dict[str, str]:
         "registered_domains": _registered_domains_oracle(),
         "doc_chunks": _doc_chunks_oracle(),
         "token_drift": _token_drift_oracle(),
+        "redirect_resolution": _redirect_resolution_oracle(),
         # semantic keep-set: brute-force cosine pairs (valid stand-in
         # for the LSH path — planted dups are exact-direction copies,
         # so LSH recall is 1.0 by construction) + recursive closure,

@@ -68,6 +68,7 @@ MUST_BE_SWEPT = {
     "registered_domains",  # slot from similarity_topk (r4+r5)
     "doc_chunks",  # slot from bpe_token_histogram (r4+r5)
     "token_drift",  # slot from lang_id_counts (r1-r5)
+    "redirect_resolution",  # slot from dedup_exact_groups (r4+r5)
     # rotated back in for r6 (VERDICT r5 item 6); keep in-window until
     # CORRECTNESS_r6 records them
     "a1_status_histogram", "a2_category_totals", "a6_ordered_concat",
