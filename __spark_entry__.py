@@ -1322,6 +1322,57 @@ def _embedding_near_dups_exact(spark, sf):
     )
 
 
+def _fetch_log_roundtrip(spark, sf):
+    """Fetch-log source (sources/warc.py:read_fetch_log): documents →
+    WARC archives carrying planted statuses (200 / 301+Location /
+    404 / chunked bodies) → header-only metadata view. The oracle
+    replays status, redirect target, and payload length from the
+    planting — the hash pins the status line, Location header, and
+    de-chunked length through a real container round trip."""
+    import datetime
+    import os
+    import tempfile
+
+    from ocr_agent_spark.kernel.warcfile import write_warc_record
+    from ocr_agent_spark.sources.warc import read_fetch_log
+
+    docs = (
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        .select("doc_id", "text").collect()
+    )
+    base = datetime.datetime(2026, 2, 1, tzinfo=datetime.timezone.utc)
+    tmp = tempfile.mkdtemp(prefix="fetchlog_")
+    paths = []
+    for shard in range(2):
+        p = os.path.join(tmp, f"part-{shard}.warc.gz")
+        with open(p, "wb") as fh:
+            for r in docs:
+                if r["doc_id"] % 2 != shard:
+                    continue
+                i = int(r["doc_id"])
+                payload = r["text"][:120].encode("utf-8")
+                if i % 5 == 1:
+                    write_warc_record(
+                        fh, f"fl://doc/{i}", base, b"", status=301,
+                        location=f"fl://moved/{i}")
+                elif i % 5 == 2:
+                    write_warc_record(
+                        fh, f"fl://doc/{i}", base, payload, status=404)
+                elif i % 5 == 3:
+                    write_warc_record(
+                        fh, f"fl://doc/{i}", base, payload, chunked=True)
+                else:
+                    write_warc_record(fh, f"fl://doc/{i}", base, payload)
+        paths.append(p)
+    log = read_fetch_log(spark, paths)
+    return log.select(
+        F.regexp_extract("url", r"fl://doc/(\d+)", 1).cast("long")
+        .alias("doc_id"),
+        "status", "location",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
 def _redirect_resolution(spark, sf):
     """Redirect-chain resolution (functions/redirects.py): planted
     1/2/3-hop chains plus 2-cycles and 3-cycles (the odd-cycle case
@@ -1947,7 +1998,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green r4+r5; the LSH twin embedding_near_dups stays in-window
         # and the exact variant remains pinned by tests/test_semdedup.py)
         "math_rewrite": _math_rewrite,
-        "rolling_fingerprints": _rolling_fingerprints,
+        "fetch_log_roundtrip": _fetch_log_roundtrip,  # r6 batch-5
+        # (window slot opened by parking rolling_fingerprints, green
+        # r4+r5, still pinned by the winnowing differential pytest)
         "multimodal_features": _multimodal_features,
         "near_dedup_keep": _near_dedup_keep,
         "wet_roundtrip": _wet_roundtrip,  # r6 batch-4 (window slot
@@ -2096,6 +2149,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-recorded same day)
         "dedup_exact_groups": _dedup_exact_groups,  # green r4+r5;
         # parked mid-r6 to open a window slot for redirect_resolution
+        # (tail evidence re-recorded same day)
+        "rolling_fingerprints": _rolling_fingerprints,  # green r4+r5;
+        # parked mid-r6 to open a window slot for fetch_log_roundtrip
         # (tail evidence re-recorded same day)
         "lsh_cosine_topk": _lsh_cosine_topk,  # green r4+r5; parked
         # mid-r6 to open a window slot for html_metadata (tail
@@ -3392,6 +3448,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _doc_chunks_oracle(),
         "token_drift": _token_drift_oracle(),
         "redirect_resolution": _redirect_resolution_oracle(),
+        "fetch_log_roundtrip": (r"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 1 THEN 301
+                        WHEN doc_id % 5 = 2 THEN 404
+                        ELSE 200 END AS status,
+                   CASE WHEN doc_id % 5 = 1
+                        THEN 'fl://moved/' || CAST(doc_id AS VARCHAR)
+                        END AS location,
+                   CASE WHEN doc_id % 5 = 1 THEN 0
+                        ELSE octet_length(encode(substr(text, 1, 120)))
+                        END AS n_bytes
+            FROM documents WHERE doc_id < 200
+        """),
         # semantic keep-set: brute-force cosine pairs (valid stand-in
         # for the LSH path — planted dups are exact-direction copies,
         # so LSH recall is 1.0 by construction) + recursive closure,

@@ -388,10 +388,26 @@ def iter_warc_pages(stream) -> Iterator[tuple[str, _dt.datetime, bytes]]:
 # -- writer (fixtures + the engine's own export path) -----------------------
 
 
+#: frozen reason phrases for the writer's status line (RFC 9110 names)
+_REASONS = {
+    200: "OK", 301: "Moved Permanently", 302: "Found",
+    303: "See Other", 304: "Not Modified", 307: "Temporary Redirect",
+    308: "Permanent Redirect", 404: "Not Found", 410: "Gone",
+    500: "Internal Server Error", 503: "Service Unavailable",
+}
+
+
 def write_warc_record(out, url: str, ts: _dt.datetime, payload: bytes,
                       content_type: str = "text/html; charset=UTF-8",
-                      compress: bool = True, chunked: bool = False) -> None:
-    """Append one ``response`` record (its own gzip member) to ``out``."""
+                      compress: bool = True, chunked: bool = False,
+                      status: int = 200,
+                      location: str | None = None) -> None:
+    """Append one ``response`` record (its own gzip member) to ``out``.
+
+    Defaults (status=200, no location) write byte-identical records to
+    the historical form — the golden roundtrip contracts are
+    unaffected. ``status``/``location`` exist for fetch-log realism
+    (redirects, errors)."""
     if chunked:
         http_body = (
             b"%x\r\n" % len(payload) + payload + b"\r\n0\r\n\r\n"
@@ -401,10 +417,13 @@ def write_warc_record(out, url: str, ts: _dt.datetime, payload: bytes,
     else:
         http_body = payload
         te = b"Content-Length: %d\r\n" % len(payload)
+    reason = _REASONS.get(status, "Unknown")
+    loc = (b"Location: " + location.encode("utf-8") + _CRLF
+           if location else b"")
     http = (
-        b"HTTP/1.1 200 OK\r\n"
+        b"HTTP/1.1 %d " % status + reason.encode("latin-1") + _CRLF
         + b"Content-Type: " + content_type.encode("latin-1") + _CRLF
-        + te + _CRLF + http_body
+        + loc + te + _CRLF + http_body
     )
     warc_date = ts.astimezone(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
     rec = (
@@ -565,3 +584,37 @@ def iter_wet_texts(stream) -> Iterator[tuple[str, _dt.datetime, str]]:
         url = headers.get("warc-target-uri", "")
         ts = _parse_warc_date(headers.get("warc-date", ""))
         yield url, ts, body.decode("utf-8", "replace")
+
+
+# -- fetch log: the WAT-adjacent response-metadata view ----------------------
+
+_STATUS_RE = re.compile(rb"^HTTP/\d\.\d[ \t]+(\d{3})")
+
+
+def iter_fetch_log(stream) -> Iterator[
+        tuple[str, _dt.datetime, int | None, str | None, str | None, int]]:
+    """(url, ts, status, content_type, location, n_payload_bytes) per
+    ``response`` record — the crawl's fetch log, without transcoding
+    or payload copies. ``status`` is None for bare-payload records
+    (some crawls store responses without the HTTP envelope);
+    ``location`` carries redirect targets for
+    functions/redirects.resolve_redirects."""
+    for headers, body in iter_warc_records(stream):
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = _parse_warc_date(headers.get("warc-date", ""))
+        status = ctype = loc = None
+        n = len(body)
+        m = _STATUS_RE.match(body)
+        if m:
+            status = int(m.group(1))
+            http = parse_http_response(body)
+            if http is not None:
+                http_headers, payload = http
+                ctype = http_headers.get("content-type")
+                loc = http_headers.get("location")
+                n = len(payload)
+        yield url, ts, status, ctype, loc, n

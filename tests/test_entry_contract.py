@@ -31,7 +31,7 @@ SWEEP_WINDOW = 50
 # pure-SQL gap-fills with r1 AND r2 hash matches on record.)
 MUST_BE_SWEPT = {
     "embedding_near_dups",
-    "math_rewrite", "rolling_fingerprints", "multimodal_features",
+    "math_rewrite", "multimodal_features",
     "near_dedup_keep",
     "ivf_cosine_topk", "minhash_near_dups", "extract_synthetic_pages",
     "merged_artifact_hash",
@@ -69,6 +69,7 @@ MUST_BE_SWEPT = {
     "doc_chunks",  # slot from bpe_token_histogram (r4+r5)
     "token_drift",  # slot from lang_id_counts (r1-r5)
     "redirect_resolution",  # slot from dedup_exact_groups (r4+r5)
+    "fetch_log_roundtrip",  # slot from rolling_fingerprints (r4+r5)
     # rotated back in for r6 (VERDICT r5 item 6); keep in-window until
     # CORRECTNESS_r6 records them
     "a1_status_histogram", "a2_category_totals", "a6_ordered_concat",
