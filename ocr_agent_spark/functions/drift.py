@@ -62,8 +62,9 @@ def token_drift(old: DataFrame, new: DataFrame,
     j = h_old.join(h_new, "token", "full_outer").fillna(
         0, subset=["n_old", "n_new"]
     )
-    tot_old = j.agg(F.sum("n_old")).collect()[0][0] or 1
-    tot_new = j.agg(F.sum("n_new")).collect()[0][0] or 1
+    totals = j.agg(F.sum("n_old"), F.sum("n_new")).collect()[0]
+    tot_old = totals[0] or 1
+    tot_new = totals[1] or 1
     p = F.col("n_old") / F.lit(float(tot_old))
     q = F.col("n_new") / F.lit(float(tot_new))
     m = (p + q) / 2
