@@ -93,6 +93,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    run_loads: dict[str, list[float]] = {}
+    run_stamps: dict[str, list[float]] = {}
     extra: dict = {}
     # Median-of-N per query (default 3): this shared host shows ±50%
     # noise windows lasting minutes (r3's merge read 3.27 s in the
@@ -102,18 +104,37 @@ def main() -> None:
     # "runs" for transparency.
     repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
 
+    def loadavg() -> float:
+        # 1-minute host load — recorded per repeat so a reading taken
+        # during a noisy host window is self-adjudicating (r5/r6 both
+        # needed manual A/B arbitration to separate load from code).
+        try:
+            with open("/proc/loadavg") as fh:
+                return float(fh.read().split()[0])
+        except OSError:
+            return -1.0
+
+    bench_t0 = time.time()
+    extra["loadavg_start"] = loadavg()
+
     def timed(name: str, fn, per_run_reset=None):
         import statistics
 
         out = None
         runs: list[float] = []
+        loads: list[float] = []
+        stamps: list[float] = []
         for i in range(repeats):
             if per_run_reset is not None and i > 0:
                 per_run_reset()
+            stamps.append(round(time.time() - bench_t0, 3))
             t0 = time.monotonic()
             out = fn()
             runs.append(round(time.monotonic() - t0, 3))
+            loads.append(loadavg())
         all_runs[name] = runs
+        run_loads[name] = loads
+        run_stamps[name] = stamps
         timings[name] = round(statistics.median(runs), 3)
         return out
 
@@ -169,6 +190,7 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    extra["loadavg_end"] = loadavg()
     print(
         json.dumps(
             {
@@ -177,6 +199,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": all_runs,
+                # per-repeat 1-min loadavg + seconds-since-bench-start:
+                # a regression whose repeats carry loadavg >> cpus is
+                # host weather, not code (see BENCH/BASELINE.md)
+                "run_loadavg": run_loads,
+                "run_offsets_sec": run_stamps,
                 "repeats": repeats,
                 "sf": sf,
                 "cpus": cpus,

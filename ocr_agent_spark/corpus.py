@@ -111,10 +111,11 @@ def build_training_corpus(
         .orderBy(F.col("shuffle_key").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # BIGINT `div` (exact) — float `/` truncates past 2^53 prefix tokens
     assigned = toks.withColumn(
-        "pack_id",
-        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / pack_budget)
-        .cast("long"),
+        "_prefix", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn(
+        "pack_id", F.expr(f"_prefix div {int(pack_budget)}L")
     )
     out = assigned.select(id_col, "n_tokens", "shuffle_key", "shard",
                           "pack_id")

@@ -59,19 +59,37 @@ def allocate_budget(
         raise ValueError("total_budget must be >= 0")
     from ocr_agent_spark.cache import persist_tracked
 
-    n = F.lit(int(total_budget))
+    tb = int(total_budget)
+    n = F.lit(tb)
     w_micro = (
         F.when(F.col(weight_col) > 0, F.round(F.col(weight_col) * 1e6))
         .otherwise(F.lit(0))
         .cast("long")
     )
+    # N·w_micro must stay inside int64 or the long product silently
+    # wraps; enforce in-plan (raise_error) rather than only documenting
+    # the bound.
+    if tb > 0:
+        w_limit = (2**63 - 1) // tb
+        w_micro = F.when(
+            w_micro > F.lit(w_limit),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "allocate_budget: total_budget * micro-weight "
+                        "overflows int64 (pre-normalize weights) for host "
+                    ),
+                    F.col(host_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(w_micro)
     base_tbl = hosts.select(
         host_col, F.col(weight_col).alias("weight"), w_micro.alias("_w")
     )
     tot = base_tbl.agg(F.sum("_w").alias("_tot_w"))
-    # base = floor(N·w / tot) and rem = N·w mod tot — exact longs
-    # (N·w ≤ ~1e9·1e12 needs care; callers with micro-weights beyond
-    # 1e12 should pre-normalize — documented bound)
+    # base = (N·w) div tot and rem = (N·w) mod tot — BIGINT `div`,
+    # exact on longs (a double quotient truncates past 2^53; the
+    # product itself is overflow-guarded above).
     scored = persist_tracked(
         base_tbl.crossJoin(F.broadcast(tot)).select(
             host_col,
@@ -85,14 +103,15 @@ def allocate_budget(
             "base",
             F.when(
                 F.col("_tot_w") > 0,
-                ((n * F.col("_w") - F.col("_rem")) / F.col("_tot_w"))
-                .cast("long"),
+                F.expr(f"({tb}L * _w) div _tot_w"),
             ).otherwise(F.lit(0)),
         ).withColumn(
+            # histogram bucket only (boundary rows get an exact rank
+            # later) — double keeps _rem·B from wrapping int64
             "_bkt",
             F.when(
                 (F.col("_tot_w") > 0) & (F.col("_rem") > 0),
-                (F.col("_rem") * n_buckets / F.col("_tot_w"))
+                (F.col("_rem").cast("double") * n_buckets / F.col("_tot_w"))
                 .cast("long"),
             ).otherwise(F.lit(-1)),
         )

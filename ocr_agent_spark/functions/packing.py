@@ -50,8 +50,11 @@ def exclusive_prefix_sum(
     is the id-range width per bucket (ids need not be dense — a sparse
     bucket just sums fewer rows).
     """
+    # BIGINT `div`, not float `/`: a double quotient truncates past
+    # 2^53 and would misassign boundary rows to the adjacent bucket.
     bucketed = df.withColumn(
-        "_bucket", (F.col(id_col) / bucket_width).cast("long")
+        "_bucket",
+        F.expr(f"cast({id_col} as bigint) div {int(bucket_width)}L"),
     )
     totals = (
         bucketed.groupBy("_bucket")
@@ -97,8 +100,10 @@ def assign_packs(
     scanned = exclusive_prefix_sum(
         docs, tokens_col, id_col=id_col, bucket_width=bucket_width
     )
+    # prefix_sum div budget is exact on BIGINT; float `/` drifts at
+    # corpus-scale prefix sums (> 2^53 tokens).
     return scanned.withColumn(
-        "pack_id", (F.col("prefix_sum") / budget).cast("long")
+        "pack_id", F.expr(f"prefix_sum div {int(budget)}L")
     )
 
 

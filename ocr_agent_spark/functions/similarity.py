@@ -42,7 +42,16 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine of two array columns; NULL when either norm is zero.
+
+    ``try_divide``, not ``/``: under ANSI mode a zero-norm (degenerate)
+    vector would abort the whole job with DIVIDE_BY_ZERO, and under
+    non-ANSI it yields NaN — which Spark orders ABOVE every number, so
+    ``cosine >= threshold`` would be TRUE and the degenerate vector
+    would pair with everything. NULL propagates as false through
+    threshold predicates and sorts last in ``desc`` top-k — the
+    semantics every caller wants."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
@@ -449,9 +458,12 @@ def embedding_near_duplicates_exact(embeddings: DataFrame, threshold: float = 0.
     raw = cosine_similarity(F.col("va"), F.col("vb"))
     # Filter on the RAW cosine, round only for output — keeps the
     # predicate semantics identical to a SQL oracle that also filters
-    # unrounded.
+    # unrounded. Zero-norm vectors make the cosine NaN, and Spark
+    # orders NaN ABOVE every number, so `raw >= threshold` would be
+    # true — a degenerate vector would pair with everything and fuse
+    # unrelated clusters; drop NaN pairs explicitly.
     return (
-        pairs.filter(raw >= threshold)
+        pairs.filter((~F.isnan(raw)) & (raw >= threshold))
         .select("id_a", "id_b", F.round(raw, 6).alias("cosine"))
     )
 
@@ -581,10 +593,13 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     raw = cosine_similarity(F.col("_va"), F.col("_vb"))
+    # NaN guard mirrors embedding_near_duplicates_exact: Spark sorts
+    # NaN above all numbers, so an unguarded `>= threshold` would pass
+    # every pair touching a zero-norm vector.
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(raw >= threshold)
+        .filter((~F.isnan(raw)) & (raw >= threshold))
         .select("id_a", "id_b", F.round(raw, 6).alias("cosine"))
     )
 

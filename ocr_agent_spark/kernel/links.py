@@ -49,13 +49,15 @@ def _strip_fragment(url: str) -> str:
                        parts.query, ""))
 
 
-_ANCHOR_RE = re.compile(
-    rb"""<a\s(?:[^>]*?\s)?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))
-         [^>]*>(.*?)</a\s*>""",
-    re.IGNORECASE | re.DOTALL | re.VERBOSE,
-)
+_CLOSE_A_RE = re.compile(rb"</a\s*>", re.IGNORECASE)
 _TAG_RE = re.compile(rb"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
+
+# Anchor-body scan bound: an unclosed <a href> on a pathological page
+# must not scan to end-of-document (the old lazy `(.*?)</a>` regex was
+# quadratic there — one EOF scan PER unclosed anchor). 64 KiB covers
+# any real anchor text; longer bodies are treated as unclosed.
+_ANCHOR_BODY_CAP = 1 << 16
 
 
 def _resolve(href: str, base: str) -> str | None:
@@ -94,20 +96,32 @@ def extract_anchors(html_bytes: bytes, page_url: str) -> list[tuple[str, str]]:
     collapsed inner content of the <a> element — the string the link
     graph's anchor-text aggregation consumes (Common Crawl's wat/
     anchor datasets carry exactly this). Anchors whose close tag never
-    appears (truncated page) are skipped — no text evidence.
+    appears within ``_ANCHOR_BODY_CAP`` bytes (truncated page, or a
+    pathological unclosed tag) are skipped — no text evidence.
+
+    Tag detection is the SAME ``_HREF_RE`` as ``extract_links``, so the
+    two edge tables can never diverge on which ``<a href>`` openings
+    they see; the only intentional difference is that anchors without a
+    close tag appear in the link table (an edge exists) but not here
+    (no text). The body is located with a bounded linear ``find``, not
+    a lazy regex — O(page + anchors·cap) worst case instead of the old
+    quadratic unclosed-anchor scan.
     """
     base = _page_base(html_bytes, page_url)
     out: list[tuple[str, str]] = []
     seen: set[str] = set()
-    for m in _ANCHOR_RE.finditer(html_bytes):
-        raw = m.group(2) if m.group(2) is not None else (
-            m.group(3) if m.group(3) is not None else m.group(4)
-        )
-        href = _unescape(raw.decode("utf-8", "replace")).strip()
-        absolute = _resolve(href, base)
+    for m in _HREF_RE.finditer(html_bytes):
+        absolute = _resolve(_attr_value(m), base)
         if absolute is None or absolute in seen:
             continue
-        inner = _TAG_RE.sub(b" ", m.group(5))
+        tag_end = html_bytes.find(b">", m.end())
+        if tag_end < 0:
+            continue  # open tag never closes: truncated page
+        window = html_bytes[tag_end + 1:tag_end + 1 + _ANCHOR_BODY_CAP]
+        cm = _CLOSE_A_RE.search(window)
+        if cm is None:
+            continue  # unclosed anchor: no text evidence
+        inner = _TAG_RE.sub(b" ", window[:cm.start()])
         text = _WS_RE.sub(
             " ", _unescape(inner.decode("utf-8", "replace"))
         ).strip()

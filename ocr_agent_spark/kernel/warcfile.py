@@ -159,6 +159,21 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out)
 
 
+def _hdr_decode(value: bytes) -> str:
+    """Header-value bytes → str: UTF-8 first, latin-1 fallback.
+
+    The writers in this module encode WARC-Target-URI / Location as
+    UTF-8; decoding everything as latin-1 would mojibake non-ASCII URLs
+    through the WET/fetch-log round trips (url read back != url
+    written), silently breaking joins against the original url column.
+    Legacy archives with raw 8-bit header bytes still parse via the
+    latin-1 fallback (which never fails)."""
+    try:
+        return value.decode("utf-8")
+    except UnicodeDecodeError:
+        return value.decode("latin-1")
+
+
 def parse_http_response(raw: bytes) -> tuple[dict[str, str], bytes] | None:
     """HTTP/1.x response bytes → (lowercased headers, payload body).
 
@@ -174,7 +189,7 @@ def parse_http_response(raw: bytes) -> tuple[dict[str, str], bytes] | None:
         c = line.find(b":")
         if c > 0:
             headers[line[:c].decode("latin-1").strip().lower()] = (
-                line[c + 1:].decode("latin-1").strip()
+                _hdr_decode(line[c + 1:]).strip()
             )
     body = raw[sep + 4:]
     if "chunked" in headers.get("transfer-encoding", "").lower():
@@ -231,7 +246,7 @@ def iter_warc_records(stream) -> Iterator[tuple[dict[str, str], bytes]]:
             c = hl.find(b":")
             if c > 0:
                 headers[hl[:c].decode("latin-1").strip().lower()] = (
-                    hl[c + 1:].decode("latin-1").strip()
+                    _hdr_decode(hl[c + 1:]).strip()
                 )
         try:
             length = int(headers.get("content-length", ""))

@@ -1,0 +1,244 @@
+"""Regression tests for the round-7 ADVICE fixes.
+
+- budget.py: base allocation must be exact BIGINT `div` (a double
+  quotient truncates past 2^53) and the int64 product bound must be
+  ENFORCED in-plan, not just documented.
+- packing.py / corpus.py: pack_id and the prefix-sum bucket key use
+  integer `div` — boundary documents past 2^53 tokens must not drift.
+- similarity.py: zero-norm embeddings make cosine NaN; Spark orders
+  NaN above every number, so an unguarded `>= threshold` pairs a
+  degenerate vector with everything.
+- kernel/warcfile.py: UTF-8 URLs written by the WET/fetch-log writers
+  must read back byte-identical (reader used to decode latin-1).
+- kernel/links.py: extract_anchors/extract_links share one <a href>
+  detection regex, and unclosed anchors scan a bounded window instead
+  of to end-of-document.
+"""
+
+import io
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# -- budget ------------------------------------------------------------------
+
+
+def test_budget_exact_past_double_precision(spark):
+    # N·w_micro ≈ 8.6e17 > 2^53 ≈ 9.0e15: a double quotient here is
+    # not exact; the allocation must still sum to exactly N.
+    from ocr_agent_spark.functions.budget import allocate_budget
+
+    # w_micro ≈ 1e11, N ≈ 1e6 → N·w ≈ 1e17: > 2^53, < 2^63
+    budget = 1_254_111
+    pairs = [(f"h{i:03d}", 99_983.0 + 7.0 * i) for i in range(40)]
+    df = spark.createDataFrame(pairs, "host string, weight double")
+    rows = allocate_budget(df, budget).collect()
+    assert sum(r["allocation"] for r in rows) == budget
+    # every host within 1 of its ideal share
+    tot = sum(round(w * 1e6) for _, w in pairs)
+    for r in rows:
+        ideal = budget * round(dict(pairs)[r["host"]] * 1e6) / tot
+        assert abs(r["allocation"] - ideal) <= 1.0
+
+
+def test_budget_overflow_guard_raises(spark):
+    # total_budget * micro-weight past int64 must raise in-plan, not
+    # silently wrap.
+    from ocr_agent_spark.functions.budget import allocate_budget
+
+    # w_micro = 1e12 fits int64, but N·w = 1e22 does not
+    df = spark.createDataFrame(
+        [("big", 1e6), ("small", 1.0)], "host string, weight double"
+    )
+    with pytest.raises(Exception, match="overflows int64"):
+        allocate_budget(df, 10_000_000_000).collect()
+
+
+# -- packing -----------------------------------------------------------------
+
+
+def test_pack_id_exact_past_double_precision(spark):
+    # Prefix sums beyond 2^53: (prefix div budget) must place the
+    # boundary document exactly. With float `/`, prefix 2^53+1 and
+    # budget (2^53+1)/k collapse to the wrong pack.
+    from ocr_agent_spark.functions.packing import assign_packs
+
+    big = (1 << 53) + 1  # not representable as double
+    docs = spark.createDataFrame(
+        [(0, big), (1, 1), (2, 1)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: (r["prefix_sum"], r["pack_id"])
+        for r in assign_packs(docs, big).collect()
+    }
+    assert got[0] == (0, 0)
+    # doc 1 starts exactly AT the boundary token `big` → pack 1; a
+    # double quotient of big/big after 2^53 rounding can give pack 0
+    assert got[1] == (big, 1)
+    assert got[2] == (big + 1, 1)
+
+
+def test_bucket_key_integer_div(spark):
+    from ocr_agent_spark.functions.packing import exclusive_prefix_sum
+
+    # ids straddling a bucket boundary near 2^53 must land in the
+    # right bucket (float division misassigns the boundary row).
+    b = 4096
+    base = ((1 << 53) // b) * b  # a bucket boundary past 2^53
+    docs = spark.createDataFrame(
+        [(base - 1, 10), (base, 20), (base + 1, 30)],
+        "doc_id long, n_tokens long",
+    )
+    rows = {
+        r["doc_id"]: r["prefix_sum"]
+        for r in exclusive_prefix_sum(docs, "n_tokens").collect()
+    }
+    assert rows == {base - 1: 0, base: 10, base + 1: 30}
+
+
+# -- similarity NaN guard ----------------------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_zero_norm_vector_pairs_with_nothing(spark):
+    from ocr_agent_spark.functions.similarity import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_exact,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),   # true dup of 1
+        (3, [0.0, 0.0, 0.0]),   # degenerate: must pair with nothing
+        (4, [0.0, 0.0, 0.0]),   # second zero vector: not even with 3
+    ]
+    exact = embedding_near_duplicates_exact(_emb(spark, rows), 0.9).collect()
+    got = {(r["id_a"], r["id_b"]) for r in exact}
+    assert got == {(1, 2)}
+    lsh = embedding_near_duplicates(
+        _emb(spark, rows), 0.9, bands=4, rows_per_band=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} <= {(1, 2)}
+
+
+def test_semantic_dedup_keeps_all_zero_vectors(spark):
+    # NaN edges must not fuse the degenerate vectors into one cluster.
+    from ocr_agent_spark.functions.similarity import semantic_dedup_keep
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 1e-9]),       # near-dup of 1 → one survivor
+        (3, [0.0, 0.0]),
+        (4, [0.0, 0.0]),
+    ]
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup_keep(_emb(spark, rows), 0.99, exact=True)
+        .collect()
+    }
+    assert kept == {1, 3, 4}
+
+
+# -- WARC/WET non-ASCII URL round trip ---------------------------------------
+
+
+_TS = __import__("datetime").datetime(
+    2024, 1, 2, 3, 4, 5, tzinfo=__import__("datetime").timezone.utc
+)
+
+
+def test_wet_nonascii_url_roundtrip():
+    from ocr_agent_spark.kernel.warcfile import (
+        iter_wet_texts,
+        write_wet_record,
+    )
+
+    url = "https://exämple.jp/ページ?q=naïve"
+    buf = io.BytesIO()
+    write_wet_record(buf, url, _TS, "body text")
+    buf.seek(0)
+    [(got_url, _ts, got_text)] = list(iter_wet_texts(buf))
+    assert got_url == url
+    assert got_text == "body text"
+
+
+def test_warc_nonascii_location_roundtrip():
+    from ocr_agent_spark.kernel.warcfile import (
+        iter_warc_records,
+        parse_http_response,
+        write_warc_record,
+    )
+
+    url = "https://exämple.jp/start"
+    loc = "https://exämple.jp/ziel"
+    buf = io.BytesIO()
+    write_warc_record(buf, url, _TS, b"", status=301, location=loc)
+    buf.seek(0)
+    [(headers, body)] = list(iter_warc_records(buf))
+    assert headers["warc-target-uri"] == url
+    http = parse_http_response(body)
+    assert http is not None
+    assert http[0]["location"] == loc
+
+
+def test_legacy_latin1_header_still_parses():
+    # raw 8-bit (non-UTF-8) header bytes fall back to latin-1
+    from ocr_agent_spark.kernel.warcfile import parse_http_response
+
+    raw = b"HTTP/1.1 200 OK\r\nX-Legacy: caf\xe9\r\n\r\nbody"
+    headers, body = parse_http_response(raw)
+    assert headers["x-legacy"] == "café"
+    assert body == b"body"
+
+
+# -- links: alignment + bounded unclosed-anchor scan -------------------------
+
+
+def test_anchor_href_detection_aligned():
+    from ocr_agent_spark.kernel.links import extract_anchors, extract_links
+
+    html = (
+        b'<a href="/one">first</a>'
+        b'<a class="x" href="/two">second</a>'
+        b'<a href=/bare>bare</a>'
+        b'<a href="/unclosed">never closed'
+    )
+    links = extract_links(html, "http://h.example/")
+    anchors = extract_anchors(html, "http://h.example/")
+    # every anchor href is a link href, and the only difference is the
+    # documented one: unclosed anchors have an edge but no text
+    assert {a for a, _ in anchors} <= set(links)
+    assert set(links) - {a for a, _ in anchors} == {
+        "http://h.example/unclosed"
+    }
+    assert dict(anchors)["http://h.example/one"] == "first"
+    assert dict(anchors)["http://h.example/two"] == "second"
+
+
+def test_unclosed_anchors_scan_bounded():
+    from ocr_agent_spark.kernel.links import extract_anchors
+
+    # 2000 unclosed anchors over ~2 MB of trailing junk: the old lazy
+    # regex scanned to EOF per anchor (quadratic, minutes); the bounded
+    # find must finish fast and emit no anchor text.
+    page = b"".join(
+        b'<a href="/u%d">text without close ' % i for i in range(2000)
+    ) + b"x" * 2_000_000
+    t0 = time.monotonic()
+    anchors = extract_anchors(page, "http://h.example/")
+    elapsed = time.monotonic() - t0
+    assert anchors == []
+    assert elapsed < 10.0
+
+
+def test_anchor_body_cap_treats_giant_body_as_unclosed():
+    from ocr_agent_spark.kernel.links import extract_anchors
+
+    html = b'<a href="/giant">' + b"y" * (1 << 17) + b"</a>"
+    assert extract_anchors(html, "http://h.example/") == []
