@@ -1608,6 +1608,47 @@ def _semantic_dedup_keep(spark, sf):
     )
 
 
+def _semantic_dedup_incremental(spark, sf):
+    """Delta-vs-history SEMANTIC dedup (functions/dedup_index.py
+    semantic_dedup_against_index): history = vec_id<300 indexed on
+    disk (vectors + persisted banded hyperplane signatures); delta =
+    vec_id in [300,500) plus ×2-scaled copies of history vec_id<10
+    (cosine exactly 1.0 → lose to history) plus ×3-scaled copies of
+    delta vec_id in [300,310) (in-batch clusters → min id survives).
+    Full oracle: brute-force NOT EXISTS against history + the
+    recursive-CTE closure keep rule — valid because the plants are
+    exact-direction copies (identical signatures under any banding,
+    recall 1.0 by construction) and the sf corpora have no natural
+    pair above 0.9 (measured; same argument as semantic_dedup_keep)."""
+    import tempfile
+
+    from ocr_agent_spark.functions.dedup_index import (
+        build_semantic_index, semantic_dedup_against_index,
+    )
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    history = emb.filter(F.col("vec_id") < 300)
+    scale = lambda df, k, off: df.select(  # noqa: E731
+        (F.col("vec_id") + off).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(float(k))).cast("float")
+        ).alias("embedding"),
+    )
+    delta = (
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 500))
+        .unionByName(scale(emb.filter(F.col("vec_id") < 10), 2.0, 100000))
+        .unionByName(scale(
+            emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 310)),
+            3.0, 200000,
+        ))
+    )
+    path = tempfile.mkdtemp(prefix="sem_index_q_")
+    build_semantic_index(history, path, bands=4, rows_per_band=8)
+    return semantic_dedup_against_index(
+        delta, spark, path, threshold=0.9, bands=4, rows_per_band=8,
+    ).select("vec_id")
+
+
 def _multimodal_features(spark, sf):
     """Rows-only (r3 fix): the driver canonicalizes rows-only results by
     pandas sort_values over ALL columns, which crashes on array-typed
@@ -1907,6 +1948,29 @@ def _quality_classifier_scores(spark, sf):
         "doc_id", "text"
     )
     return classify_quality(d, hash_weights(spark, dim=512), dim=512)
+
+
+def _trained_quality_scores(spark, sf):
+    """LEARNED quality gate (functions/qualityclf.py
+    train_quality_weights): per-bucket Naive-Bayes log-odds trained
+    relationally on planted labels (doc_id % 3 == 0 → spam), then
+    scored through the unchanged classify_quality path — demonstrating
+    the documented weight-table swap. Full oracle: DuckDB replays
+    training (token explode → bucket counts → smoothed log-odds →
+    micro-quantize) AND scoring."""
+    from ocr_agent_spark.functions.qualityclf import (
+        classify_quality, train_quality_weights,
+    )
+
+    d = _t(spark, sf, "documents")
+    labeled = d.filter(F.col("doc_id") < 300).select(
+        "text", (F.col("doc_id") % 3 != 0).cast("int").alias("label")
+    )
+    weights = train_quality_weights(labeled, dim=512)
+    score_docs = d.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 600)
+    ).select("doc_id", "text")
+    return classify_quality(score_docs, weights, dim=512)
 
 
 def _corpus_pipeline_assign(spark, sf):
@@ -3293,6 +3357,68 @@ def oracle_sql() -> dict[str, str]:
                          (n_terms * 1000000.0), 6))), 6) AS prob
             FROM scored
         """,
+        # LEARNED quality classifier: DuckDB replays the TRAINING pass
+        # (planted labels → bucket counts → add-1 smoothed Naive-Bayes
+        # log-odds → micro-quantize) and then the same scoring replay
+        # as quality_classifier_scores with the learned table.
+        "trained_quality_scores": r"""
+            WITH labeled AS (
+                SELECT CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS y,
+                       text
+                FROM documents WHERE doc_id < 300
+            ),
+            train_terms AS (
+                SELECT y, unnest(regexp_extract_all(lower(text),
+                       '[a-z0-9]+')) AS term
+                FROM labeled
+            ),
+            per_bucket AS (
+                SELECT CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                       % 512 AS bucket,
+                       SUM(y) AS c1, SUM(1 - y) AS c0
+                FROM train_terms GROUP BY 1
+            ),
+            totals AS (
+                SELECT COALESCE(SUM(c1), 0) AS n1,
+                       COALESCE(SUM(c0), 0) AS n0
+                FROM per_bucket
+            ),
+            w AS (
+                SELECT b.bucket,
+                       CAST(ROUND((ln((COALESCE(c1, 0) + 1.0)
+                                      / (n1 + 512.0))
+                                 - ln((COALESCE(c0, 0) + 1.0)
+                                      / (n0 + 512.0))) * 1000000)
+                            AS BIGINT) AS weight_micro
+                FROM (SELECT CAST(b AS BIGINT) AS bucket
+                      FROM range(512) t(b)) b
+                LEFT JOIN per_bucket USING (bucket)
+                CROSS JOIN totals
+            ),
+            terms AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS term
+                FROM documents WHERE doc_id >= 300 AND doc_id < 600
+            ),
+            bucketed AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                       % 512 AS bucket
+                FROM terms
+            ),
+            scored AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                       SUM(w.weight_micro) AS dot_micro
+                FROM bucketed JOIN w USING (bucket)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_terms,
+                   ROUND(dot_micro / (n_terms * 1000000.0), 6) AS logit,
+                   ROUND(1.0 / (1.0 + exp(-ROUND(dot_micro /
+                         (n_terms * 1000000.0), 6))), 6) AS prob
+            FROM scored
+        """,
         # perceptual image dedup: frozen expected survivors (one per
         # planted perceptual group, min media_id; pure function of the
         # planted pixels — see _image_ahash_dedup docstring).
@@ -3494,6 +3620,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.vec_id FROM emb e
             WHERE e.vec_id NOT IN (
+                SELECT vec_id FROM comp WHERE vec_id != component
+            )
+        """),
+        # delta-vs-history semantic dedup: brute-force history check +
+        # the same recursive-CTE closure keep rule as
+        # semantic_dedup_keep, over the planted delta.
+        "semantic_dedup_incremental": (r"""
+            WITH RECURSIVE hist AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 300
+            ),
+            delta AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id >= 300 AND vec_id < 500
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+                FROM embeddings WHERE vec_id < 10
+                UNION ALL
+                SELECT vec_id + 200000,
+                       list_transform(embedding, x -> CAST(x * 3.0 AS FLOAT))
+                FROM embeddings WHERE vec_id >= 300 AND vec_id < 310
+            ),
+            survivors AS (
+                SELECT d.vec_id, d.embedding FROM delta d
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM hist h
+                    WHERE list_cosine_similarity(d.embedding::DOUBLE[],
+                          h.embedding::DOUBLE[]) >= 0.9
+                )
+            ),
+            near AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM survivors a JOIN survivors b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                      b.embedding::DOUBLE[]) >= 0.9
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM near
+                UNION ALL SELECT id_b, id_a FROM near
+            ),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            comp AS (
+                SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component
+                FROM reach GROUP BY src
+            )
+            SELECT s.vec_id FROM survivors s
+            WHERE s.vec_id NOT IN (
                 SELECT vec_id FROM comp WHERE vec_id != component
             )
         """),

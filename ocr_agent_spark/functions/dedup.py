@@ -561,12 +561,10 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _hadoop_delete(spark, path: str) -> None:
-    """Recursive delete through the Hadoop FileSystem API — works for
-    whatever filesystem the path's scheme names (HDFS, S3A, local)."""
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    fs.delete(jpath, True)
+    """Back-compat alias — the implementation lives in itercut."""
+    from ocr_agent_spark.functions.itercut import _hadoop_delete as impl
+
+    impl(spark, path)
 
 
 def connected_components(pairs: DataFrame, max_iterations: int = 20,
@@ -611,41 +609,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20,
     """
     from ocr_agent_spark.cache import persist_tracked
 
+    from ocr_agent_spark.functions.itercut import make_cutter
+
     spark = pairs.sparkSession
-    if checkpoint_dir is not None:
-        # Reliable path. Spark never deletes reliable checkpoint files
-        # itself (cleanCheckpoints defaults to false), and a 20-round
-        # run would otherwise leave 20 full label-table copies on
-        # HDFS/S3 permanently — so each round checkpoints into its own
-        # subdirectory and the PREVIOUS round's subdir is deleted (via
-        # the Hadoop FileSystem API, so HDFS/S3A/local all work) once
-        # the new round has materialized. Only the FINAL round's files
-        # remain: the returned DataFrame reads from them, so the caller
-        # deletes checkpoint_dir after consuming/persisting the result.
-        _round_dirs: list[str] = []
-        _round_counter = [0]
-
-        def cut(df: DataFrame) -> DataFrame:
-            rd = f"{checkpoint_dir.rstrip('/')}/round-{_round_counter[0]}"
-            _round_counter[0] += 1
-            spark.sparkContext.setCheckpointDir(rd)
-            out = df.checkpoint(eager=True)
-            _round_dirs.append(rd)
-            return out
-
-        def gc_superseded() -> None:
-            # Called AFTER the convergence join consumed the previous
-            # round and `labels` was reassigned — only then are older
-            # rounds' files truly unreferenced.
-            while len(_round_dirs) > 1:
-                _hadoop_delete(spark, _round_dirs.pop(0))
-    else:
-
-        def cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
-
-        def gc_superseded() -> None:
-            return None
+    # gc_superseded is called AFTER the convergence join consumed the
+    # previous round and `labels` was reassigned — only then are older
+    # rounds' checkpoint files truly unreferenced.
+    cut, gc_superseded = make_cutter(spark, checkpoint_dir)
 
     edges = persist_tracked(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

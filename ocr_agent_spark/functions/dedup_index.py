@@ -31,6 +31,17 @@ The banding join against history is capped the same way as the
 in-batch path (`max_bucket_size` broadcast anti-join on the UNION of
 both sides' buckets) — a boilerplate bucket hot in history stays
 bounded no matter how many deltas arrive.
+
+The SEMANTIC twin (``build_semantic_index`` / ``append_semantic_index``
+/ ``semantic_dedup_against_index``) does the same for embedding-space
+dedup: the index persists each vector's banded random-hyperplane
+signature rows (plus the vectors themselves for the exact-cosine
+verify), so a daily delta joins its banded signatures against history's
+PRECOMPUTED banding — no re-clustering of the historical corpus, no
+history-side plane evaluation, ever. Banding parameters (bands,
+rows_per_band, seed, dim) are frozen in the commit marker and ENFORCED
+on read: a delta banded with different planes would silently miss every
+history candidate, so a mismatch raises instead.
 """
 
 from __future__ import annotations
@@ -168,6 +179,198 @@ def history_near_losers(new_docs: DataFrame, spark: SparkSession,
         .groupBy(F.col("new_id").alias("doc_id"))
         .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
+
+
+_SEM_PREFIX = "s_"
+
+
+def _sem_index_dir(path: str) -> str:
+    versions = sorted(
+        d for d in (os.listdir(path) if os.path.isdir(path) else [])
+        if d.startswith(_SEM_PREFIX)
+        and os.path.exists(os.path.join(path, d, "_COMMITTED"))
+    )
+    if not versions:
+        raise FileNotFoundError(f"no committed semantic index under {path}")
+    return os.path.join(path, versions[-1])
+
+
+def _sem_params(vdir: str) -> dict:
+    import json
+
+    with open(os.path.join(vdir, "_COMMITTED")) as fh:
+        return json.loads(fh.read())
+
+
+def _sem_check_params(vdir: str, bands: int, rows_per_band: int,
+                      seed: int) -> dict:
+    p = _sem_params(vdir)
+    got = {"bands": bands, "rows_per_band": rows_per_band, "seed": seed}
+    frozen = {k: p[k] for k in got}
+    if frozen != got:
+        raise ValueError(
+            f"semantic index at {vdir!r} was built with {frozen}, "
+            f"query passed {got} — differently-banded signatures would "
+            "silently miss every history candidate"
+        )
+    return p
+
+
+def _sem_banded(embeddings: DataFrame, id_col: str, vec_col: str,
+                bands: int, rows_per_band: int, seed: int) -> DataFrame:
+    from ocr_agent_spark.functions.similarity import _banded_signature_table
+
+    return _banded_signature_table(
+        embeddings, id_col, vec_col, bands, rows_per_band, seed
+    )
+
+
+def build_semantic_index(embeddings: DataFrame, path: str,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding", bands: int = 12,
+                         rows_per_band: int = 12, seed: int = 42) -> str:
+    """Write vectors + banded hyperplane signatures for ``embeddings``;
+    returns the committed version directory. Pointer-flip commit like
+    :func:`build_dedup_index`; the commit marker freezes the banding
+    parameters (and the vector dim) and readers enforce them."""
+    import json
+
+    vdir = os.path.join(path, f"{_SEM_PREFIX}{uuid.uuid4().hex[:12]}")
+    vecs = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("embedding")
+    )
+    vecs.write.mode("errorifexists").parquet(os.path.join(vdir, "vectors"))
+    banded = _sem_banded(embeddings, id_col, vec_col, bands,
+                         rows_per_band, seed)
+    banded.write.mode("errorifexists").parquet(os.path.join(vdir, "banded"))
+    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    tmp = os.path.join(path, f".commit-{os.path.basename(vdir)}")
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps({"bands": bands, "rows_per_band": rows_per_band,
+                             "seed": seed, "dim": dim}))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(vdir, "_COMMITTED"))
+    return vdir
+
+
+def append_semantic_index(embeddings: DataFrame, path: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> None:
+    """Marker-committed append of ``embeddings``'s vectors + banded
+    signatures into the current semantic index version (call with the
+    SURVIVORS of :func:`semantic_dedup_against_index`). Banding
+    parameters come from the index's frozen commit marker — an append
+    can never diverge from the build."""
+    vdir = _sem_index_dir(path)
+    p = _sem_params(vdir)
+    adir = os.path.join(vdir, "appends", uuid.uuid4().hex[:12])
+    embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("embedding")
+    ).write.mode("errorifexists").parquet(os.path.join(adir, "vectors"))
+    _sem_banded(
+        embeddings, id_col, vec_col, p["bands"], p["rows_per_band"],
+        p["seed"],
+    ).write.mode("errorifexists").parquet(os.path.join(adir, "banded"))
+    tmp = os.path.join(vdir, "appends", f".commit-{os.path.basename(adir)}")
+    with open(tmp, "w") as fh:
+        fh.write("committed")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(adir, "_COMMITTED"))
+
+
+def semantic_history_losers(new_embs: DataFrame, spark: SparkSession,
+                            path: str, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95, bands: int = 12,
+                            rows_per_band: int = 12, seed: int = 42,
+                            max_bucket_size: int = 10_000) -> DataFrame:
+    """(vec_id, cosine) new-side ids whose exact cosine against SOME
+    indexed history vector reaches ``threshold``.
+
+    Candidates: delta banded signatures (one plane-evaluation pass over
+    the DELTA only) joined to history's PERSISTED banding on
+    (band, bucket) — ids only, vectors never enter the shuffle. The
+    joint hot-bucket cap is the same broadcast anti-join as the MinHash
+    arc. Verify: exact cosine, fetching the two vectors by id (history
+    side reads only the candidate ids' rows)."""
+    from ocr_agent_spark.functions.similarity import cosine_similarity
+
+    vdir = _sem_index_dir(path)
+    p = _sem_check_params(vdir, bands, rows_per_band, seed)
+    hist_banded = _read_frames(spark, vdir, "banded")
+    hist_vecs = _read_frames(spark, vdir, "vectors")
+    dim = new_embs.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim is not None and dim["d"] != p["dim"]:
+        raise ValueError(
+            f"delta embedding dim {dim['d']} != index dim {p['dim']}"
+        )
+    nb = _sem_banded(new_embs, id_col, vec_col, p["bands"],
+                     p["rows_per_band"], p["seed"])
+    hot = (
+        hist_banded.unionByName(nb)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    hb = hist_banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    nb = nb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    cand = (
+        nb.alias("n").join(hb.alias("h"), ["band", "bucket"])
+        .select(F.col("n.doc_id").alias("new_id"),
+                F.col("h.doc_id").alias("hist_id"))
+        .distinct()
+    )
+    raw = cosine_similarity(F.col("_vn"), F.col("_vh"))
+    verified = (
+        cand.join(new_embs.select(F.col(id_col).alias("new_id"),
+                                  F.col(vec_col).alias("_vn")), "new_id")
+        .join(hist_vecs.select(F.col("doc_id").alias("hist_id"),
+                               F.col("embedding").alias("_vh")), "hist_id")
+        .select("new_id", raw.alias("_cos"))
+        .filter((~F.isnan(F.col("_cos"))) & (F.col("_cos") >= threshold))
+    )
+    return verified.groupBy(F.col("new_id").alias(id_col)).agg(
+        F.round(F.max("_cos"), 6).alias("cosine")
+    )
+
+
+def semantic_dedup_against_index(new_embs: DataFrame, spark: SparkSession,
+                                 path: str, id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 threshold: float = 0.95, bands: int = 12,
+                                 rows_per_band: int = 12, seed: int = 42,
+                                 max_bucket_size: int = 10_000,
+                                 in_batch: bool = True,
+                                 max_iterations: int = 20,
+                                 checkpoint_dir: str | None = None
+                                 ) -> DataFrame:
+    """Delta-vs-history SEMANTIC dedup: drop new embeddings whose
+    cosine against the indexed corpus reaches ``threshold``, then
+    (``in_batch``) collapse the remainder's internal semantic clusters
+    with ``similarity.semantic_dedup_keep``. Returns surviving rows of
+    ``new_embs`` — the set to :func:`append_semantic_index` and to
+    admit into the corpus."""
+    from ocr_agent_spark.functions.similarity import semantic_dedup_keep
+
+    losers = semantic_history_losers(
+        new_embs, spark, path, id_col, vec_col, threshold, bands,
+        rows_per_band, seed, max_bucket_size,
+    ).select(id_col)
+    kept = new_embs.join(losers, id_col, "left_anti")
+    if in_batch:
+        # lineage cut before the component loop (same contract as the
+        # MinHash twin below): semantic_dedup_keep references its input
+        # repeatedly and would clone the history-join plan per round.
+        kept = kept.localCheckpoint(eager=True)
+        keep_ids = semantic_dedup_keep(
+            kept, threshold, id_col, vec_col, bands, rows_per_band,
+            seed, max_bucket_size, max_iterations, checkpoint_dir,
+        )
+        kept = kept.join(keep_ids, id_col, "left_semi")
+    return kept
 
 
 def dedup_against_index(new_docs: DataFrame, spark: SparkSession,

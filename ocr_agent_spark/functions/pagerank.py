@@ -23,11 +23,16 @@ Scale notes (100 TB crawl → ~10⁸ hosts, ~10¹⁰ host edges):
 - The contribution aggregate groups by dst; mega-hosts (everyone
   links to wikipedia) are hot keys collapsed map-side by partial
   aggregation.
-- Ranks are persisted each iteration and the previous iteration is
-  unpersisted; for deep loops, checkpoint every ~10 iterations to
-  truncate the lineage chain (5 iterations doesn't need it).
-- The dangling mass is a 1-row aggregate per iteration (driver
-  scalar) — the only driver-side data in the loop.
+- Each round's ranks table is lineage-CUT (``itercut.make_cutter`` —
+  the same helper as connected_components / resolve_redirects): a
+  round references its predecessor twice (dangling aggregate +
+  contribution join), so without a true cut the analyzed plan doubles
+  per round — fine at 5 iterations, analyzer blow-up by ~30 on a real
+  web graph. Pass ``checkpoint_dir`` on a cluster for the reliable
+  variant (survives executor loss; superseded rounds are GC'd).
+- The dangling mass is a broadcast 1-row aggregate folded INTO the
+  round's plan (crossJoin(broadcast(agg))) — one Spark job per
+  iteration, not a separate driver collect + job.
 """
 
 from __future__ import annotations
@@ -43,6 +48,7 @@ def host_pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, rank) after `iterations` damped power-iteration steps.
 
@@ -51,6 +57,9 @@ def host_pagerank(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from ocr_agent_spark.functions.itercut import make_cutter
+
+    cut, gc_superseded = make_cutter(edges.sparkSession, checkpoint_dir)
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -67,14 +76,14 @@ def host_pagerank(
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
 
-    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
-    ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = cut(nodes.select("node", (F.lit(1.0) / n).alias("rank")))
     for _ in range(iterations):
-        # rank stranded on dangling nodes (no out-edges) — 1-row agg.
+        # rank stranded on dangling nodes (no out-edges): a broadcast
+        # 1-row aggregate INSIDE the round's plan — the loop's only
+        # action per iteration is the eager cut below.
         dangling = (
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
@@ -84,8 +93,9 @@ def host_pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        new_ranks = (
+        new_ranks = cut(
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
@@ -93,15 +103,13 @@ def host_pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.lit(dangling / n)
+                        + F.col("_dangling") / n
                     )
                 ).alias("rank"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        new_ranks.count()  # materialize before dropping the parent
-        ranks.unpersist()
         ranks = new_ranks
+        gc_superseded()
 
     out = ranks.select("node", F.round("rank", 6).alias("rank"))
     return out

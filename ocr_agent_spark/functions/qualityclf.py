@@ -62,6 +62,74 @@ def hash_weights(spark, dim: int = 4096, seed: str = "qclf-v1") -> DataFrame:
     return spark.range(dim).select(b, micro.alias("weight_micro"))
 
 
+def train_quality_weights(
+    labeled: DataFrame,
+    dim: int = 4096,
+    text_col: str = "text",
+    label_col: str = "label",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """LEARN a (bucket, weight_micro) table from labeled documents —
+    per-bucket multinomial Naive-Bayes log-odds, trained entirely with
+    relational algebra (token explode → bucket → two aggregations →
+    one log), so DuckDB can replay the training pass for the oracle.
+
+    For bucket b with token counts c1(b) in label=1 (clean) docs and
+    c0(b) in label=0 (spam) docs, add-alpha smoothed:
+
+        w(b) = ln((c1(b)+α) / (N1+α·D)) − ln((c0(b)+α) / (N0+α·D))
+
+    with N1/N0 the total token mass per class and D = dim. Every one
+    of the D buckets gets a row (zero-count buckets carry the
+    smoothing prior), quantized to micro-units so ``classify_quality``
+    keeps its exact-BIGINT dot product — the weight table honors the
+    same column contract as ``hash_weights``, and NOTHING else in the
+    scoring path changes: the production swap the module docstring
+    claims, demonstrated.
+
+    Scale: training shuffles only (bucket, label) pairs — a ≤ 2·D-row
+    aggregate after map-side partial aggregation, however large the
+    labeled corpus; the totals are a 2-row aggregate broadcast back.
+    """
+    spark = labeled.sparkSession
+    terms = labeled.select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), "
+                f"'{TOKEN_PATTERN}', 0)"
+            )
+        ).alias("term"),
+    )
+    per_bucket = (
+        terms.select("_y", _bucket(F.col("term"), dim).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("_y")).alias("c1"),
+            F.sum(1 - F.col("_y")).alias("c0"),
+        )
+    )
+    totals = per_bucket.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum("c0"), F.lit(0)).alias("n0"),
+    )
+    all_buckets = spark.range(dim).select(F.col("id").cast("long").alias("bucket"))
+    w = (
+        F.log((F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha))
+              / (F.col("n1") + F.lit(alpha * dim)))
+        - F.log((F.coalesce(F.col("c0"), F.lit(0)) + F.lit(alpha))
+                / (F.col("n0") + F.lit(alpha * dim)))
+    )
+    return (
+        all_buckets.join(per_bucket, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(w * 1000000).cast("long").alias("weight_micro"),
+        )
+    )
+
+
 def classify_quality(
     docs: DataFrame,
     weights: DataFrame,

@@ -242,3 +242,118 @@ def test_anchor_body_cap_treats_giant_body_as_unclosed():
 
     html = b'<a href="/giant">' + b"y" * (1 << 17) + b"</a>"
     assert extract_anchors(html, "http://h.example/") == []
+
+
+# -- pagerank deep-loop lineage cut -------------------------------------------
+
+
+def test_pagerank_deep_loop_bounded_plan(spark):
+    # 50 iterations: without the per-round lineage cut the analyzed
+    # plan doubles per round (~2^50 nodes — analyzer OOM long before);
+    # with it the returned plan is a constant-size scan over the last
+    # cut. Also re-checks values against the serial reference, so the
+    # broadcast dangling-mass fold is semantics-preserving at depth.
+    from tests.test_r6_ops import _pagerank_reference
+
+    from ocr_agent_spark.functions.pagerank import host_pagerank
+
+    edges = [(f"n{i}", f"n{i + 1}") for i in range(40)] + [("n40", "n0"),
+                                                           ("n3", "n17")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = host_pagerank(df, iterations=50)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000, f"plan grew with iterations: {len(plan)} chars"
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    want = _pagerank_reference(edges, 50)
+    for v in want:
+        assert abs(got[v] - want[v]) <= 1e-6, v
+
+
+def test_pagerank_reliable_checkpoint_gc(spark, tmp_path):
+    # reliable mode: superseded round dirs are deleted as the loop
+    # advances; the final round's files survive and back the result.
+    import os
+
+    from ocr_agent_spark.functions.pagerank import host_pagerank
+
+    ckpt = str(tmp_path / "pr_ckpt")
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    out = host_pagerank(df, iterations=6, checkpoint_dir=ckpt)
+    rows = out.collect()
+    assert len(rows) == 3
+    remaining = [d for d in os.listdir(ckpt) if d.startswith("round-")]
+    assert len(remaining) == 1, remaining
+
+
+# -- trained quality classifier ------------------------------------------------
+
+
+def test_trained_weights_separate_spam_from_clean(spark):
+    # Naive-Bayes log-odds LEARNED from labeled fixtures must rank the
+    # held-out spam below held-out clean text; the pseudo-random
+    # hash_weights stand-in must not show that structure. Proves the
+    # "swap the weight table and nothing else changes" claim with
+    # weights actually learned from data.
+    from ocr_agent_spark.functions.qualityclf import (
+        classify_quality,
+        hash_weights,
+        train_quality_weights,
+    )
+
+    clean_words = ("the quick brown fox jumps over a lazy dog near the "
+                   "quiet river bank every sunny morning").split()
+    spam_words = ("viagra casino bonus click winner free jackpot "
+                  "pills cheap lottery prize claim").split()
+
+    def doc(words, i, n=30):
+        return " ".join(words[(i + j) % len(words)] for j in range(n))
+
+    train = [(i, doc(clean_words, i), 1) for i in range(20)] + [
+        (100 + i, doc(spam_words, i), 0) for i in range(20)
+    ]
+    test = [(200 + i, doc(clean_words, 7 + i), 1) for i in range(5)] + [
+        (300 + i, doc(spam_words, 7 + i), 0) for i in range(5)
+    ]
+    train_df = spark.createDataFrame(
+        train, "doc_id long, text string, label int"
+    )
+    test_df = spark.createDataFrame(
+        test, "doc_id long, text string, label int"
+    )
+
+    learned = train_quality_weights(train_df, dim=512)
+    got = {
+        r["doc_id"]: r["prob"]
+        for r in classify_quality(test_df, learned, dim=512).collect()
+    }
+    clean_probs = [got[i] for i, _, y in test if y == 1]
+    spam_probs = [got[i] for i, _, y in test if y == 0]
+    assert min(clean_probs) > max(spam_probs), (clean_probs, spam_probs)
+
+    stand_in = {
+        r["doc_id"]: r["prob"]
+        for r in classify_quality(
+            test_df, hash_weights(spark, dim=512), dim=512
+        ).collect()
+    }
+    si_clean = sum(stand_in[i] for i, _, y in test if y == 1) / 5
+    si_spam = sum(stand_in[i] for i, _, y in test if y == 0) / 5
+    learned_gap = sum(clean_probs) / 5 - sum(spam_probs) / 5
+    assert learned_gap > 0.2
+    assert abs(si_clean - si_spam) < learned_gap / 2
+
+
+def test_train_quality_weights_full_bucket_domain(spark):
+    # every bucket gets a row (zero-count buckets carry the smoothing
+    # prior) so classify_quality's broadcast join never drops a term
+    from ocr_agent_spark.functions.qualityclf import train_quality_weights
+
+    df = spark.createDataFrame(
+        [(1, "hello world", 1), (2, "bad stuff", 0)],
+        "doc_id long, text string, label int",
+    )
+    w = train_quality_weights(df, dim=64).collect()
+    assert len(w) == 64
+    assert {r["bucket"] for r in w} == set(range(64))
