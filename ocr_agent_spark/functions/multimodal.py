@@ -145,7 +145,7 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
         )
 
         def try_container(data: bytes) -> dict | None:
-            """Compressed-container header parse (mp3/mp4/mkv).
+            """Compressed-container header parse (mp3/mp4/mkv/ogg/flac).
 
             A payload that POSITIVELY identifies as one of these
             containers (ID3 tag, ftyp box, EBML magic) but is broken
@@ -157,6 +157,8 @@ def extract_media_features(media: DataFrame, decode_backend: str = "headers",
                 data[:3] == b"ID3"
                 or data[4:8] == b"ftyp"
                 or data[:4] == b"\x1a\x45\xdf\xa3"
+                or data[:4] == b"OggS"
+                or data[:4] == b"fLaC"
             )
             try:
                 return parse_media_container(data)
@@ -391,7 +393,8 @@ def fake_media_table(spark, n: int = 30, seed: int = 42) -> DataFrame:
 
 
 def fake_compressed_media_table(spark, n: int = 18, seed: int = 42) -> DataFrame:
-    """Deterministic COMPRESSED-container media rows (mp3/mp4/mkv).
+    """Deterministic COMPRESSED-container media rows
+    (mp3/mp4/mkv/ogg/flac).
 
     Payloads are real spec-conformant container bytes from the
     hand-rolled writers (kernel/mediacontainer.py) — the ``headers``
@@ -403,15 +406,36 @@ def fake_compressed_media_table(spark, n: int = 18, seed: int = 42) -> DataFrame
     import random
 
     from ocr_agent_spark.kernel.mediacontainer import (
+        build_flac,
         build_mkv,
         build_mp3,
         build_mp4,
+        build_ogg,
     )
 
     rows = []
     for i in range(n):
         rng = random.Random(f"{seed}:cmedia:{i}")
-        which = i % 3
+        which = i % 5
+        if which == 3:
+            sr = rng.choice([44100, 48000])
+            ch = rng.choice([1, 2])
+            dur = rng.randint(1000, 30000)
+            codec = rng.choice(["vorbis", "opus"])
+            payload = build_ogg(duration_ms=dur, sample_rate=sr,
+                                channels=ch, codec=codec)
+            rows.append((1000 + i, "audio", payload, "audio/ogg",
+                         None, None, dur))
+            continue
+        if which == 4:
+            sr = rng.choice([44100, 48000, 96000])
+            ch = rng.choice([1, 2])
+            dur = rng.randint(1000, 30000)
+            payload = build_flac(duration_ms=dur, sample_rate=sr,
+                                 channels=ch)
+            rows.append((1000 + i, "audio", payload, "audio/flac",
+                         None, None, dur))
+            continue
         if which == 0:
             sr = rng.choice([44100, 48000, 32000])
             ch = rng.choice([1, 2])

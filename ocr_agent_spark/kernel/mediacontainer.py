@@ -18,14 +18,21 @@ payloads. This module gives them REAL typed metadata
 - :func:`parse_ebml` — Matroska/WebM EBML varint walk: DocType,
   ``Info`` TimestampScale+Duration, ``Tracks`` codec ids, video
   pixel size, audio sampling frequency/channels.
+- :func:`parse_ogg`  — OggS page framing (lacing, BOS/EOS flags),
+  Vorbis / Opus (RFC 7845) identification headers, duration from the
+  final page's granule position (48 kHz minus pre-skip for Opus).
+- :func:`parse_flac` — fLaC metadata-block walk, STREAMINFO bit
+  unpack (20-bit sample rate, 3-bit channels, 36-bit total samples).
 
 Each parser returns a plain dict of typed fields; malformed payloads
 raise :class:`MediaContainerError` (→ failure rows, D2), and
 recognizable-but-unparseable layouts raise
 :class:`UnsupportedContainerError` (→ fake-feature fallback, never a
-failure). ``build_mp3`` / ``build_mp4`` / ``build_mkv`` hand-roll
-REAL spec-conformant files (the same recipe that validated the
-WAV/AVI kernels — no ffmpeg needed) for differential tests.
+failure). ``build_mp3`` / ``build_mp4`` / ``build_mkv`` /
+``build_ogg`` / ``build_flac`` hand-roll REAL spec-conformant files
+(the same recipe that validated the WAV/AVI kernels — no ffmpeg
+needed; the Ogg writer computes real page CRCs) for differential
+tests.
 
 Reference parity: the reference's media surface is its image-extension
 list (/root/reference/src/ocr_agent/input_discovery.py:14-24); this
@@ -363,12 +370,156 @@ def parse_ebml(data: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------- Ogg
+
+_OGG_MAGIC = b"OggS"
+
+
+def _iter_ogg_pages(data: bytes):
+    """Yield (header_type, granule, serial, payload_start, payload_end)
+    per Ogg page. Structural errors raise; CRC is not validated (none
+    of the parsers here validate checksums — headers only)."""
+    off = 0
+    while off + 27 <= len(data):
+        if data[off:off + 4] != _OGG_MAGIC:
+            raise MediaContainerError(
+                f"bad Ogg capture pattern at offset {off}"
+            )
+        if data[off + 4] != 0:
+            raise MediaContainerError("unsupported Ogg stream version")
+        htype = data[off + 5]
+        granule = int.from_bytes(data[off + 6:off + 14], "little",
+                                 signed=True)
+        serial = int.from_bytes(data[off + 14:off + 18], "little")
+        nseg = data[off + 26]
+        seg_end = off + 27 + nseg
+        if seg_end > len(data):
+            raise MediaContainerError("truncated Ogg segment table")
+        body_len = sum(data[off + 27:seg_end])
+        if seg_end + body_len > len(data):
+            raise MediaContainerError("truncated Ogg page body")
+        yield htype, granule, serial, seg_end, seg_end + body_len
+        off = seg_end + body_len
+    if off != len(data):
+        raise MediaContainerError("trailing bytes after last Ogg page")
+
+
+def parse_ogg(data: bytes) -> dict:
+    """Ogg (Vorbis or Opus) → typed metadata dict.
+
+    The first page's first packet is the codec identification header
+    (RFC 7845 ``OpusHead`` / Vorbis ``\\x01vorbis``); duration comes
+    from the LAST page's granule position — PCM sample count for
+    Vorbis, 48 kHz sample count minus pre-skip for Opus.
+    """
+    if data[:4] != _OGG_MAGIC:
+        raise MediaContainerError("not an Ogg stream")
+    first_payload = None
+    first_serial = None
+    last_granule: dict[int, int] = {}
+    for htype, granule, serial, b, e in _iter_ogg_pages(data):
+        if first_payload is None:
+            if not htype & 0x02:
+                raise MediaContainerError(
+                    "first Ogg page lacks beginning-of-stream flag"
+                )
+            first_payload = data[b:e]
+            first_serial = serial
+        if granule >= 0:
+            last_granule[serial] = granule
+    if first_payload is None:
+        raise MediaContainerError("Ogg stream has no pages")
+    granule = last_granule.get(first_serial, 0)
+    if first_payload.startswith(b"OpusHead"):
+        if len(first_payload) < 19:
+            raise MediaContainerError("truncated OpusHead")
+        channels = first_payload[9]
+        pre_skip = int.from_bytes(first_payload[10:12], "little")
+        in_rate = int.from_bytes(first_payload[12:16], "little")
+        # Opus granules tick at 48 kHz regardless of the input rate
+        duration_ms = int(round(max(granule - pre_skip, 0) * 1000 / 48000))
+        return {
+            "format": "ogg", "codec": "opus", "duration_ms": duration_ms,
+            "sample_rate": in_rate or 48000, "channels": channels,
+            "bitrate": None, "width": None, "height": None,
+        }
+    if first_payload.startswith(b"\x01vorbis"):
+        if len(first_payload) < 28:
+            raise MediaContainerError("truncated Vorbis id header")
+        channels = first_payload[11]
+        sample_rate = int.from_bytes(first_payload[12:16], "little")
+        if sample_rate == 0:
+            raise MediaContainerError("Vorbis sample rate is zero")
+        nominal = int.from_bytes(first_payload[20:24], "little",
+                                 signed=True)
+        duration_ms = int(round(granule * 1000 / sample_rate))
+        return {
+            "format": "ogg", "codec": "vorbis", "duration_ms": duration_ms,
+            "sample_rate": sample_rate, "channels": channels,
+            "bitrate": nominal if nominal > 0 else None,
+            "width": None, "height": None,
+        }
+    raise UnsupportedContainerError(
+        "Ogg stream with an unrecognized codec id header"
+    )
+
+
+# --------------------------------------------------------------- FLAC
+
+_FLAC_MAGIC = b"fLaC"
+
+
+def parse_flac(data: bytes) -> dict:
+    """FLAC → typed metadata from the mandatory STREAMINFO block.
+
+    STREAMINFO packs sample_rate (20 bits), channels−1 (3 bits),
+    bits_per_sample−1 (5 bits) and total_samples (36 bits) into the
+    8 bytes after the block-size/frame-size bounds.
+    """
+    if data[:4] != _FLAC_MAGIC:
+        raise MediaContainerError("not a FLAC stream")
+    off = 4
+    streaminfo = None
+    while off + 4 <= len(data):
+        hdr = data[off]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(data[off + 1:off + 4], "big")
+        body = data[off + 4:off + 4 + blen]
+        if len(body) < blen:
+            raise MediaContainerError("truncated FLAC metadata block")
+        if btype == 0:
+            streaminfo = body
+        off += 4 + blen
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+    if streaminfo is None:
+        raise MediaContainerError("FLAC stream without STREAMINFO")
+    if len(streaminfo) < 18:
+        raise MediaContainerError("STREAMINFO shorter than 34 bytes")
+    packed = int.from_bytes(streaminfo[10:18], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise MediaContainerError("FLAC sample rate is zero")
+    duration_ms = int(round(total_samples * 1000 / sample_rate))
+    return {
+        "format": "flac", "codec": "flac", "duration_ms": duration_ms,
+        "sample_rate": sample_rate, "channels": channels,
+        "bitrate": None, "width": None, "height": None,
+    }
+
+
 def parse_media_container(data: bytes) -> dict:
     """Sniff + parse any supported compressed container."""
     if data[:4] == _EBML_MAGIC:
         return parse_ebml(data)
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return parse_mp4(data)
+    if data[:4] == _OGG_MAGIC:
+        return parse_ogg(data)
+    if data[:4] == _FLAC_MAGIC:
+        return parse_flac(data)
     if data[:3] == b"ID3" or (
         len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     ):
@@ -523,3 +674,90 @@ def build_mkv(duration_ms: int = 4000, width: int = 640, height: int = 360,
     tracks = _ebml_elem(0x1654AE6B, tracks_payload)
     segment = _ebml_elem(0x18538067, info + tracks)
     return header + segment
+
+
+def _ogg_crc(page: bytes) -> int:
+    """Ogg page CRC-32: poly 0x04C11DB7, init 0, no reflection, no
+    final xor — computed with the CRC field zeroed."""
+    crc = 0
+    for byte in page:
+        crc ^= byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000 else crc << 1
+            crc &= 0xFFFFFFFF
+    return crc
+
+
+def _ogg_page(payload: bytes, granule: int, serial: int, seq: int,
+              htype: int) -> bytes:
+    """One Ogg page with a REAL CRC (segments ≤ 255·255 bytes)."""
+    nfull, rem = divmod(len(payload), 255)
+    lacing = bytes([255] * nfull + [rem])
+    if nfull >= 255:
+        raise ValueError("payload too large for a single page")
+    head = (b"OggS" + b"\x00" + bytes([htype])
+            + granule.to_bytes(8, "little", signed=True)
+            + serial.to_bytes(4, "little")
+            + seq.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + bytes([len(lacing)]) + lacing)
+    page = head + payload
+    crc = _ogg_crc(page)
+    return page[:22] + crc.to_bytes(4, "little") + page[26:] + b""
+
+
+def build_ogg(duration_ms: int = 2500, sample_rate: int = 44100,
+              channels: int = 2, codec: str = "vorbis",
+              bitrate: int = 112_000, serial: int = 0x1234) -> bytes:
+    """Hand-rolled spec-conformant Ogg stream (Vorbis or Opus).
+
+    Identification header, page framing, lacing, BOS/EOS flags, and
+    page CRCs are REAL; audio packet bodies are zero filler — exactly
+    the part a header parser must not read.
+    """
+    if codec == "vorbis":
+        ident = (b"\x01vorbis"
+                 + (0).to_bytes(4, "little")           # version
+                 + bytes([channels])
+                 + sample_rate.to_bytes(4, "little")
+                 + (0).to_bytes(4, "little", signed=True)   # br max
+                 + bitrate.to_bytes(4, "little", signed=True)
+                 + (0).to_bytes(4, "little", signed=True)   # br min
+                 + bytes([0xB8])                       # blocksizes
+                 + b"\x01")                            # framing
+        total = int(round(duration_ms * sample_rate / 1000))
+    elif codec == "opus":
+        ident = (b"OpusHead" + b"\x01" + bytes([channels])
+                 + (312).to_bytes(2, "little")         # pre-skip
+                 + sample_rate.to_bytes(4, "little")
+                 + (0).to_bytes(2, "little")           # output gain
+                 + b"\x00")                            # mapping family
+        total = int(round(duration_ms * 48)) + 312     # 48 kHz granules
+    else:
+        raise ValueError(f"unsupported ogg codec {codec!r}")
+    pages = [_ogg_page(ident, -1 if codec == "vorbis" else 0,
+                       serial, 0, 0x02)]
+    # a couple of zero-filler audio pages, then the EOS page carrying
+    # the final granule position
+    pages.append(_ogg_page(b"\x00" * 200, total // 2, serial, 1, 0x00))
+    pages.append(_ogg_page(b"\x00" * 200, total, serial, 2, 0x04))
+    return b"".join(pages)
+
+
+def build_flac(duration_ms: int = 1750, sample_rate: int = 44100,
+               channels: int = 2, bits_per_sample: int = 16) -> bytes:
+    """Hand-rolled FLAC header: fLaC magic + STREAMINFO (+ padding
+    block, so multi-block walking is exercised). No frames — the
+    parser reads STREAMINFO only."""
+    total = int(round(duration_ms * sample_rate / 1000))
+    packed = ((sample_rate << 44)
+              | ((channels - 1) << 41)
+              | ((bits_per_sample - 1) << 36)
+              | (total & ((1 << 36) - 1)))
+    streaminfo = ((4096).to_bytes(2, "big") * 2       # min/max blocksize
+                  + (0).to_bytes(3, "big") * 2        # min/max framesize
+                  + packed.to_bytes(8, "big")
+                  + b"\x00" * 16)                     # md5 of raw audio
+    return (b"fLaC"
+            + bytes([0x00]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+            + bytes([0x80 | 0x01]) + (8).to_bytes(3, "big") + b"\x00" * 8)

@@ -155,5 +155,135 @@ def test_sniffer_dispatch_and_unknown():
     assert parse_media_container(build_mp3())["format"] == "mp3"
     assert parse_media_container(build_mp4())["format"] == "mp4"
     assert parse_media_container(build_mkv())["format"] == "webm"
-    with pytest.raises(UnsupportedContainerError):
+    # OggS is now a RECOGNIZED container (r7), so a broken Ogg stream
+    # is a structural error, not an unsupported one
+    with pytest.raises(MediaContainerError):
         parse_media_container(b"OggS\x00 this is not supported")
+    with pytest.raises(UnsupportedContainerError):
+        parse_media_container(b"\x89FOO unrecognized payload bytes")
+
+
+# -- Ogg ---------------------------------------------------------------------
+
+
+from ocr_agent_spark.kernel.mediacontainer import (  # noqa: E402
+    build_flac,
+    build_ogg,
+    parse_flac,
+    parse_ogg,
+)
+
+
+@pytest.mark.parametrize("sr,ch", [(44100, 2), (48000, 1)])
+def test_ogg_vorbis_roundtrip(sr, ch):
+    m = parse_ogg(build_ogg(duration_ms=2500, sample_rate=sr, channels=ch,
+                            codec="vorbis", bitrate=96_000))
+    assert m["format"] == "ogg" and m["codec"] == "vorbis"
+    assert m["sample_rate"] == sr and m["channels"] == ch
+    assert m["bitrate"] == 96_000
+    assert abs(m["duration_ms"] - 2500) <= 1
+
+
+def test_ogg_opus_roundtrip_subtracts_preskip():
+    m = parse_ogg(build_ogg(duration_ms=4000, sample_rate=48000,
+                            channels=2, codec="opus"))
+    assert m["codec"] == "opus" and m["sample_rate"] == 48000
+    # granule runs at 48 kHz and the 312-sample pre-skip is excluded
+    assert abs(m["duration_ms"] - 4000) <= 1
+
+
+def test_ogg_hand_rolled_page_independent_of_builder():
+    # bytes laid out by hand from RFC 3533 — NOT via build_ogg, so a
+    # mirrored encoder/decoder bug pair cannot hide
+    ident = (b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2])
+             + (22050).to_bytes(4, "little")
+             + (0).to_bytes(4, "little") + (64000).to_bytes(4, "little")
+             + (0).to_bytes(4, "little") + bytes([0xB8]) + b"\x01")
+    page0 = (b"OggS\x00\x02" + (-1).to_bytes(8, "little", signed=True)
+             + (7).to_bytes(4, "little") + (0).to_bytes(4, "little")
+             + b"\x00\x00\x00\x00" + bytes([1, len(ident)]) + ident)
+    page1 = (b"OggS\x00\x04" + (22050).to_bytes(8, "little", signed=True)
+             + (7).to_bytes(4, "little") + (1).to_bytes(4, "little")
+             + b"\x00\x00\x00\x00" + bytes([1, 10]) + b"\x00" * 10)
+    m = parse_ogg(page0 + page1)
+    assert m == {"format": "ogg", "codec": "vorbis", "duration_ms": 1000,
+                 "sample_rate": 22050, "channels": 2, "bitrate": 64000,
+                 "width": None, "height": None}
+
+
+def test_ogg_page_crc_matches_reference_algorithm():
+    # independent bit-by-bit CRC implementation (poly 0x04C11DB7,
+    # init 0, no reflection) over the builder's first page
+    data = build_ogg(duration_ms=1000, codec="vorbis")
+    nseg = data[26]
+    page_end = 27 + nseg + sum(data[27:27 + nseg])
+    page = bytearray(data[:page_end])
+    stored = int.from_bytes(page[22:26], "little")
+    page[22:26] = b"\x00\x00\x00\x00"
+    reg = 0
+    for byte in page:
+        for bit in range(7, -1, -1):
+            msb = (reg >> 31) & 1
+            reg = ((reg << 1) & 0xFFFFFFFF) | ((byte >> bit) & 1)
+            if msb:
+                reg ^= 0x04C11DB7
+    # flush 32 zero bits (standard non-augmented form equivalence)
+    for _ in range(32):
+        msb = (reg >> 31) & 1
+        reg = (reg << 1) & 0xFFFFFFFF
+        if msb:
+            reg ^= 0x04C11DB7
+    assert stored == reg
+
+
+def test_ogg_corrupt_and_unsupported():
+    good = build_ogg()
+    with pytest.raises(MediaContainerError):
+        parse_ogg(good[:40])  # truncated mid-page
+    with pytest.raises(MediaContainerError):
+        parse_ogg(b"OggS\x01" + good[5:])  # bad stream version
+    # recognizable Ogg framing but an unknown codec ident header
+    unknown = (b"OggS\x00\x02" + (0).to_bytes(8, "little")
+               + (9).to_bytes(4, "little") + (0).to_bytes(4, "little")
+               + b"\x00" * 4 + bytes([1, 8]) + b"XCodec\x00\x00")
+    with pytest.raises(UnsupportedContainerError):
+        parse_ogg(unknown)
+
+
+# -- FLAC --------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sr,ch,bits", [(44100, 2, 16), (96000, 1, 24)])
+def test_flac_roundtrip(sr, ch, bits):
+    m = parse_flac(build_flac(duration_ms=1750, sample_rate=sr,
+                              channels=ch, bits_per_sample=bits))
+    assert m["format"] == "flac" and m["codec"] == "flac"
+    assert m["sample_rate"] == sr and m["channels"] == ch
+    assert abs(m["duration_ms"] - 1750) <= 1
+
+
+def test_flac_hand_rolled_streaminfo():
+    # STREAMINFO packed by hand: 32000 Hz, 1 channel, 8-bit, 64000
+    # samples → exactly 2000 ms
+    packed = (32000 << 44) | (0 << 41) | (7 << 36) | 64000
+    body = (b"\x10\x00\x10\x00" + b"\x00" * 6
+            + packed.to_bytes(8, "big") + b"\x00" * 16)
+    data = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    m = parse_flac(data)
+    assert m["sample_rate"] == 32000 and m["channels"] == 1
+    assert m["duration_ms"] == 2000
+
+
+def test_flac_corrupt_raises():
+    good = build_flac()
+    with pytest.raises(MediaContainerError):
+        parse_flac(good[:10])  # truncated STREAMINFO
+    # metadata blocks but no STREAMINFO at all
+    data = b"fLaC" + bytes([0x80 | 0x01]) + (4).to_bytes(3, "big") + b"\x00" * 4
+    with pytest.raises(MediaContainerError):
+        parse_flac(data)
+
+
+def test_sniffer_dispatch_ogg_flac():
+    assert parse_media_container(build_ogg())["format"] == "ogg"
+    assert parse_media_container(build_flac())["format"] == "flac"
