@@ -1950,6 +1950,50 @@ def _quality_classifier_scores(spark, sf):
     return classify_quality(d, hash_weights(spark, dim=512), dim=512)
 
 
+# Constant planted mega-document paragraph: passes lang (en stopword
+# vote), Gopher (36+3 clean words), and the hash-weight classifier
+# (prob 0.5073 ≥ 0.5 — exact-integer dot product, so the margin is
+# engine-stable). Repeated 40× it exceeds any small chunk budget.
+_MEGA_PARA = (
+    "the curious travelers walked along the river path and watched the "
+    "tall grey herons that waded with patient steps through the shallow "
+    "water while evening light settled over the quiet valley and the "
+    "old stone bridge along mossy banks"
+)
+
+
+def _corpus_chunked_pipeline(spark, sf):
+    """The capstone WITH the chunking stage (VERDICT r6 item 7):
+    lang gate → Gopher → classifier gate → exact dedup → paragraph
+    chunking (chunk_target=300) → md5 shuffle/shard keyed on
+    doc:chunk → per-shard packing. A planted constant 40-paragraph
+    mega-document (doc_id 9999) lands as MULTIPLE budget-sized chunks.
+    Full oracle: one DuckDB statement replays every stage including
+    the window-formulation chunker."""
+    from ocr_agent_spark.corpus import build_training_corpus
+    from ocr_agent_spark.functions.qualityclf import hash_weights
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 600).select(
+        "doc_id", "text"
+    )
+    mega = spark.range(1).select(
+        F.lit(9999).cast("long").alias("doc_id"),
+        F.array_join(
+            F.array_repeat(F.lit(_MEGA_PARA), 40), "\n"
+        ).alias("text"),
+    )
+    return build_training_corpus(
+        d.unionByName(mega),
+        lang="en",
+        min_words=10,
+        clf_weights=hash_weights(spark, dim=512),
+        clf_dim=512,
+        chunk_target=300,
+        n_shards=4,
+        pack_budget=256,
+    )
+
+
 def _trained_quality_scores(spark, sf):
     """LEARNED quality gate (functions/qualityclf.py
     train_quality_weights): per-bucket Naive-Bayes log-odds trained
@@ -2112,13 +2156,20 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slots reopened for the r5 additions below]
         # joins (§2.3)  [j2 rotated to tail in r5 — 4-round green
         # history + resume pytest coverage; slot for paragraph_dedup]
-        # r5 additions: politeness frontier + verify-join cap report +
-        # Gopher quality/repetition gates
-        "frontier_schedule": _frontier_schedule,
-        "shingle_df_stats": _shingle_df_stats,
+        # r5 additions: Gopher quality/repetition gates (frontier_schedule,
+        # shingle_df_stats and paragraph_dedup — green r5+r6 — parked in
+        # r7 to open window slots for the three r7 operators below; the
+        # frontier arc keeps crawl_budget in-window, the shingle surface
+        # keeps minhash_near_dups + near_dedup_keep, and paragraph-level
+        # dedup keeps line_dedup)
         "gopher_quality": _gopher_quality,
         "repetition_stats": _repetition_stats,
-        "paragraph_dedup": _paragraph_dedup,
+        # r7 additions: learned NB classifier (VERDICT r6 item 2),
+        # embedding-signature incremental dedup (item 3), and the
+        # chunking-composed capstone (item 7)
+        "trained_quality_scores": _trained_quality_scores,
+        "semantic_dedup_incremental": _semantic_dedup_incremental,
+        "corpus_chunked_pipeline": _corpus_chunked_pipeline,
         # r6 additions: the text→ANN loop closer (VERDICT r5 item 2)
         # and real merges-table BPE (item 4)
         "doc_embeddings": _doc_embeddings,
@@ -2166,6 +2217,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 batch-3 parking: the crawl-arc trio (green r4+r5) and q1
         # (green r3+r4+r5) swapped out for sessionize_events above; q3
         # keeps its r6 tail spot from the batch-2 rotation.
+        # r7 parking: the three r5-cohort entries (green r5+r6) swapped
+        # out for the r7 additions above (same-day tail hash evidence
+        # recorded by tools/tail_evidence.py).
+        "frontier_schedule": _frontier_schedule,  # green r5+r6 +
+        # planted mega-host pytest
+        "shingle_df_stats": _shingle_df_stats,    # green r5+r6
+        "paragraph_dedup": _paragraph_dedup,      # green r5+r6
         "rollup_orders": _rollup_orders,  # green r1-r3+r5; rotated in
         # for r6 then re-parked mid-round for mirror_hosts (tail
         # evidence re-recorded same day)
@@ -2455,6 +2513,109 @@ def _canonical_urls_oracle() -> str:
         + synthetic_messy_url_expr("duckdb")
         + ") AS url FROM documents) "
         f"SELECT doc_id, {canonical_url_sql('url')} AS canonical FROM m"
+    )
+
+
+# Shared gate CTE chain for the two capstone oracles (lang vote →
+# Gopher signals → hashed classifier → exact dedup). ``d_body`` is the
+# input CTE's SELECT; the chain ends at the ``deduped`` CTE.
+def _capstone_gates_sql(d_body: str) -> str:
+    return (
+        "WITH d AS (" + d_body + "),\n            "
+        + r"""langv AS (
+                SELECT doc_id, text,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)),
+                      '\s+'), x -> list_contains(['the','and','of','to',
+                      'a','in','is','that','it','for'], x))) AS ven,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)),
+                      '\s+'), x -> list_contains(['der','die','das','und',
+                      'ist','nicht','ein','mit','sich','auf'], x))) AS vde,
+                  len(list_filter(regexp_split_to_array(trim(lower(text)),
+                      '\s+'), x -> list_contains(['no','wa','ni','wo','ga',
+                      'de','to','mo','desu','masu'], x))) AS vja
+                FROM d
+            ),
+            lang_kept AS (
+                SELECT doc_id, text FROM langv
+                WHERE greatest(ven, vde, vja) > 0
+                  AND vde <> greatest(ven, vde, vja)
+                  AND ven = greatest(ven, vde, vja)
+            ),
+            gw AS (
+                SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '') AS words,
+                  list_filter(list_transform(
+                      regexp_split_to_array(text, '\r?\n'),
+                      x -> trim(x)), x -> x <> '') AS lines
+                FROM lang_kept
+            ),
+            gsig AS (
+                SELECT doc_id, text,
+                  len(words) AS n_words,
+                  ROUND(CASE WHEN len(words) > 0 THEN
+                    coalesce(list_sum(list_transform(words, x -> len(x))),
+                    0) * 1.0 / len(words) ELSE 0.0 END, 6) AS mwl,
+                  ROUND(CASE WHEN len(words) > 0 THEN
+                    ((len(text) - len(replace(text, '#', '')))
+                     + (len(text) - len(replace(text, '...', ''))) / 3.0
+                     + (len(text) - len(replace(text, '…', ''))))
+                      / len(words) ELSE 0.0 END, 6) AS swr,
+                  ROUND(CASE WHEN len(lines) > 0 THEN
+                    len(list_filter(lines, x -> regexp_matches(x,
+                    '^[-*•]'))) * 1.0 / len(lines) ELSE 0.0 END, 6) AS blf,
+                  ROUND(CASE WHEN len(lines) > 0 THEN
+                    len(list_filter(lines, x -> regexp_matches(x,
+                    '(\.\.\.|…)$'))) * 1.0 / len(lines) ELSE 0.0 END, 6)
+                    AS elf,
+                  ROUND(CASE WHEN len(words) > 0 THEN
+                    len(list_filter(words, x -> regexp_matches(x,
+                    '[A-Za-z]'))) * 1.0 / len(words) ELSE 0.0 END, 6)
+                    AS awf,
+                  len(list_filter(list_transform(words, x -> lower(x)),
+                    x -> list_contains(['the','be','to','of','and','that',
+                    'have','with'], x))) AS sth
+                FROM gw
+            ),
+            gopher_kept AS (
+                SELECT doc_id, text FROM gsig
+                WHERE n_words BETWEEN 10 AND 100000
+                  AND mwl BETWEEN 3.0 AND 10.0
+                  AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3
+                  AND awf >= 0.8 AND sth >= 2
+            ),
+            cw AS (
+                SELECT CAST(b AS BIGINT) AS bucket,
+                       CAST(('0x' || substr(md5('qclf-v1:' ||
+                            CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+                       * 1000000 // 4294967296 - 500000 AS weight_micro
+                FROM range(512) t(b)
+            ),
+            cterms AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS term
+                FROM gopher_kept
+            ),
+            cscore AS (
+                SELECT doc_id, COUNT(*) AS n_terms,
+                       SUM(cw.weight_micro) AS dot_micro
+                FROM (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8))
+                             AS BIGINT) % 512 AS bucket FROM cterms) b
+                JOIN cw USING (bucket) GROUP BY doc_id
+            ),
+            clf_kept AS (
+                SELECT g.doc_id, g.text FROM gopher_kept g
+                JOIN cscore c ON c.doc_id = g.doc_id
+                WHERE ROUND(1.0 / (1.0 + exp(-ROUND(c.dot_micro /
+                      (c.n_terms * 1000000.0), 6))), 6) >= 0.5
+            ),
+            deduped AS (
+                SELECT doc_id, text FROM clf_kept
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY
+                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                    ORDER BY doc_id) = 1
+            ),"""
     )
 
 
@@ -3439,104 +3600,9 @@ def oracle_sql() -> dict[str, str]:
         # capstone pipeline: every stage (lang vote, Gopher rules on
         # rounded signals, hashed classifier, exact dedup, md5 shard,
         # per-shard packing) replayed in one statement, same order.
-        "corpus_pipeline_assign": r"""
-            WITH d AS (
-                SELECT doc_id, text FROM documents WHERE doc_id < 600
-            ),
-            langv AS (
-                SELECT doc_id, text,
-                  len(list_filter(regexp_split_to_array(trim(lower(text)),
-                      '\s+'), x -> list_contains(['the','and','of','to',
-                      'a','in','is','that','it','for'], x))) AS ven,
-                  len(list_filter(regexp_split_to_array(trim(lower(text)),
-                      '\s+'), x -> list_contains(['der','die','das','und',
-                      'ist','nicht','ein','mit','sich','auf'], x))) AS vde,
-                  len(list_filter(regexp_split_to_array(trim(lower(text)),
-                      '\s+'), x -> list_contains(['no','wa','ni','wo','ga',
-                      'de','to','mo','desu','masu'], x))) AS vja
-                FROM d
-            ),
-            lang_kept AS (
-                SELECT doc_id, text FROM langv
-                WHERE greatest(ven, vde, vja) > 0
-                  AND vde <> greatest(ven, vde, vja)
-                  AND ven = greatest(ven, vde, vja)
-            ),
-            gw AS (
-                SELECT doc_id, text,
-                  list_filter(regexp_split_to_array(trim(text), '\s+'),
-                              x -> x <> '') AS words,
-                  list_filter(list_transform(
-                      regexp_split_to_array(text, '\r?\n'),
-                      x -> trim(x)), x -> x <> '') AS lines
-                FROM lang_kept
-            ),
-            gsig AS (
-                SELECT doc_id, text,
-                  len(words) AS n_words,
-                  ROUND(CASE WHEN len(words) > 0 THEN
-                    coalesce(list_sum(list_transform(words, x -> len(x))),
-                    0) * 1.0 / len(words) ELSE 0.0 END, 6) AS mwl,
-                  ROUND(CASE WHEN len(words) > 0 THEN
-                    ((len(text) - len(replace(text, '#', '')))
-                     + (len(text) - len(replace(text, '...', ''))) / 3.0
-                     + (len(text) - len(replace(text, '…', ''))))
-                      / len(words) ELSE 0.0 END, 6) AS swr,
-                  ROUND(CASE WHEN len(lines) > 0 THEN
-                    len(list_filter(lines, x -> regexp_matches(x,
-                    '^[-*•]'))) * 1.0 / len(lines) ELSE 0.0 END, 6) AS blf,
-                  ROUND(CASE WHEN len(lines) > 0 THEN
-                    len(list_filter(lines, x -> regexp_matches(x,
-                    '(\.\.\.|…)$'))) * 1.0 / len(lines) ELSE 0.0 END, 6)
-                    AS elf,
-                  ROUND(CASE WHEN len(words) > 0 THEN
-                    len(list_filter(words, x -> regexp_matches(x,
-                    '[A-Za-z]'))) * 1.0 / len(words) ELSE 0.0 END, 6)
-                    AS awf,
-                  len(list_filter(list_transform(words, x -> lower(x)),
-                    x -> list_contains(['the','be','to','of','and','that',
-                    'have','with'], x))) AS sth
-                FROM gw
-            ),
-            gopher_kept AS (
-                SELECT doc_id, text FROM gsig
-                WHERE n_words BETWEEN 10 AND 100000
-                  AND mwl BETWEEN 3.0 AND 10.0
-                  AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3
-                  AND awf >= 0.8 AND sth >= 2
-            ),
-            cw AS (
-                SELECT CAST(b AS BIGINT) AS bucket,
-                       CAST(('0x' || substr(md5('qclf-v1:' ||
-                            CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
-                       * 1000000 // 4294967296 - 500000 AS weight_micro
-                FROM range(512) t(b)
-            ),
-            cterms AS (
-                SELECT doc_id,
-                       unnest(regexp_extract_all(lower(text),
-                              '[a-z0-9]+')) AS term
-                FROM gopher_kept
-            ),
-            cscore AS (
-                SELECT doc_id, COUNT(*) AS n_terms,
-                       SUM(cw.weight_micro) AS dot_micro
-                FROM (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8))
-                             AS BIGINT) % 512 AS bucket FROM cterms) b
-                JOIN cw USING (bucket) GROUP BY doc_id
-            ),
-            clf_kept AS (
-                SELECT g.doc_id, g.text FROM gopher_kept g
-                JOIN cscore c ON c.doc_id = g.doc_id
-                WHERE ROUND(1.0 / (1.0 + exp(-ROUND(c.dot_micro /
-                      (c.n_terms * 1000000.0), 6))), 6) >= 0.5
-            ),
-            deduped AS (
-                SELECT doc_id, text FROM clf_kept
-                QUALIFY ROW_NUMBER() OVER (PARTITION BY
-                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-                    ORDER BY doc_id) = 1
-            ),
+        "corpus_pipeline_assign": _capstone_gates_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 600"
+        ) + r"""
             sharded AS (
                 SELECT doc_id,
                        CAST(len(regexp_extract_all(text, '\S+')) AS INT)
@@ -3553,6 +3619,58 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY shuffle_key, doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         - n_tokens) / 256.0) AS BIGINT) AS pack_id
+            FROM sharded
+        """,
+        # capstone WITH chunking: the gate chain above, then the
+        # window-formulation chunker (chunk_documents_sql's rule), then
+        # shard/pack keyed on doc:chunk. The planted constant
+        # mega-document is replayed with repeat()+rtrim.
+        "corpus_chunked_pipeline": _capstone_gates_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 600 "
+            "UNION ALL SELECT 9999, rtrim(repeat('" + _MEGA_PARA
+            + "' || chr(10), 40), chr(10))"
+        ) + r"""
+            sp AS (
+                SELECT doc_id, string_split(text, chr(10)) AS paras
+                FROM deduped
+            ),
+            pp AS (
+                SELECT doc_id, i, paras[i] AS para
+                FROM sp, unnest(generate_series(1, len(paras))) AS g(i)
+            ),
+            pt AS (
+                SELECT doc_id, i,
+                       len(list_filter(regexp_split_to_array(trim(para),
+                           '[ \t\r\n]+'), x -> x != '')) AS n
+                FROM pp
+            ),
+            pc AS (
+                SELECT doc_id, i, n,
+                       CAST(floor(COALESCE(SUM(n) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) / 300) AS INT) AS chunk_id
+                FROM pt
+            ),
+            ch AS (
+                SELECT doc_id, chunk_id, CAST(SUM(n) AS BIGINT) AS n_tokens
+                FROM pc GROUP BY doc_id, chunk_id
+            ),
+            sharded AS (
+                SELECT doc_id, chunk_id, n_tokens,
+                       md5('corpus-v1:' || CAST(doc_id AS VARCHAR) || ':'
+                           || CAST(chunk_id AS VARCHAR)) AS shuffle_key,
+                       CAST(CAST(('0x' || substr(md5('corpus-v1:'
+                            || CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(chunk_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                            % 4 AS INT) AS shard
+                FROM ch
+            )
+            SELECT doc_id, chunk_id, n_tokens, shuffle_key, shard,
+                   CAST((SUM(n_tokens) OVER (PARTITION BY shard
+                        ORDER BY shuffle_key, doc_id, chunk_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) // 256 AS BIGINT) AS pack_id
             FROM sharded
         """,
         # incremental dedup: exact arc = md5 semi-join vs history;

@@ -52,18 +52,26 @@ def build_training_corpus(
     clf_dim: int = 4096,
     clf_threshold: float = 0.5,
     near_threshold: float | None = None,
+    chunk_target: int | None = None,
     seed: str = "corpus-v1",
     n_shards: int = 8,
     pack_budget: int = 2048,
     report: bool = False,
 ) -> DataFrame | tuple[DataFrame, list[StageCount]]:
     """Returns (id, n_tokens, shuffle_key, shard, pack_id) — the
-    training-shard assignment for every surviving document.
+    training-shard assignment for every surviving document. With
+    ``chunk_target`` set, long documents are SPLIT at paragraph
+    boundaries into ~chunk_target-token chunks BEFORE shuffling and
+    packing (functions/chunking.py), and the unit of assignment becomes
+    the chunk: output gains a ``chunk_id`` column, the shuffle key is
+    md5(seed:doc_id:chunk_id), and a 200k-token page lands as many
+    budget-sized sequences instead of one pack-busting row.
 
     With ``report=True`` also returns per-stage row counts (one count
     action per stage — the accounting a production run logs; leave it
     off when the caller doesn't need it).
     """
+    from ocr_agent_spark.functions.chunking import chunk_documents
     from ocr_agent_spark.functions.dedup import dedup_exact, dedup_near
     from ocr_agent_spark.functions.packing import assign_packs  # noqa: F401
     from ocr_agent_spark.functions.qualityclf import classify_quality
@@ -98,17 +106,37 @@ def build_training_corpus(
             dedup_near(cur, id_col, text_col, threshold=near_threshold),
         )
 
-    sharded = shard_assign(cur, n_shards, key_col=id_col, seed=seed)
-    toks = sharded.select(
-        id_col, "shuffle_key", "shard",
-        F.size(F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)"))
-        .alias("n_tokens"),
-    )
+    if chunk_target is not None:
+        chunks = chunk_documents(cur, chunk_target, id_col=id_col,
+                                 text_col=text_col)
+        cur = gate("chunk", cur, chunks)
+        units = cur.select(
+            id_col, "chunk_id",
+            F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                     F.col("chunk_id").cast("string")).alias("_unit"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        sharded = shard_assign(units, n_shards, key_col="_unit", seed=seed)
+        toks = sharded.select(id_col, "chunk_id", "shuffle_key", "shard",
+                              "n_tokens")
+        order = [F.col("shuffle_key").asc(), F.col(id_col).asc(),
+                 F.col("chunk_id").asc()]
+        keep = [id_col, "chunk_id", "n_tokens", "shuffle_key", "shard",
+                "pack_id"]
+    else:
+        sharded = shard_assign(cur, n_shards, key_col=id_col, seed=seed)
+        toks = sharded.select(
+            id_col, "shuffle_key", "shard",
+            F.size(F.expr(rf"regexp_extract_all({text_col}, '\\S+', 0)"))
+            .alias("n_tokens"),
+        )
+        order = [F.col("shuffle_key").asc(), F.col(id_col).asc()]
+        keep = [id_col, "n_tokens", "shuffle_key", "shard", "pack_id"]
     # exclusive prefix sum WITHIN the shard, ordered by the shuffle key
     # (the training read order) — bounded by shard size by design.
     w = (
         Window.partitionBy("shard")
-        .orderBy(F.col("shuffle_key").asc(), F.col(id_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # BIGINT `div` (exact) — float `/` truncates past 2^53 prefix tokens
@@ -117,8 +145,7 @@ def build_training_corpus(
     ).withColumn(
         "pack_id", F.expr(f"_prefix div {int(pack_budget)}L")
     )
-    out = assigned.select(id_col, "n_tokens", "shuffle_key", "shard",
-                          "pack_id")
+    out = assigned.select(*keep)
     if report:
         return out, counts
     return out

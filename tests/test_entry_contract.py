@@ -46,10 +46,14 @@ MUST_BE_SWEPT = {
     # PARKED in r6 with fresh 2026-08-17 hash matches in
     # TAIL_EVIDENCE.json — ≥2 rounds of driver history each, per the
     # parking policy.
-    # r5 additions (one round of driver history — keep a second round
-    # per the parking promise; CORRECTNESS_r05 is their only record)
-    "frontier_schedule", "shingle_df_stats", "gopher_quality",
-    "repetition_stats", "paragraph_dedup",
+    # r5 additions (frontier_schedule / shingle_df_stats /
+    # paragraph_dedup earned their 2 rounds of driver history in
+    # CORRECTNESS_r05+r06 and were parked in r7 with same-day
+    # TAIL_EVIDENCE hash matches, per the parking policy)
+    "gopher_quality", "repetition_stats",
+    # r7 additions (no driver history yet)
+    "trained_quality_scores", "semantic_dedup_incremental",
+    "corpus_chunked_pipeline",
     # r6 additions (no driver history yet)
     "doc_embeddings", "bpe_real_token_histogram",
     "tfidf_top_terms", "pack_assignments", "lm_perplexity_buckets",

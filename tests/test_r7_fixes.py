@@ -357,3 +357,63 @@ def test_train_quality_weights_full_bucket_domain(spark):
     w = train_quality_weights(df, dim=64).collect()
     assert len(w) == 64
     assert {r["bucket"] for r in w} == set(range(64))
+
+
+# -- chunked corpus capstone --------------------------------------------------
+
+
+def test_corpus_chunked_mega_document(spark):
+    # with chunk_target set, a 200-paragraph mega-document flows
+    # through chunk_documents before packing: it must land as MULTIPLE
+    # budget-sized sequences, each chunk its own shard/pack unit.
+    from ocr_agent_spark.corpus import build_training_corpus
+
+    base = (
+        "the data be processed to the end of and that have with more "
+        "words to clear the gopher floor for this synthetic document"
+    )
+    rows = [(i, f"{base} variant {i}") for i in range(10)]
+    rows.append((500, "\n".join(f"{base} paragraph {j}" for j in range(200))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out, counts = build_training_corpus(
+        docs, lang="en", min_words=10, chunk_target=100,
+        n_shards=2, pack_budget=128, report=True,
+    )
+    got = out.collect()
+    stages = {c.stage: (c.rows_in, c.rows_out) for c in counts}
+    assert stages["chunk"][0] == 11
+    assert stages["chunk"][1] > 11          # the mega-doc fanned out
+    mega = sorted(
+        (r for r in got if r["doc_id"] == 500), key=lambda r: r["chunk_id"]
+    )
+    # 200 paras × 25 tokens = 5000 tokens at target 100 → 50 chunks
+    assert len(mega) >= 40
+    # every chunk is budget-sized: closes only after crossing target,
+    # over by at most one paragraph (25 tokens)
+    for r in mega:
+        assert r["n_tokens"] <= 100 + 25
+    assert sum(r["n_tokens"] for r in mega) == 5000
+    # chunk unit keys shuffle independently: the mega-doc's chunks
+    # spread across shards instead of landing as one giant row
+    assert len({r["shard"] for r in mega}) == 2
+    # short docs stay single-chunk
+    for r in got:
+        if r["doc_id"] != 500:
+            assert r["chunk_id"] == 0
+
+
+def test_corpus_unchunked_output_shape_unchanged(spark):
+    # default (chunk_target=None) keeps the r6 output contract exactly
+    from ocr_agent_spark.corpus import build_training_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "the data be processed to the end of and that have with "
+             f"more words to clear the gopher floor number {i}")
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    out = build_training_corpus(docs, lang="en", min_words=10)
+    assert out.columns == ["doc_id", "n_tokens", "shuffle_key", "shard",
+                           "pack_id"]
+    assert out.count() == 8
