@@ -1962,6 +1962,30 @@ _MEGA_PARA = (
 )
 
 
+def _bloom_unseen_urls(spark, sf):
+    """Bloom-filter URL seen-set (functions/urlseen.py): history urls
+    (doc_id<300) compress into sparse 64-bit words; the delta
+    [200,400) probes the filter — overlap [200,300) is definitely
+    seen (no false negatives), [300,400) passes at this fill (fp
+    ≈ 1e-19). Full oracle: DuckDB replays the md5 double hashing, the
+    bit_or word build, AND the k-probe membership test bit-for-bit."""
+    from ocr_agent_spark.functions.urlseen import (
+        build_url_bloom, filter_unseen_urls,
+    )
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(F.lit("https://example.com/doc/"),
+                   F.col("doc_id").cast("string")).alias("url")
+    hist = d.filter(F.col("doc_id") < 300).select(url)
+    delta = d.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 400)
+    ).select("doc_id", url)
+    bloom = build_url_bloom(hist, n_bits=1 << 20, k=7)
+    return filter_unseen_urls(delta, bloom, n_bits=1 << 20, k=7).select(
+        "doc_id", "url"
+    )
+
+
 def _corpus_chunked_pipeline(spark, sf):
     """The capstone WITH the chunking stage (VERDICT r6 item 7):
     lang gate → Gopher → classifier gate → exact dedup → paragraph
@@ -2339,6 +2363,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_scores": _quality_classifier_scores,
         "corpus_pipeline_assign": _corpus_pipeline_assign,
         "image_ahash_dedup": _image_ahash_dedup,
+        # r7 addition placed directly in the tail (full bit-level
+        # oracle; local evidence via tools/tail_evidence.py)
+        "bloom_unseen_urls": _bloom_unseen_urls,
     }
 
 
@@ -3740,6 +3767,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id NOT IN (
                 SELECT vec_id FROM comp WHERE vec_id != component
             )
+        """),
+        # Bloom seen-set: md5 double hashing, bit_or word build, and the
+        # 7-probe membership test replayed bit-for-bit (m = 2^20).
+        "bloom_unseen_urls": (r"""
+            WITH masks AS (
+                -- DuckDB's << traps on 1<<63 (sign bit) where Spark's
+                -- shiftleft wraps; enumerate the 64 masks instead
+                SELECT i AS b,
+                       CASE WHEN i = 63
+                            THEN CAST(-9223372036854775808 AS BIGINT)
+                            ELSE CAST(1 AS BIGINT) << CAST(i AS INT)
+                       END AS mask
+                FROM range(64) t(i)
+            ),
+            hist AS (
+                SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url
+                FROM documents WHERE doc_id < 300
+            ),
+            delta AS (
+                SELECT doc_id,
+                       'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url
+                FROM documents WHERE doc_id >= 200 AND doc_id < 400
+            ),
+            hpos AS (
+                SELECT ((CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT)
+                         + i * CAST(('0x' || substr(md5(url), 9, 8))
+                                    AS BIGINT)) % 1048576) AS pos
+                FROM hist CROSS JOIN range(7) t(i)
+            ),
+            words AS (
+                SELECT pos // 64 AS word_idx, bit_or(m.mask) AS bits
+                FROM hpos JOIN masks m ON m.b = pos % 64
+                GROUP BY 1
+            ),
+            probes AS (
+                SELECT doc_id, url,
+                       ((CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT)
+                         + i * CAST(('0x' || substr(md5(url), 9, 8))
+                                    AS BIGINT)) % 1048576) AS pos
+                FROM delta CROSS JOIN range(7) t(i)
+            ),
+            hits AS (
+                SELECT doc_id, url,
+                       SUM(CASE WHEN w.bits IS NOT NULL
+                                AND (w.bits & m.mask) = m.mask
+                                THEN 1 ELSE 0 END) AS nh
+                FROM probes
+                JOIN masks m ON m.b = probes.pos % 64
+                LEFT JOIN words w ON w.word_idx = probes.pos // 64
+                GROUP BY doc_id, url
+            )
+            SELECT doc_id, url FROM hits WHERE nh < 7
         """),
         # delta-vs-history semantic dedup: brute-force history check +
         # the same recursive-CTE closure keep rule as

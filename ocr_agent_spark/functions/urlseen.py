@@ -1,0 +1,151 @@
+"""Bloom-filter URL seen-set: zero-shuffle frontier-vs-history checks.
+
+A 10^12-document crawler cannot afford to anti-join every frontier
+batch against the full fetch history. The standard answer is a Bloom
+filter over the seen-URL set: the history compresses into bits ONCE
+(one linear pass), and each frontier batch tests membership with a
+broadcast join against the (tiny) filter — history never shuffles
+again. False positives (a never-seen URL reported seen → page skipped)
+happen at a documented, tunable rate; false negatives never happen, so
+nothing is fetched twice.
+
+Everything here is relational algebra — no UDFs, no driver-side
+bitmaps — and engine-portable (md5-derived double hashing, exact
+integer bit ops), so DuckDB replays the build AND the membership test
+for the correctness oracle:
+
+- :func:`build_url_bloom` — k positions per url via Kirsch–
+  Mitzenmacher double hashing (pos_i = (h1 + i·h2) mod m, h1/h2 =
+  first/second 8 md5 hex digits — both < 2^32, so h1 + i·h2 stays
+  far from int64), then word_idx = pos div 64 → one groupBy with a
+  ``bit_or`` of single-bit masks. Output is the SPARSE word table
+  (word_idx, bits): at most m/64 rows, a few KB–MB — broadcastable
+  at any corpus size.
+- :func:`filter_unseen_urls` — each candidate url re-derives its k
+  (word_idx, mask) pairs, broadcast-joins the word table, and is
+  "seen" iff all k bits are set. The scan is one stage; the only
+  join is against the broadcast filter.
+
+Sizing: false-positive rate ≈ (1 − e^(−k·n/m))^k. The defaults
+(m = 2^23 bits = 1 MiB, k = 7) give ~0.8% at n = 1M urls; at 10^12
+urls use m ≈ 1.2·10^13 bits (~1.5 TB across the cluster — better:
+partition the seen-set by url-hash range and keep one bounded filter
+per partition, which this module supports via any pre-grouping the
+caller applies; the filter table is just rows).
+
+Reference parity: beyond-reference crawl surface; composes with
+functions/frontier.py (politeness scheduling) and
+functions/dedup_index.py (content-level history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 1 << 23
+DEFAULT_HASHES = 7
+
+
+def _h1(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _h2(col):
+    return F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+
+
+def _positions(col, n_bits: int, k: int):
+    """Array of k bit positions for a url column (double hashing)."""
+    return F.array(*[
+        ((_h1(col) + F.lit(i) * _h2(col)) % n_bits) for i in range(k)
+    ])
+
+
+def build_url_bloom(urls: DataFrame, url_col: str = "url",
+                    n_bits: int = DEFAULT_BITS,
+                    k: int = DEFAULT_HASHES) -> DataFrame:
+    """(word_idx, bits) sparse Bloom words over ``urls``.
+
+    One explode (k rows per url, ids only — 2 longs) and one groupBy
+    on word_idx with map-side combine; the result has at most
+    ``n_bits/64`` rows regardless of corpus size.
+    """
+    if n_bits <= 0 or n_bits % 64 != 0:
+        raise ValueError(f"n_bits must be a positive multiple of 64, "
+                         f"got {n_bits}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    pos = urls.select(
+        F.explode(_positions(F.col(url_col), n_bits, k)).alias("_pos")
+    )
+    return (
+        pos.select(
+            F.expr("_pos div 64").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("_mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def filter_unseen_urls(candidates: DataFrame, bloom: DataFrame,
+                       url_col: str = "url",
+                       n_bits: int = DEFAULT_BITS,
+                       k: int = DEFAULT_HASHES,
+                       keep_seen: bool = False) -> DataFrame:
+    """Rows of ``candidates`` whose url is DEFINITELY unseen (some of
+    its k bits are absent from ``bloom``). With ``keep_seen`` returns
+    the complement (probably-seen rows — false-positive rate applies).
+
+    Plan: explode the k (word_idx, mask) probes (ids only), broadcast-
+    join the ≤ n_bits/64-row filter table, count set bits per url, and
+    semi/anti-join the verdict back onto the input rows. History never
+    moves; the candidate batch shuffles only its url column.
+    """
+    probes = candidates.select(
+        F.col(url_col).alias("_u"),
+        F.explode(_positions(F.col(url_col), n_bits, k)).alias("_pos"),
+    ).select(
+        "_u",
+        F.expr("_pos div 64").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("_mask"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "_u",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("_mask")) == F.col("_mask")),
+                1,
+            ).otherwise(0).alias("_hit"),
+        )
+        .groupBy("_u")
+        .agg(F.sum("_hit").alias("_nhits"))
+    )
+    seen = hits.filter(F.col("_nhits") == k).select(F.col("_u"))
+    how = "left_semi" if keep_seen else "left_anti"
+    return candidates.join(
+        seen, candidates[url_col] == seen["_u"], how
+    )
+
+
+def bloom_stats(bloom: DataFrame, n_bits: int = DEFAULT_BITS,
+                k: int = DEFAULT_HASHES) -> DataFrame:
+    """One row: (words, set_bits, fill_ratio, est_fp_rate) — the
+    no-silent-degradation report: run it before trusting a filter
+    whose fill ratio has crept toward saturation."""
+    return bloom.agg(
+        F.count(F.lit(1)).alias("words"),
+        F.sum(F.bit_count("bits")).alias("set_bits"),
+    ).select(
+        "words",
+        "set_bits",
+        F.round(F.col("set_bits") / F.lit(float(n_bits)), 6)
+        .alias("fill_ratio"),
+        # fp ≈ fill_ratio^k (fraction of set bits, k independent
+        # probes); 9 dp — healthy filters sit well below 1e-6
+        F.round(F.pow(F.col("set_bits") / F.lit(float(n_bits)), k), 9)
+        .alias("est_fp_rate"),
+    )
