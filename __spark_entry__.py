@@ -1962,6 +1962,38 @@ _MEGA_PARA = (
 )
 
 
+def _bpe_trained_merges(spark, sf):
+    """DISTRIBUTED BPE-merge training (functions/bpe.py
+    train_bpe_merges_spark): corpus-scale vocab extraction (pre-token
+    explode + groupBy) then the Sennrich merge loop over the vocab
+    DataFrame — per round one pair-count aggregate, a 1-row argmax
+    collect, and a lineage-cut fold-rebuild of the symbol arrays.
+    Trains on a PLANTED deterministic corpus (sf-independent), so the
+    learned table is a pure constant: the oracle is the frozen
+    20-merge VALUES table (same class as image_ahash_dedup), and
+    parity with the serial learn_bpe_merges trainer — whose own output
+    is pinned by the vendored frozen table — is differentially
+    pytest-verified."""
+    from ocr_agent_spark.functions.bpe import (
+        distributed_word_freq, train_bpe_merges_spark,
+    )
+
+    docs = spark.range(60).select(
+        F.concat(
+            F.lit("the quick brown fox number "),
+            F.col("id").cast("string"),
+            F.lit(" jumps over the lazy dog near sample text "),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text")
+    )
+    merges = train_bpe_merges_spark(distributed_word_freq(docs),
+                                    n_merges=20)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 def _bloom_unseen_urls(spark, sf):
     """Bloom-filter URL seen-set (functions/urlseen.py): history urls
     (doc_id<300) compress into sparse 64-bit words; the delta
@@ -2363,9 +2395,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_scores": _quality_classifier_scores,
         "corpus_pipeline_assign": _corpus_pipeline_assign,
         "image_ahash_dedup": _image_ahash_dedup,
-        # r7 addition placed directly in the tail (full bit-level
-        # oracle; local evidence via tools/tail_evidence.py)
+        # r7 additions placed directly in the tail (full bit-level /
+        # frozen-constant oracles; local evidence via
+        # tools/tail_evidence.py)
         "bloom_unseen_urls": _bloom_unseen_urls,
+        "bpe_trained_merges": _bpe_trained_merges,
     }
 
 
@@ -3768,6 +3802,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id FROM comp WHERE vec_id != component
             )
         """),
+        # distributed BPE trainer on a planted constant corpus: the
+        # learned 20-merge table is a pure constant — frozen VALUES
+        # oracle (verified against the serial trainer by pytest).
+        "bpe_trained_merges": (
+            "SELECT CAST(rank AS INT) AS rank, lft AS \"left\", "
+            "rgt AS \"right\" FROM (VALUES "
+            "(0, ' ', 'n'), (1, ' ', 't'), (2, 'e', 'r'), "
+            "(3, 'h', 'e'), (4, 'm', 'p'), (5, ' ', 'b'), "
+            "(6, ' ', 'd'), (7, ' ', 'f'), (8, ' ', 'j'), "
+            "(9, ' ', 'l'), (10, ' ', 'o'), (11, ' ', 'q'), "
+            "(12, ' ', 's'), (13, ' b', 'r'), (14, ' br', 'o'), "
+            "(15, ' bro', 'w'), (16, ' brow', 'n'), (17, ' d', 'o'), "
+            "(18, ' do', 'g'), (19, ' f', 'o')"
+            ") AS t(rank, lft, rgt)"
+        ),
         # Bloom seen-set: md5 double hashing, bit_or word build, and the
         # 7-probe membership test replayed bit-for-bit (m = 2^20).
         "bloom_unseen_urls": (r"""

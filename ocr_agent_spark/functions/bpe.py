@@ -101,6 +101,112 @@ def _ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
     return {pair: i for i, pair in enumerate(merges)}
 
 
+def distributed_word_freq(docs, text_col: str = "text"):
+    """(word, freq) over the corpus — the CORPUS-SCALE half of BPE
+    training: one JVM-side pre-token explode (the exact PRETOK
+    pattern, passed as a literal column so its quote/backslash survive
+    — Java regex runs the same simple constructs in the same
+    alternation order as Python re; parity is pytest-pinned) + one
+    groupBy with map-side combine. At 100 TB this is the only pass
+    that touches every document; the merge loop below runs over THIS
+    bounded table (Zipf: a web-scale corpus yields a vocab orders of
+    magnitude smaller than itself), which is exactly how production
+    BPE trainers are structured."""
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(PRETOK.pattern), F.lit(0)
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def train_bpe_merges_spark(word_freq, n_merges: int = 256,
+                           checkpoint_dir: str | None = None
+                           ) -> list[tuple[str, str]]:
+    """DISTRIBUTED twin of :func:`learn_bpe_merges`: the same classic
+    Sennrich trainer (best pair by count, ties to the
+    lexicographically smallest; left-to-right non-overlapping merge),
+    but the vocabulary lives in a DataFrame and never visits the
+    driver — only the 1-row argmax does, once per merge.
+
+    Parity with the serial trainer is differentially pytest-pinned, so
+    the learned table drops straight into :func:`bpe_token_count_col`
+    (the swap contract: ``merges=`` accepts either source).
+
+    Plan shape per round: one pair-explode + groupBy (map-side
+    combined, ≤ |vocab| · avg_len rows of three short strings), one
+    1-row collect, one fold-rebuild of the symbol arrays (in-row
+    ``F.aggregate``, O(len²) immutable-append — trivial at word
+    length), lineage-CUT per round (the round references the previous
+    vocab twice, so the analyzed plan would double per merge
+    otherwise — same contract as pagerank/connected_components).
+    """
+    from ocr_agent_spark.functions.itercut import make_cutter
+
+    spark = word_freq.sparkSession
+    cut, gc_superseded = make_cutter(spark, checkpoint_dir)
+    vocab = cut(word_freq.select(
+        "word", "freq",
+        F.expr("transform(sequence(1, length(word)), "
+               "i -> substring(word, i, 1))").alias("syms"),
+    ))
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr("transform(sequence(1, size(syms) - 1), "
+                           "i -> struct(syms[i-1] AS a, syms[i] AS b))")
+                ).alias("_p"),
+            )
+            .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        # left-to-right single-pass merge: fold with a 1-symbol carry
+        # ('' = none; symbols are never empty). "aaa" + (a,a) → "aa a",
+        # matching _merge_all exactly.
+        merged = F.aggregate(
+            F.col("syms"),
+            F.struct(F.array().cast("array<string>").alias("out"),
+                     F.lit("").alias("carry")),
+            lambda acc, s: F.when(
+                (acc["carry"] == F.lit(a)) & (s == F.lit(b)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                    F.lit("").alias("carry"),
+                ),
+            ).when(
+                acc["carry"] == F.lit(""),
+                F.struct(acc["out"].alias("out"), s.alias("carry")),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                    s.alias("carry"),
+                ),
+            ),
+            lambda acc: F.when(
+                acc["carry"] == F.lit(""), acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["carry"]))),
+        )
+        vocab = cut(vocab.select("word", "freq", merged.alias("syms")))
+        gc_superseded()
+    return merges
+
+
 def bpe_encode(pre_token: str,
                ranks: dict[tuple[str, str], int]) -> list[str]:
     """GPT-2 merge loop: merge all occurrences of the lowest-rank

@@ -92,3 +92,77 @@ def test_plan_is_arrow_batched_no_shuffle(spark):
     assert "ArrowEvalPython" in plan       # vectorized, not row-at-a-time
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+# -- distributed trainer (r7) --------------------------------------------------
+
+
+def test_distributed_word_freq_matches_pretokenize(spark):
+    from collections import Counter
+
+    from ocr_agent_spark.functions.bpe import (
+        distributed_word_freq, pre_tokenize,
+    )
+
+    texts = [
+        "It's a test-case: numbers 123 and 456!",
+        "  leading space\tand\ttabs\nnewlines  ",
+        "don't re-tokenize CamelCase or snake_case oddly",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["word"]: r["freq"] for r in distributed_word_freq(docs).collect()}
+    want = Counter()
+    for t in texts:
+        want.update(pre_tokenize(t))
+    assert got == dict(want)
+
+
+def test_spark_trainer_matches_serial(spark):
+    from ocr_agent_spark.functions.bpe import (
+        distributed_word_freq,
+        learn_bpe_merges,
+        train_bpe_merges_spark,
+    )
+
+    texts = [
+        f"the quick brown fox number {i} jumps over the lazy dog "
+        f"near sample text {i % 5}" for i in range(40)
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = train_bpe_merges_spark(distributed_word_freq(docs), n_merges=25)
+    want = learn_bpe_merges(texts, n_merges=25)
+    assert got == want
+
+
+def test_spark_trained_table_drops_into_token_count(spark):
+    # the swap contract: merges learned distributed feed the SAME
+    # bpe_token_count_col path as the vendored frozen table
+    from pyspark.sql import functions as F
+
+    from ocr_agent_spark.functions.bpe import (
+        bpe_token_count,
+        _ranks,
+        distributed_word_freq,
+        train_bpe_merges_spark,
+        bpe_token_count_col,
+    )
+
+    texts = ["aa ab aa ab aa", "ab aa ab", "zz yy xx"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = train_bpe_merges_spark(distributed_word_freq(docs), n_merges=6)
+    got = {
+        r["text"]: r["n"]
+        for r in docs.select(
+            "text", bpe_token_count_col("text", merges=merges).alias("n")
+        ).collect()
+    }
+    ranks = _ranks(merges)
+    for t in texts:
+        assert got[t] == bpe_token_count(t, ranks)
+
+
+def test_spark_trainer_stops_when_no_pairs(spark):
+    from ocr_agent_spark.functions.bpe import train_bpe_merges_spark
+
+    wf = spark.createDataFrame([("a", 3), ("b", 2)], "word string, freq long")
+    assert train_bpe_merges_spark(wf, n_merges=10) == []
