@@ -323,3 +323,84 @@ def test_resize_luminance_dims_and_value_domain(w, h, tw, th, seed):
     out = resize_luminance(w, h, src, tw, th)
     assert len(out) == tw * th
     assert set(out) <= set(src)
+
+
+# -- r7 kernels ----------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=600_000),   # duration_ms
+    st.sampled_from([44100, 48000]),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from(["vorbis", "opus"]),
+)
+def test_ogg_roundtrip_property(duration_ms, sr, ch, codec):
+    from ocr_agent_spark.kernel.mediacontainer import build_ogg, parse_ogg
+
+    m = parse_ogg(build_ogg(duration_ms=duration_ms, sample_rate=sr,
+                            channels=ch, codec=codec))
+    assert m["codec"] == codec and m["channels"] == ch
+    assert m["sample_rate"] == sr
+    assert abs(m["duration_ms"] - duration_ms) <= 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=600_000),
+    st.integers(min_value=1, max_value=(1 << 20) - 1),  # 20-bit field
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=4, max_value=32),
+)
+def test_flac_roundtrip_property(duration_ms, sr, ch, bits):
+    from ocr_agent_spark.kernel.mediacontainer import build_flac, parse_flac
+
+    m = parse_flac(build_flac(duration_ms=duration_ms, sample_rate=sr,
+                              channels=ch, bits_per_sample=bits))
+    assert m["sample_rate"] == sr and m["channels"] == ch
+    # duration re-quantizes through total_samples (half a sample each
+    # way): error ≤ 500/sr ms, +1 for the two roundings
+    if round(duration_ms * sr / 1000) < (1 << 36):
+        assert abs(m["duration_ms"] - duration_ms) <= 500 / sr + 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=1024))
+def test_ogg_flac_parsers_never_hang_or_crash_wrongly(data):
+    # parsers must be total: any bytes either parse or raise the
+    # module's own taxonomy — never an IndexError/struct.error escape
+    from ocr_agent_spark.kernel.mediacontainer import (
+        MediaContainerError,
+        parse_flac,
+        parse_ogg,
+    )
+
+    for parser, magic in ((parse_ogg, b"OggS"), (parse_flac, b"fLaC")):
+        try:
+            parser(magic + data)
+        except MediaContainerError:
+            pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=40), min_size=1,
+                max_size=60, unique=True))
+def test_bloom_reference_no_false_negatives_property(urls):
+    # pure-python mirror of the Spark expressions (pinned equal by
+    # tests/test_urlseen.py): inserted keys always probe positive
+    import hashlib
+
+    n_bits, k = 1 << 12, 5
+    words: dict[int, int] = {}
+    for u in urls:
+        d = hashlib.md5(u.encode()).hexdigest()
+        h1, h2 = int(d[:8], 16), int(d[8:16], 16)
+        for i in range(k):
+            pos = (h1 + i * h2) % n_bits
+            words[pos // 64] = words.get(pos // 64, 0) | (1 << (pos % 64))
+    for u in urls:
+        d = hashlib.md5(u.encode()).hexdigest()
+        h1, h2 = int(d[:8], 16), int(d[8:16], 16)
+        for i in range(k):
+            pos = (h1 + i * h2) % n_bits
+            assert words.get(pos // 64, 0) & (1 << (pos % 64))
