@@ -485,9 +485,18 @@ def _q3_top_revenue(spark, sf):
     c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
+    # Join order picked deliberately (guide §3.1): reduce orders by the
+    # broadcast customer-segment filter FIRST, then broadcast the slim
+    # surviving key set at lineitem — the big side is never shuffled
+    # (r7 plan sort-merge-joined 6M lineitem rows against orders). Same
+    # inner-join semantics, o_orderkey is unique ⇒ identical rows feed
+    # the aggregate.
+    bo = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(bo), li.l_orderkey == bo.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
             F.round(

@@ -116,7 +116,13 @@ def distributed_word_freq(docs, text_col: str = "text"):
         docs.select(
             F.explode(
                 F.regexp_extract_all(
-                    F.col(text_col), F.lit(PRETOK.pattern), F.lit(0)
+                    # (?U) = UNICODE_CHARACTER_CLASS (ADVICE r7): Java's
+                    # \s is ASCII-only while Python's matches Unicode
+                    # whitespace (NBSP, ideographic space), so without
+                    # the flag JVM tokenization diverges from the serial
+                    # trainer on real web text. All other constructs in
+                    # PRETOK use explicit ASCII classes — unaffected.
+                    F.col(text_col), F.lit("(?U)" + PRETOK.pattern), F.lit(0)
                 )
             ).alias("word")
         )

@@ -243,7 +243,21 @@ def build_semantic_index(embeddings: DataFrame, path: str,
     banded = _sem_banded(embeddings, id_col, vec_col, bands,
                          rows_per_band, seed)
     banded.write.mode("errorifexists").parquet(os.path.join(vdir, "banded"))
-    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    # Aggregate-validated dim (ADVICE r7): a single sampled row lets a
+    # mixed-dimension input pass the frozen-dim enforcement silently,
+    # and first() on an empty input is a bare TypeError.
+    dims = embeddings.agg(
+        F.count_distinct(F.size(F.col(vec_col))).alias("n"),
+        F.max(F.size(F.col(vec_col))).alias("d"),
+    ).first()
+    if dims["d"] is None:
+        raise ValueError("build_semantic_index: empty embeddings input")
+    if dims["n"] != 1:
+        raise ValueError(
+            f"build_semantic_index: mixed embedding dims "
+            f"({dims['n']} distinct sizes) — the index freezes ONE dim"
+        )
+    dim = dims["d"]
     tmp = os.path.join(path, f".commit-{os.path.basename(vdir)}")
     with open(tmp, "w") as fh:
         fh.write(json.dumps({"bands": bands, "rows_per_band": rows_per_band,
@@ -301,11 +315,22 @@ def semantic_history_losers(new_embs: DataFrame, spark: SparkSession,
     p = _sem_check_params(vdir, bands, rows_per_band, seed)
     hist_banded = _read_frames(spark, vdir, "banded")
     hist_vecs = _read_frames(spark, vdir, "vectors")
-    dim = new_embs.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim is not None and dim["d"] != p["dim"]:
-        raise ValueError(
-            f"delta embedding dim {dim['d']} != index dim {p['dim']}"
-        )
+    # Aggregate-validated dim (ADVICE r7) — one sampled row would let a
+    # mixed-dim delta slip past the frozen-dim enforcement.
+    dims = new_embs.agg(
+        F.count_distinct(F.size(F.col(vec_col))).alias("n"),
+        F.max(F.size(F.col(vec_col))).alias("d"),
+    ).first()
+    if dims["d"] is not None:
+        if dims["n"] != 1:
+            raise ValueError(
+                f"delta has mixed embedding dims ({dims['n']} distinct "
+                f"sizes); index dim is {p['dim']}"
+            )
+        if dims["d"] != p["dim"]:
+            raise ValueError(
+                f"delta embedding dim {dims['d']} != index dim {p['dim']}"
+            )
     nb = _sem_banded(new_embs, id_col, vec_col, p["bands"],
                      p["rows_per_band"], p["seed"])
     hot = (

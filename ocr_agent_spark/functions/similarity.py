@@ -63,9 +63,16 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     (TakeOrderedAndProject — no full sort). Score rounded to 6 dp so
     float accumulation noise never flips cross-engine comparisons.
     """
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
     q = F.array(*[F.lit(float(v)) for v in query_vec])
+    # Widen-if-narrow after the slim projection: a single-row-group
+    # embeddings file otherwise evaluates every dot product in one scan
+    # task (guide §2.5). Top-k order is deterministic (id tie-break),
+    # so placement cannot change the result.
+    slim = widen_if_narrow(embeddings.select(id_col, vec_col))
     return (
-        embeddings.select(
+        slim.select(
             F.col(id_col).alias("neighbor_id"),
             F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
         )

@@ -135,8 +135,15 @@ def text_profile(docs, text_col: str = "text"):
     Adds: n_tokens, n_bpe_tokens, n_chars, alpha_ratio, quality,
     predicted_lang.
     """
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
     c = F.col(text_col)
-    toksed = docs.withColumn("_toks", F.split(F.lower(F.trim(c)), r"\s+"))
+    # Widen-if-narrow before the tokenize: a single-row-group parquet
+    # input otherwise runs every profiling regex in one scan task
+    # (guide §2.5). Row values are untouched; no-op on parallel inputs.
+    toksed = widen_if_narrow(docs).withColumn(
+        "_toks", F.split(F.lower(F.trim(c)), r"\s+")
+    )
     toks = F.col("_toks")
 
     def vote(words: list[str]) -> Column:

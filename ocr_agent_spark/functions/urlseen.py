@@ -122,9 +122,14 @@ def filter_unseen_urls(candidates: DataFrame, bloom: DataFrame,
             ).otherwise(0).alias("_hit"),
         )
         .groupBy("_u")
-        .agg(F.sum("_hit").alias("_nhits"))
+        # all-probes predicate, NOT a count test (ADVICE r7): a url
+        # duplicated d times in the batch contributes d·k probe rows,
+        # so sum(_hit) == k fails for a fully-hit duplicated url — a
+        # Bloom false NEGATIVE. min(_hit) == 1 ⇔ every probe hit,
+        # independent of the url's multiplicity.
+        .agg(F.min("_hit").alias("_allhit"))
     )
-    seen = hits.filter(F.col("_nhits") == k).select(F.col("_u"))
+    seen = hits.filter(F.col("_allhit") == 1).select(F.col("_u"))
     how = "left_semi" if keep_seen else "left_anti"
     return candidates.join(
         seen, candidates[url_col] == seen["_u"], how

@@ -56,6 +56,16 @@ def convert_math_delimiters(text: str, style: str | None = MATH_STYLE_DOLLAR) ->
     if normalize_math_style(style) != MATH_STYLE_DOLLAR:
         return text
 
+    # Fast paths (byte-identical, differential-fuzz-pinned): without a
+    # fence marker substring no line can open a fence, so the whole
+    # text is one plain segment — and without a math opener the regex
+    # subs are identity. Most corpus documents take one of these
+    # branches, skipping the per-line Python scan entirely.
+    if "```" not in text and "~~~" not in text:
+        if "\\(" not in text and "\\[" not in text:
+            return text
+        return _rewrite_plain_segment(text)
+
     out: list[str] = []
     plain_buf: list[str] = []
     fence_char: str | None = None  # non-None ⇔ inside a fence

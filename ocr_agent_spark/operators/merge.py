@@ -112,9 +112,14 @@ def merge_extracted_to_markdown(
     artifact into driver memory; for artifacts beyond memory use
     ``merge_extracted_to_file``.
     """
-    chunks = _ordered_chunks(extracted, style, num_partitions, order_cols).collect()
-    chunks.sort(key=lambda r: r["pid"])
-    parts = [DOCUMENT_TITLE, ""] + [r["chunk"] for r in chunks]
+    # toPandas, not collect(): with Arrow enabled (session.py) the
+    # ~one-chunk-per-partition strings stream to the driver as Arrow
+    # batches instead of pickled Row objects — same rows, cheaper
+    # driver transfer for a multi-MB artifact (guide §6, Arrow for
+    # driver transfers).
+    chunks = _ordered_chunks(extracted, style, num_partitions, order_cols).toPandas()
+    chunks = chunks.sort_values("pid")
+    parts = [DOCUMENT_TITLE, ""] + chunks["chunk"].tolist()
     return "\n".join(parts).rstrip() + "\n"
 
 

@@ -52,13 +52,15 @@ def build_spark(
         # to 1 (fail fast); set the cluster default explicitly so tests
         # exercise the same retry semantics a real cluster has.
         .config("spark.task.maxFailures", "4")
-        # Scan-split sizing: small enough that this sandbox's ~20 MB
-        # fixture files split into ≥2-3 tasks per core. At 100 TB with
-        # ~1 GB files raise toward the 128 MB default — the invariant
-        # is tasks-per-core, not the byte value.
+        # Scan-split sizing: small enough that this sandbox's ~4-20 MB
+        # fixture files split into 2+ ranges each, so a 40-file corpus
+        # does not schedule exactly 40 tasks on 32 cores (a 2-wave tail
+        # that idles a quarter of the machine — guide §2.6). At 100 TB
+        # with ~1 GB files raise toward the 128 MB default via the env
+        # knob — the invariant is tasks-per-core, not the byte value.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
