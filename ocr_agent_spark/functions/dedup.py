@@ -465,12 +465,20 @@ def _lsh_band_pairs_from_banded(banded: DataFrame,
     pathological bucket never concentrates anywhere. sf0.1 A/B: also
     removes a full-width sort per join side (BENCH/BASELINE.md r6).
     """
-    capped = banded.join(
+    from ocr_agent_spark.cache import persist_tracked
+
+    # Persisted because the self-join references it twice (and its
+    # input subtree a third time via the hot-bucket broadcast): without
+    # the cache each reference re-derives the banding from the
+    # signature table — measured as ~3x redundant compute on the
+    # candidate-generation stage (r8). Slim (doc_id, band, bucket)
+    # rows, bands x |docs| — small at any scale that fits the join.
+    capped = persist_tracked(banded.join(
         F.broadcast(_hot_band_buckets(banded, max_bucket_size)
                     .select("band", "bucket")),
         ["band", "bucket"],
         "left_anti",
-    )
+    ))
     return (
         capped.alias("a")
         .join(capped.alias("b"), ["band", "bucket"])
@@ -573,20 +581,20 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
     if reuse_shingles:
         sh = persist_tracked(shingle_table(docs, id_col, text_col, n))
-        sig = persist_tracked(minhash_signatures_from_shingles(sh, num_hashes))
-        banded = _minhash_banded_table(sig, num_hashes, bands)
-        candidates = persist_tracked(
-            _lsh_band_pairs_from_banded(banded, max_bucket_size)
-        )
+        sig = minhash_signatures_from_shingles(sh, num_hashes)
     else:
         sh = None
-        sig = persist_tracked(
-            minhash_signatures(docs, id_col, text_col, n, num_hashes)
-        )
-        banded = _minhash_banded_table(sig, num_hashes, bands)
-        candidates = persist_tracked(
-            _lsh_band_pairs_from_banded(banded, max_bucket_size)
-        )
+        sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    # sig is NOT persisted: since the r8 pair-scoped verify, the banded
+    # table is its only consumer, so a cache would add a
+    # materialization pass without saving any recompute.
+    # banded IS persisted: referenced by the hot-bucket aggregate,
+    # the capped anti-join stream side, and (when requested) the
+    # cap_report — one cheap materialization instead of three (r8).
+    banded = persist_tracked(_minhash_banded_table(sig, num_hashes, bands))
+    candidates = persist_tracked(
+        _lsh_band_pairs_from_banded(banded, max_bucket_size)
+    )
     if cap_report is not None:
         cap_report["shingle_df_stats"] = (
             None if max_shingle_df is None else shingle_df_stats(

@@ -235,17 +235,11 @@ def build_semantic_index(embeddings: DataFrame, path: str,
     parameters (and the vector dim) and readers enforce them."""
     import json
 
-    vdir = os.path.join(path, f"{_SEM_PREFIX}{uuid.uuid4().hex[:12]}")
-    vecs = embeddings.select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("embedding")
-    )
-    vecs.write.mode("errorifexists").parquet(os.path.join(vdir, "vectors"))
-    banded = _sem_banded(embeddings, id_col, vec_col, bands,
-                         rows_per_band, seed)
-    banded.write.mode("errorifexists").parquet(os.path.join(vdir, "banded"))
-    # Aggregate-validated dim (ADVICE r7): a single sampled row lets a
-    # mixed-dimension input pass the frozen-dim enforcement silently,
-    # and first() on an empty input is a bare TypeError.
+    # Aggregate-validated dim FIRST (ADVICE r7): a single sampled row
+    # lets a mixed-dimension input pass the frozen-dim enforcement
+    # silently, and first() on an empty input is a bare TypeError deep
+    # inside the banding helper. Checked before any file is written so
+    # a bad input can never leave a half-built version directory.
     dims = embeddings.agg(
         F.count_distinct(F.size(F.col(vec_col))).alias("n"),
         F.max(F.size(F.col(vec_col))).alias("d"),
@@ -258,6 +252,15 @@ def build_semantic_index(embeddings: DataFrame, path: str,
             f"({dims['n']} distinct sizes) — the index freezes ONE dim"
         )
     dim = dims["d"]
+
+    vdir = os.path.join(path, f"{_SEM_PREFIX}{uuid.uuid4().hex[:12]}")
+    vecs = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("embedding")
+    )
+    vecs.write.mode("errorifexists").parquet(os.path.join(vdir, "vectors"))
+    banded = _sem_banded(embeddings, id_col, vec_col, bands,
+                         rows_per_band, seed)
+    banded.write.mode("errorifexists").parquet(os.path.join(vdir, "banded"))
     tmp = os.path.join(path, f".commit-{os.path.basename(vdir)}")
     with open(tmp, "w") as fh:
         fh.write(json.dumps({"bands": bands, "rows_per_band": rows_per_band,
