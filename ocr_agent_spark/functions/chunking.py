@@ -65,6 +65,11 @@ def chunk_documents(docs: DataFrame, target_tokens: int,
     """
     if target_tokens <= 0:
         raise ValueError(f"target_tokens must be > 0, got {target_tokens}")
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    docs = widen_if_narrow(docs)
     paras_of = F.split(F.col(text_col), sep)
     small = _chunk_in_row(
         docs.filter(F.size(paras_of) <= giant_paras),

@@ -64,6 +64,11 @@ def hashed_ngram_bucket_counts(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, bucket, c): hashed uni+bigram occurrence counts per doc."""
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    docs = widen_if_narrow(docs)
     return (
         docs.select(id_col, F.explode(_tokens(F.col(text_col))).alias("_tok"))
         .select(id_col, _bucket(F.col("_tok"), n_buckets, seed).alias("bucket"))

@@ -111,6 +111,13 @@ def embed_documents(docs: DataFrame, id_col: str = "doc_id",
                     out_col: str = "embedding") -> DataFrame:
     """(id, text) → (id, embedding) ready for the similarity stack
     (``vec_id``/``embedding`` naming is the caller's rename)."""
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # The projection is O(tokens × dim) of md5 + array arithmetic per
+    # row — by far the heaviest zero-shuffle column in the package. A
+    # single-row-group input would run it all in one scan task (guide
+    # §2.5); widening is placement-only, the per-row vector is exact.
+    docs = widen_if_narrow(docs)
     return docs.select(
         F.col(id_col),
         hashed_ngram_embedding(

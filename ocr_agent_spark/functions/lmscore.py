@@ -50,6 +50,11 @@ class BigramLM:
 
 def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, w1, w2) rows — one per adjacent token pair."""
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    docs = widen_if_narrow(docs)
     toks = docs.select(
         id_col,
         F.expr(

@@ -186,6 +186,11 @@ def extract_head_metadata(pages: DataFrame, html_col: str = "html",
     """
     import pandas as pd  # noqa: F401 — Arrow batch dependency
 
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    pages = widen_if_narrow(pages)
     keep = list(id_cols)
     fields = list(METADATA_FIELDS)
     schema = ", ".join(
@@ -378,6 +383,11 @@ def heading_outline(pages: DataFrame, html_col: str = "html_str",
     dense for the chunker). One narrow shuffle-free projection +
     generate, no Python.
     """
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    pages = widen_if_narrow(pages)
     matches = F.regexp_extract_all(
         F.col(html_col), F.lit(HEADING_PATTERN), 0
     )

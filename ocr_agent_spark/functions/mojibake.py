@@ -117,6 +117,11 @@ def repair_mojibake(docs: DataFrame, text_col: str = "text",
     sees one Python stage)."""
     import pandas as pd  # noqa: F401
 
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    docs = widen_if_narrow(docs)
     fields = ", ".join(
         f"{c} {t}" if c != text_col else f"{out_col} string"
         for c, t in docs.dtypes

@@ -70,6 +70,11 @@ def split_paragraphs(docs: DataFrame, id_col: str = "doc_id",
                      sep: str = DEFAULT_SEP) -> DataFrame:
     """Exploded (id, para_index, para, para_tokens, para_lang) view —
     the inspection/debug surface. The filter itself never explodes."""
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    docs = widen_if_narrow(docs)
     paras = F.split(F.col(text_col), sep)
     return (
         docs.select(F.col(id_col), F.posexplode(paras)
@@ -100,7 +105,11 @@ def ccnet_paragraph_filter(docs: DataFrame, id_col: str = "doc_id",
     effect.
     """
     from ocr_agent_spark.functions.text import lang_id
+    from ocr_agent_spark.partitioning import widen_if_narrow
 
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    docs = widen_if_narrow(docs)
     paras = F.split(F.col(text_col), sep)
     doc_lang = lang_id(text_col)
 

@@ -76,6 +76,11 @@ def bm25_scores(
     ]
     # One regexp pass feeds both the stats aggregate and the scoring
     # projection; persist so the token extraction doesn't run twice.
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    docs = widen_if_narrow(docs)
     base = persist_tracked(
         docs.select(id_col, toks.alias("_toks"))
         .select(id_col, F.size("_toks").alias("_dl"), *tf_cols)

@@ -65,6 +65,11 @@ def span_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             F.concat_ws(" ", F.slice(toks, i + 1, span_tokens))
         ),
     )
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    docs = widen_if_narrow(docs)
     return (
         docs.select(F.col(id_col).alias("doc_id"),
                     _tokens(text_col).alias("_toks"))

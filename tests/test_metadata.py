@@ -251,7 +251,12 @@ def test_heading_outline_plan_is_pure_jvm(spark):
                                "doc_id long, html_str string")
     plan = (heading_outline(df)._jdf.queryExecution()
             .executedPlan().toString())
-    assert "Exchange" not in plan and "Python" not in plan
+    # r8: allow only the adaptive scan-widening round-robin exchange
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange" in ln and "Reused" not in ln]
+    assert len(exchanges) <= 1 and all(
+        "roundrobin" in ln.lower() for ln in exchanges), plan
+    assert "Python" not in plan
 
 
 def test_variant_axes_all_present(spark):

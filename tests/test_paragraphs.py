@@ -77,6 +77,10 @@ def test_filter_plan_is_shuffle_free_pure_jvm(spark):
     docs = _docs(spark, [(1, EN + "\n" + DE)])
     out = ccnet_paragraph_filter(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # r8: allow only the adaptive scan-widening round-robin exchange
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange" in ln and "Reused" not in ln]
+    assert len(exchanges) <= 1 and all(
+        "roundrobin" in ln.lower() for ln in exchanges), plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
