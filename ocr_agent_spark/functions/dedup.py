@@ -307,40 +307,52 @@ def _jaccard_for_pairs(pairs: DataFrame, sh: DataFrame,
     aggregates a row for EVERY pair of docs sharing a shingle — at
     sf1.0 that is ~1.0M co-shingle pairs ground down to the 2.6k LSH
     candidate pairs by the caller's closing semi-join (~400× wasted
-    aggregate work). Here intersections come from joining the pair
-    table onto the shingle table once per side, so cost is
-    O(candidate-doc shingles + true intersection rows), never
-    O(co-shingle pairs). Semantics are identical for pairs drawn from
-    ``sh``'s doc universe: same filtered-universe hot-shingle drop,
-    same sizes, same ``common / (|A|+|B|−common)`` — a pair with zero
-    surviving common shingles yields no aggregate row in either
-    formulation (and could never pass a positive threshold).
+    aggregate work). Here each candidate doc's shingles collapse to ONE
+    set row, and the pair's intersection/sizes are in-row
+    ``array_intersect``/``size`` over two id-keyed joins, so cost is
+    O(candidate-doc shingles), never O(co-shingle pairs). Semantics are
+    identical for pairs drawn from ``sh``'s doc universe: same
+    filtered-universe hot-shingle drop, same sizes, same
+    ``common / (|A|+|B|−common)`` — a pair with zero surviving common
+    shingles yields no row in either formulation (explicit
+    ``common >= 1`` filter here).
     """
     from ocr_agent_spark.cache import persist_tracked
 
     if max_shingle_df is not None:
         sh = _drop_hot_shingles(sh, max_shingle_df)
-    # The (filtered) scope table is referenced three times below
-    # (sizes + both intersection sides); without a persist each
-    # reference re-runs the candidate-scope semi-join over the full
-    # shingle table — measured as the dominant verify cost at sf1.0.
-    sh = persist_tracked(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a_sh = pairs.select("id_a", "id_b").join(
-        sh.withColumnRenamed("doc_id", "id_a"), "id_a"
+    # Per-doc shingle SETS (r8b): ONE groupBy over the scoped table
+    # replaces the row-level formulation's three references to it
+    # (sizes aggregate + both sides of an (id, shingle) intersection
+    # join) — two exchanges and a 250k-row persist fewer at sf1.0. The
+    # rows are already distinct per (doc_id, shingle) (``shingle_table``
+    # applies array_distinct), so ``collect_set`` is exact:
+    # ``size(_set)`` IS the old ``count(*)`` size, and
+    # ``size(array_intersect(a, b))`` IS the old per-pair intersection
+    # count — set results don't depend on collect order. Payload is the
+    # same shingle strings the row form shuffled; keys are ids, so AQE
+    # skew-split applies and per-row size is bounded by doc length.
+    sets = persist_tracked(
+        sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_set"))
     )
-    inter = a_sh.join(
-        sh.select(F.col("doc_id").alias("id_b"), "shingle"),
-        ["id_b", "shingle"],
+    ab = (
+        pairs.select("id_a", "id_b")
+        .join(sets.select(F.col("doc_id").alias("id_a"),
+                          F.col("_set").alias("_sa")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"),
+                          F.col("_set").alias("_sb")), "id_b")
     )
-    common = inter.groupBy("id_a", "id_b").agg(
-        F.count(F.lit(1)).alias("common")
-    )
+    common = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     return (
-        common.join(sizes.withColumnRenamed("doc_id", "id_a")
-                    .withColumnRenamed("n_shingles", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b")
-              .withColumnRenamed("n_shingles", "size_b"), "id_b")
+        ab.select(
+            "id_a", "id_b",
+            common.alias("common"),
+            F.size(F.col("_sa")).alias("size_a"),
+            F.size(F.col("_sb")).alias("size_b"),
+        )
+        # the row formulation emits NO row for a zero-intersection pair
+        # (nothing to aggregate); keep that contract for threshold <= 0
+        .filter(F.col("common") >= 1)
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
@@ -616,10 +628,12 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                 ["band", "bucket"], "semi",
             ).select("doc_id").distinct()
         )
+    # No distinct: cand_ids only ever feeds left_semi probes below,
+    # where right-side multiplicity is irrelevant — the distinct was a
+    # whole extra aggregate exchange on the critical path (r8b).
     cand_ids = (
         candidates.select(F.col("id_a").alias("doc_id"))
         .union(candidates.select(F.col("id_b").alias("doc_id")))
-        .distinct()
     )
     # Pair-scoped verify (r8, guide §8): jaccard is computed for the
     # LSH candidate pairs ONLY, over the same candidate-doc-scoped
