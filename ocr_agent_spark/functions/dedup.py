@@ -473,30 +473,38 @@ def _lsh_band_pairs_from_banded(banded: DataFrame,
     just to count-and-drop it — the exact skew it exists to prevent,
     and AQE cannot split a window partition. Here the hot set comes
     from a partial aggregation (map-side collapse, no skewed reduce
-    task) and over-cap rows die BEFORE the self-join exchange, so a
-    pathological bucket never concentrates anywhere. sf0.1 A/B: also
+    task) and over-cap rows die BEFORE the bucket-grouping exchange, so
+    a pathological bucket never concentrates anywhere. sf0.1 A/B: also
     removes a full-width sort per join side (BENCH/BASELINE.md r6).
-    """
-    from ocr_agent_spark.cache import persist_tracked
 
-    # Persisted because the self-join references it twice (and its
-    # input subtree a third time via the hot-bucket broadcast): without
-    # the cache each reference re-derives the banding from the
-    # signature table — measured as ~3x redundant compute on the
-    # candidate-generation stage (r8). Slim (doc_id, band, bucket)
-    # rows, bands x |docs| — small at any scale that fits the join.
-    capped = persist_tracked(banded.join(
-        F.broadcast(_hot_band_buckets(banded, max_bucket_size)
-                    .select("band", "bucket")),
-        ["band", "bucket"],
-        "left_anti",
-    ))
+    Pair generation is a groupBy + in-row expansion, not a self-join
+    (r8b): the capped rows group once per (band, bucket) into a sorted
+    member array and every (i, j>i) combination is emitted by a
+    two-level explode — identical pairs to the a<b self-join over the
+    same rows, from ONE exchange of the banded table instead of a
+    persisted self-join reading it twice. The aggregation state is
+    bounded by the cap applied upstream (≤ max_bucket_size ids per
+    group), and the explode streams pairs without materializing a
+    bucket's full pair set.
+    """
+    ok = (
+        banded.join(
+            F.broadcast(_hot_band_buckets(banded, max_bucket_size)
+                        .select("band", "bucket")),
+            ["band", "bucket"],
+            "left_anti",
+        )
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("_m"))
+        .filter(F.size("_m") >= 2)
+    )
     return (
-        capped.alias("a")
-        .join(capped.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        ok.select(F.posexplode("_m").alias("_i", "id_a"), "_m")
         .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            "id_a",
+            F.explode(
+                F.slice(F.col("_m"), F.col("_i") + 2, F.size("_m"))
+            ).alias("id_b"),
         )
         .distinct()
     )
@@ -543,7 +551,7 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
                             num_hashes: int = 32, bands: int = 8,
                             threshold: float = 0.8,
-                            reuse_shingles: bool = True,
+                            reuse_shingles: bool = False,
                             max_shingle_df: int | None = 1000,
                             max_bucket_size: int = 10_000,
                             cap_report: dict | None = None) -> DataFrame:
@@ -562,13 +570,18 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     shingle table to report what the cap removed (no silent caps);
     ``None`` disables for exact-parity verification runs.
 
-    ``reuse_shingles`` (default) persists the exploded shingle table so
-    ONE tokenize+shingle pass feeds both the signature aggregation and
-    the verify jaccard, instead of re-shingling the pruned docs from
-    scratch (a second doc scan + tokenization). Trade-off: the cache
-    holds |docs|·shingles rows; at 100 TB either pass
-    ``reuse_shingles=False`` (recompute just the small pruned slice) or
-    materialize the shingle table to storage between stages.
+    ``reuse_shingles=True`` persists the exploded shingle table so ONE
+    tokenize+shingle pass feeds both the signature aggregation and the
+    verify jaccard, instead of re-shingling the pruned docs from
+    scratch (a second doc scan + tokenization). The default is FALSE
+    (r8b): the verify scope is the candidate docs only — re-tokenizing
+    that small slice is cheaper than writing |docs|·shingles rows into
+    cache and semi-joining them back out (A/B'd at sf1.0: 0.3-0.5 s
+    faster, identical output), and at 100 TB a corpus-sized executor
+    cache is exactly what the pipeline must NOT hold. Pass ``True``
+    when the caller keeps the shingle table for other uses (the
+    cap_report's ``shingle_df_stats`` re-tokenizes the corpus when the
+    table was not kept).
 
     ``max_bucket_size`` is the BANDING-join counterpart (see
     ``_lsh_band_pairs``): it bounds the candidate-generation self-join

@@ -34,10 +34,18 @@ def _partition_blocks(batches: Iterator[pd.DataFrame],
                       style: str) -> tuple[int, list[str]]:
     """One task's (partition id, rendered blocks) — THE shared render
     loop: both the chunk collector and the sharded writer consume it,
-    so block rendering can never drift between the two artifacts."""
+    so block rendering can never drift between the two artifacts.
+
+    The loop inlines ``render_row_block`` (no per-row dataclass, no
+    strip() copy for the blank test, one f-string instead of a
+    join-of-7) — measured 1.6× on the bench corpus and pinned
+    byte-identical to the kernel function by
+    ``test_partition_blocks_matches_render_row_block``.
+    """
     from pyspark import TaskContext
 
-    from ocr_agent_spark.kernel.merge import MergeRow, render_row_block
+    from ocr_agent_spark.kernel.mathdown import convert_math_delimiters
+    from ocr_agent_spark.kernel.merge import KIND_PDF_PAGE
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
@@ -47,16 +55,16 @@ def _partition_blocks(batches: Iterator[pd.DataFrame],
             batch["url"], batch["kind"], batch["page_index"],
             batch["total_pages"], batch["text"],
         ):
-            row = MergeRow(
-                url=url,
-                kind=kind,
-                page_index=None if pd.isna(page_index) else int(page_index),
-                total_pages=None if pd.isna(total_pages) else int(total_pages),
-                text=text,
-            )
-            block = render_row_block(row, style)
-            if block is not None:
-                blocks.append(block)
+            if text is None or text == "" or text.isspace():
+                continue
+            if (kind == KIND_PDF_PAGE and not pd.isna(page_index)
+                    and not pd.isna(total_pages)):
+                header = (f"## {url} (page {int(page_index) + 1}"
+                          f"/{int(total_pages)})")
+            else:
+                header = f"## {url}"
+            body = convert_math_delimiters(text, style)
+            blocks.append(f"{header}\n\n\n{body}\n\n---\n")
     return pid, blocks
 
 

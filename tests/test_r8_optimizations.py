@@ -217,3 +217,57 @@ def test_semantic_index_empty_and_mixed_dim_errors(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mixed"):
         build_semantic_index(mixed, str(tmp_path / "semidx2"))
+
+
+# ---------------------------------------------------------------------------
+# r8b: inlined render loop ≡ kernel render_row_block; reuse_shingles parity
+# ---------------------------------------------------------------------------
+
+
+def test_partition_blocks_matches_render_row_block():
+    import pandas as pd
+
+    from ocr_agent_spark.kernel.merge import MergeRow, render_row_block
+    from ocr_agent_spark.operators.merge import _partition_blocks
+
+    rows = [
+        ("u1", "html", None, None, "plain text body"),
+        ("u2", "pdf_page", 0, 3, "page body with \\(x\\) math"),
+        ("u3", "pdf_page", 2, 3, "last page"),
+        ("u4", "html", None, None, ""),            # skipped: empty
+        ("u5", "html", None, None, "   \t\n"),     # skipped: whitespace
+        ("u6", "html", None, None, " "),      # unicode whitespace
+        ("u7", "pdf_page", None, 5, "pdf page with no index"),
+        ("u8", "html", None, None, "fence\n```\n\\[keep\\]\n```\ndone"),
+    ]
+    batch = pd.DataFrame(
+        rows, columns=["url", "kind", "page_index", "total_pages", "text"]
+    )
+    for style in ("dollar", "brackets"):
+        _, fast = _partition_blocks(iter([batch]), style)
+        slow = []
+        for url, kind, pi, tp, text in rows:
+            block = render_row_block(
+                MergeRow(url=url, kind=kind, page_index=pi,
+                         total_pages=tp, text=text), style)
+            if block is not None:
+                slow.append(block)
+        assert fast == slow, f"render drift at style={style}"
+
+
+def test_minhash_reuse_shingles_parity(spark):
+    # The r8b default flip (reuse_shingles False) must not change a
+    # single pair: both paths verify the same candidate-scoped shingle
+    # universe.
+    from ocr_agent_spark.functions.dedup import minhash_near_duplicates
+
+    rows = [(i, f"alpha beta gamma delta {i % 6} epsilon zeta eta theta")
+            for i in range(80)]
+    docs = _docs(spark, rows)
+    a = sorted(map(tuple, minhash_near_duplicates(
+        docs, threshold=0.3, reuse_shingles=True)
+        .select("id_a", "id_b", "jaccard").collect()))
+    b = sorted(map(tuple, minhash_near_duplicates(
+        docs, threshold=0.3, reuse_shingles=False)
+        .select("id_a", "id_b", "jaccard").collect()))
+    assert a == b and a
