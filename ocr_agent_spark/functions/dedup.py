@@ -1113,22 +1113,37 @@ def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
         ["band", "bucket"],
         "left_anti",
     )
-    # Hamming popcount + threshold are evaluated INSIDE the bucket join
-    # (map-side of the dedup), so the distinct's exchange carries only
-    # (id_a, id_b, hamming) for SURVIVING pairs — not two 64-bit
-    # signatures for every candidate. Equivalent result: hamming is a
-    # pure function of the pair, so distinct-after-compute == distinct
-    # -then-compute; at wide-corpus scale this shrinks the heaviest
-    # shuffle by ~3× on width and by the filter's selectivity on rows.
-    return (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    # Hamming popcount + threshold are evaluated INSIDE the bucket
+    # expansion (map-side of the dedup), so the distinct's exchange
+    # carries only (id_a, id_b, hamming) for SURVIVING pairs — not two
+    # 64-bit signatures for every candidate. Pair generation is the
+    # grouped in-row expansion (r8b, mirrors _lsh_band_pairs_from_
+    # banded): each surviving bucket groups once into an id-sorted
+    # (doc_id, simhash) struct array and every (i, j>i) combination is
+    # exploded in-row — identical pairs to the a<b self-join from ONE
+    # exchange, with aggregation state bounded by the upstream cap.
+    ok = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("doc_id", "simhash"))
+        ).alias("_m"))
+        .filter(F.size("_m") >= 2)
+    )
+    pairs = (
+        ok.select(F.posexplode("_m").alias("_i", "_a"), "_m")
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            "_a",
+            F.explode(
+                F.slice(F.col("_m"), F.col("_i") + 2, F.size("_m"))
+            ).alias("_b"),
+        )
+    )
+    return (
+        pairs.select(
+            F.col("_a.doc_id").alias("id_a"),
+            F.col("_b.doc_id").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("_a.simhash").bitwiseXOR(F.col("_b.simhash"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -138,15 +138,31 @@ def image_hamming_pairs(hashes: DataFrame, max_hamming: int = 3,
         ["band", "bucket"],
         "left_anti",
     )
-    return (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.media_id") < F.col("b.media_id"))
+    # Grouped in-row pair expansion (r8b, mirrors dedup's banded
+    # paths): one exchange of the banded table instead of a self-join
+    # reading it twice; state bounded by the upstream bucket cap.
+    ok = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("media_id", "ahash"))
+        ).alias("_m"))
+        .filter(F.size("_m") >= 2)
+    )
+    pairs = (
+        ok.select(F.posexplode("_m").alias("_i", "_a"), "_m")
         .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
+            "_a",
+            F.explode(
+                F.slice(F.col("_m"), F.col("_i") + 2, F.size("_m"))
+            ).alias("_b"),
+        )
+    )
+    return (
+        pairs.select(
+            F.col("_a.media_id").alias("id_a"),
+            F.col("_b.media_id").alias("id_b"),
             F.bit_count(
-                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+                F.col("_a.ahash").bitwiseXOR(F.col("_b.ahash"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -526,14 +526,17 @@ def embedding_lsh_candidates(embeddings: DataFrame, id_col: str = "vec_id",
     Plan: one signature pass (b·r JVM dot products/row) → explode to
     (doc_id, band, bucket) — ids only, the vector never enters the
     shuffle — → broadcast anti-join against the (tiny) over-cap bucket
-    set → per-(band,bucket) self-join → distinct id pairs. The cap is
-    an anti-join, not a count-window (r6, mirrors
+    set → per-(band,bucket) grouped pair expansion → distinct id pairs.
+    The cap is an anti-join, not a count-window (r6, mirrors
     ``dedup._lsh_band_pairs_from_banded``): a window would shuffle
     every mega-bucket row into ONE partition and sort it just to
-    count-and-drop it — the exact skew it exists to prevent.
+    count-and-drop it — the exact skew it exists to prevent. Pair
+    generation groups each surviving bucket into a sorted member array
+    and explodes every (i, j>i) combination in-row (r8b, mirrors the
+    minhash path): identical pairs to the a<b self-join, from ONE
+    exchange of the banded table instead of a persisted double read;
+    aggregation state is bounded by the cap applied upstream.
     """
-    from ocr_agent_spark.cache import persist_tracked
-
     banded = _banded_signature_table(embeddings, id_col, vec_col, bands,
                                      rows_per_band, seed)
 
@@ -543,14 +546,20 @@ def embedding_lsh_candidates(embeddings: DataFrame, id_col: str = "vec_id",
         .filter(F.col("sz") > max_bucket_size)
         .select("band", "bucket")
     )
-    capped = persist_tracked(
+    ok = (
         banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("_m"))
+        .filter(F.size("_m") >= 2)
     )
     return (
-        capped.alias("a")
-        .join(capped.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        ok.select(F.posexplode("_m").alias("_i", "id_a"), "_m")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("_m"), F.col("_i") + 2, F.size("_m"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
