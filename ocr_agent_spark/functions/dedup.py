@@ -62,7 +62,8 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
 
 
 def shingle_table(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", n: int = 3) -> DataFrame:
+                  text_col: str = "text", n: int = 3,
+                  widen: bool = True) -> DataFrame:
     """(id, shingle) exploded table — input to jaccard and minhash.
 
     Two-step plan on purpose: tokens are PROJECTED to a real column
@@ -72,6 +73,11 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id",
     lambdas — Catalyst inlines the subexpression rather than CSE-ing it
     across lambda scopes — measured 7× slower on the sf0.1 corpus
     (3.6 s → 0.5 s for the same 260k shingles).
+
+    ``widen=False`` skips the scan-widening guard — for callers
+    shingling a slice already known to be tiny (the candidate-scoped
+    verify pass), where the round-robin exchange would be a pure extra
+    stage boundary. Placement-only either way.
     """
     from ocr_agent_spark.partitioning import widen_if_narrow
 
@@ -80,10 +86,10 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id",
     # parquet input otherwise serializes the whole shingle+hash head of
     # every dedup pipeline into one scan task (§2.5 input skew). No-op
     # on already-parallel inputs.
-    slim = widen_if_narrow(
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("_text"))
-    )
+    slim = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("_text"))
+    if widen:
+        slim = widen_if_narrow(slim)
     toks_df = slim.select(
         "doc_id",
         F.split(F.lower(F.trim(F.col("_text"))), r"\s+").alias("_toks"),
@@ -657,7 +663,9 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
         sh_scope = sh.join(cand_ids, "doc_id", "left_semi")
     else:
         pruned = docs.join(cand_ids, docs[id_col] == cand_ids["doc_id"], "left_semi")
-        sh_scope = shingle_table(pruned, id_col, text_col, n)
+        # widen=False: the pruned slice is candidate docs only; the
+        # scan-widen guard would add an exchange for a tiny table.
+        sh_scope = shingle_table(pruned, id_col, text_col, n, widen=False)
     return _jaccard_for_pairs(candidates, sh_scope, threshold, max_shingle_df)
 
 

@@ -27,7 +27,8 @@ def test_widen_if_narrow_widens_single_partition(spark):
     from ocr_agent_spark.partitioning import widen_if_narrow
 
     df = spark.range(1000).coalesce(1)
-    out = widen_if_narrow(df, target=8)
+    # bytes_per_task=1 forces the size-based count to the full target
+    out = widen_if_narrow(df, target=8, bytes_per_task=1)
     assert out.rdd.getNumPartitions() == 8
     assert sorted(r["id"] for r in out.collect()) == list(range(1000))
 
@@ -39,6 +40,21 @@ def test_widen_if_narrow_noop_on_parallel_input(spark):
     out = widen_if_narrow(df, target=8)
     # 2*8 >= 8 → untouched plan object, no extra exchange
     assert out is df
+
+
+def test_widen_if_narrow_sizes_by_plan_bytes(spark):
+    # A tiny single-partition input must NOT fan out to the full
+    # target: the size estimate caps the repartition (and skips the
+    # exchange entirely when one partition suffices) — otherwise every
+    # downstream stage schedules `target` near-empty tasks.
+    from ocr_agent_spark.partitioning import widen_if_narrow
+
+    tiny = spark.range(100).coalesce(1)
+    out = widen_if_narrow(tiny, target=8)  # ~800 est. bytes → 1 task
+    assert out is tiny
+    # a large-estimate input still widens to the full target
+    big = widen_if_narrow(tiny, target=8, bytes_per_task=1)
+    assert big.rdd.getNumPartitions() == 8
 
 
 def test_widen_preserves_dedup_results(spark):

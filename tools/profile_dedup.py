@@ -74,29 +74,25 @@ def main() -> None:
     cands = _lsh_band_pairs_from_banded(banded)
     timed("4_candidates_noop", lambda: noop(cands))
 
-    # verify stage over candidate shingles, as the real pipeline scopes it
-    from pyspark import StorageLevel  # noqa: F401
-
-    sh_p = sh.persist()
-    sh_p.count()
-    sig_p = minhash_signatures_from_shingles(sh_p).persist()
-    banded_p = _minhash_banded_table(sig_p, 32, 8)
-    cand_p = _lsh_band_pairs_from_banded(banded_p).persist()
+    # verify stage over candidate shingles, as the real pipeline scopes
+    # it (r8b shape: no shingle cache, no cand_ids distinct — the scope
+    # is the re-shingled pruned docs)
+    cand_p = _lsh_band_pairs_from_banded(banded).persist()
     timed("5_candidates_persisted_noop", lambda: noop(cand_p))
     cand_ids = (
         cand_p.select(F.col("id_a").alias("doc_id"))
         .union(cand_p.select(F.col("id_b").alias("doc_id")))
-        .distinct()
     )
     from ocr_agent_spark.functions.dedup import _jaccard_for_pairs
 
+    pruned = docs.join(cand_ids, docs["doc_id"] == cand_ids["doc_id"],
+                       "left_semi")
     verified = _jaccard_for_pairs(
-        cand_p, sh_p.join(cand_ids, "doc_id", "left_semi"), 0.5, 1000
+        cand_p, shingle_table(pruned, widen=False), 0.5, 1000
     )
     timed("6_verify_noop", lambda: noop(verified))
     timed("7_verify_count", lambda: verified.count())
-    for df in (sh_p, sig_p, cand_p):
-        df.unpersist()
+    cand_p.unpersist()
 
     # --- end-to-end repeats, bench-identical ---
     for i in range(2):
