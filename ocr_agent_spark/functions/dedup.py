@@ -401,6 +401,49 @@ def minhash_signatures_from_shingles(sh: DataFrame,
     )
 
 
+def _banded_from_shingles(sh: DataFrame, num_hashes: int,
+                          bands: int) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, band, bucket) in ONE aggregation +
+    ONE projection (r8b).
+
+    Fuses ``minhash_signatures_from_shingles`` + ``_minhash_banded_
+    table``: the band hashes are built directly from the ``h<seed>``
+    aggregate columns (``xxhash64(concat_ws(",", cast ...))``), which
+    is expression-for-expression the value the array form computes —
+    ``array_join(transform(slice(array(h0..h31), b·r+1, r), cast),
+    ",")`` over non-null longs IS ``concat_ws`` of the same casts — so
+    bucket values are bit-identical (pinned by
+    ``test_fused_banding_matches_array_form``). Skips materializing
+    the signature array and the per-row sequence/slice/transform
+    lambda tree, which both bloated analysis time (the pipeline's
+    plans embed this subtree 4+ times) and per-row work.
+    """
+    r = num_hashes // bands
+    # SQL-string expressions, ONE py4j parse each (r8b): the
+    # Column-builder form crossed the Python/JVM gateway ~5× per
+    # subexpression — ~0.6 s of socket latency per pipeline
+    # CONSTRUCTION at 32 hashes — while `expr` ships the whole tree in
+    # one call. The parsed literals/casts are the same Catalyst nodes.
+    aggs = [
+        F.expr(f"min(xxhash64(shingle, {seed})) AS h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bucket_sql = ", ".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {cols})))"
+        .format(
+            b=b,
+            cols=", ".join(
+                f"cast(h{b * r + i} as string)" for i in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sig.select(
+        "doc_id", F.expr(f"explode(array({bucket_sql}))").alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 3,
                            num_hashes: int = 32, bands: int = 8,
@@ -612,17 +655,21 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
     if reuse_shingles:
         sh = persist_tracked(shingle_table(docs, id_col, text_col, n))
-        sig = minhash_signatures_from_shingles(sh, num_hashes)
     else:
         sh = None
-        sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
-    # sig is NOT persisted: since the r8 pair-scoped verify, the banded
-    # table is its only consumer, so a cache would add a
-    # materialization pass without saving any recompute.
+    # banded comes from the FUSED agg+banding projection (r8b) — bucket
+    # values bit-identical to the signatures→array→slice composition,
+    # minus one projection layer and the lambda expression tree (see
+    # _banded_from_shingles). The signature table is never
+    # materialized: since the r8 pair-scoped verify, banding is its
+    # only consumer.
     # banded IS persisted: referenced by the hot-bucket aggregate,
     # the capped anti-join stream side, and (when requested) the
     # cap_report — one cheap materialization instead of three (r8).
-    banded = persist_tracked(_minhash_banded_table(sig, num_hashes, bands))
+    banded = persist_tracked(_banded_from_shingles(
+        sh if sh is not None else shingle_table(docs, id_col, text_col, n),
+        num_hashes, bands,
+    ))
     candidates = persist_tracked(
         _lsh_band_pairs_from_banded(banded, max_bucket_size)
     )

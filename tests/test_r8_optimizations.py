@@ -287,3 +287,22 @@ def test_minhash_reuse_shingles_parity(spark):
         docs, threshold=0.3, reuse_shingles=False)
         .select("id_a", "id_b", "jaccard").collect()))
     assert a == b and a
+
+
+def test_fused_banding_matches_array_form(spark):
+    # _banded_from_shingles (one agg + one projection) must produce
+    # bit-identical (doc_id, band, bucket) rows to the signatures →
+    # array → slice composition it replaces.
+    from ocr_agent_spark.functions.dedup import (
+        _banded_from_shingles,
+        _minhash_banded_table,
+        minhash_signatures_from_shingles,
+        shingle_table,
+    )
+
+    rows = [(i, f"one two three four {i % 9} five six seven") for i in range(60)]
+    sh = shingle_table(_docs(spark, rows))
+    fused = sorted(map(tuple, _banded_from_shingles(sh, 32, 8).collect()))
+    composed = sorted(map(tuple, _minhash_banded_table(
+        minhash_signatures_from_shingles(sh, 32), 32, 8).collect()))
+    assert fused == composed and fused
